@@ -186,10 +186,6 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
         mlo = jnp.min(lo_masked, axis=1, keepdims=True)
         best = jnp.argmax((err_hi == mhi) & (lo_masked == mlo), axis=1)  # [L]
 
-        take = lambda arr: jnp.take_along_axis(
-            arr, best[:, None, None] if arr.ndim == 3 else best[:, None],
-            axis=1,
-        )
         best_codes = jnp.take_along_axis(
             codes, best[:, None, None], axis=1
         )[:, 0, :]  # [L, 20]

@@ -20,6 +20,13 @@ if "jax" not in sys.modules:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# Persistent compilation cache: the kernel graphs (especially the QOA encoder
+# scan) are expensive to compile on the 1-core CI host; cache across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/af_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
