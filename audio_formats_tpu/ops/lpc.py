@@ -1,0 +1,125 @@
+"""FLAC LPC synthesis kernels — int32 sequential scan on device.
+
+FLAC reconstructs each sample as ``residual[t] + (Σ coef[j]·s[t-1-j]) >> shift``
+(drflac__calculate_prediction_32, drflac.d:1060).  CONSTANT / VERBATIM /
+FIXED / LPC subframes all reduce to this one recurrence:
+
+* CONSTANT/VERBATIM → order = blocksize (every sample passes through)
+* FIXED k           → the constant coefficient rows below, shift 0
+* LPC               → coded coefficients and shift
+
+The recurrence's per-step truncating shift makes it non-linear, so no
+parallel-scan shortcut preserves bit-exactness; it runs as a `lax.scan` over
+time, vectorized across (streams × channels) lanes.
+
+Bit-width dispatch mirrors drflac (drflac.d:1055-1110): subframes with
+bits-per-sample ≤ 16 use int32 math (wraparound semantics identical to the
+reference's C int); wider subframes need 64-bit accumulation and are routed
+to the exact int64 host path (`flac_lpc_np`) until the device int64-emulation
+kernel lands.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Fixed-predictor coefficients (drflac.d:1397-equivalent; FLAC spec):
+# s[t] = k-th order polynomial predictor + residual, shift 0.
+FIXED_COEFFS = np.zeros((5, 32), dtype=np.int32)
+FIXED_COEFFS[1, :1] = [1]
+FIXED_COEFFS[2, :2] = [2, -1]
+FIXED_COEFFS[3, :3] = [3, -3, 1]
+FIXED_COEFFS[4, :4] = [4, -6, 4, -1]
+
+MAX_ORDER = 32
+
+
+@jax.jit
+def flac_lpc_scan(residual, coeffs, order, shift):
+    """int32 LPC synthesis over lanes.
+
+    residual: [L, B] int32 — residuals; positions t < order[l] hold the
+              warm-up samples verbatim.
+    coeffs:   [L, 32] int32 — coeffs[l, j] multiplies s[t-1-j]; zero-padded
+              past the order.
+    order:    [L] int32; shift: [L] int32 (non-negative).
+    Returns samples [L, B] int32.
+    """
+    L = residual.shape[0]
+    history = jnp.zeros((L, MAX_ORDER), jnp.int32)  # history[:, j] = s[t-1-j]
+
+    def step(carry, inp):
+        h = carry
+        r, t = inp  # r: [L], t: scalar
+        pred = jnp.sum(h * coeffs, axis=-1, dtype=jnp.int32) >> shift
+        s = jnp.where(t < order, r, r + pred)
+        h = jnp.concatenate([s[:, None], h[:, :-1]], axis=1)
+        return h, s
+
+    B = residual.shape[1]
+    _, out = jax.lax.scan(
+        step,
+        history,
+        (jnp.swapaxes(residual, 0, 1), jnp.arange(B, dtype=jnp.int32)),
+    )
+    return jnp.swapaxes(out, 0, 1)
+
+
+def flac_lpc_np(residual, coeffs, order, shift):
+    """Exact int64 host path (mirrors drflac__calculate_prediction_64,
+    drflac.d:1101) for subframes with bits-per-sample > 16; also the test
+    oracle for the device kernel."""
+    residual = np.asarray(residual, dtype=np.int64)
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    L, B = residual.shape
+    out = np.empty((L, B), dtype=np.int64)
+    hist = np.zeros((L, MAX_ORDER), dtype=np.int64)
+    order = np.asarray(order)
+    shift = np.asarray(shift)
+    for t in range(B):
+        pred = (hist * coeffs).sum(axis=1) >> shift
+        s = np.where(t < order, residual[:, t], residual[:, t] + pred)
+        hist[:, 1:] = hist[:, :-1]
+        hist[:, 0] = s
+        out[:, t] = s
+    return out
+
+
+@jax.jit
+def flac_post_stereo(samples, chan_assignment, wasted, out_shift):
+    """Inter-channel decorrelation + output shift to s32, exactly as
+    drflac_read_s32 (drflac.d:2884-2944): decorrelate the *unshifted*
+    subframe samples, then shift each channel by
+    (32 - streaminfo_bps) + wasted_bits[channel].
+
+    samples: [C, B] int32 (C == channel count of the frame)
+    chan_assignment: scalar int32 (8=left/side, 9=right/side, 10=mid/side,
+                     else independent)
+    wasted: [C] int32; out_shift: scalar int32 (= 32 - streaminfo bps)
+    Returns interleaved-ready [C, B] int32 (caller transposes).
+    """
+    c0 = samples[0]
+    c1 = samples[1] if samples.shape[0] > 1 else samples[0]
+
+    def left_side(_):
+        return jnp.stack([c0, c0 - c1])
+
+    def right_side(_):
+        return jnp.stack([c1 + c0, c1])
+
+    def mid_side(_):
+        side = c1
+        mid = ((c0.astype(jnp.uint32) << 1) | (side.astype(jnp.uint32) & 1)).astype(jnp.int32)
+        return jnp.stack([(mid + side) >> 1, (mid - side) >> 1])
+
+    if samples.shape[0] == 2:
+        decor = jax.lax.switch(
+            jnp.clip(chan_assignment - 8, -1, 2) + 1,
+            [lambda _: samples, left_side, right_side, mid_side],
+            None,
+        )
+    else:
+        decor = samples
+    return decor << (out_shift + wasted)[:, None]

@@ -1,0 +1,184 @@
+"""FLAC decode conformance.  FLAC is lossless, so decoding a golden-encoder
+file must reproduce the source PCM bit-exactly (after drflac's s32 alignment
+and double-scaling to float, which we replicate)."""
+
+import numpy as np
+import pytest
+
+from audio_formats_tpu import AudioFileFormat, AudioStream
+from audio_formats_tpu.ops import lpc as lpc_ops
+
+from golden import flac_ref
+
+
+def _pcm(frames, channels, bps, rng, smooth=True):
+    lim = 1 << (bps - 1)
+    if smooth:
+        t = np.arange(frames)[:, None]
+        x = 0.6 * np.sin(2 * np.pi * 313.0 * (1 + np.arange(channels))[None, :] * t / 44100.0)
+        x += 0.05 * rng.standard_normal((frames, channels))
+        return np.clip(np.round(x * (lim * 0.8)), -lim, lim - 1).astype(np.int64)
+    return rng.integers(-lim, lim, size=(frames, channels)).astype(np.int64)
+
+
+def _expected_float(pcm, bps):
+    s32 = (pcm.astype(np.int64) << (32 - bps)).astype(np.int32)
+    return (s32.astype(np.float64) * (1.0 / 2147483647.0)).astype(np.float32)
+
+
+def _decode(data, frames):
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    assert s.get_format() == AudioFileFormat.flac
+    return s, s.read_samples_float(frames + 64)
+
+
+@pytest.mark.parametrize("mode", ["constant", "verbatim", "fixed0", "fixed1",
+                                  "fixed2", "fixed3", "fixed4", "lpc1",
+                                  "lpc4", "lpc8", "lpc32"])
+def test_subframe_types_bit_exact(rng, mode):
+    frames, bps = 768, 16
+    if mode == "constant":
+        pcm = np.full((frames, 1), -1234, dtype=np.int64)
+    elif mode == "verbatim":
+        pcm = _pcm(frames, 1, bps, rng, smooth=False)
+    else:
+        pcm = _pcm(frames, 1, bps, rng)
+    data = flac_ref.build_flac(pcm, 44100, bps, block_size=256,
+                               modes=[mode])
+    s, out = _decode(data, frames)
+    assert s.get_length_in_frames() == frames
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+@pytest.mark.parametrize("stereo", ["independent", "left_side", "right_side",
+                                    "mid_side"])
+def test_stereo_modes_bit_exact(rng, stereo):
+    frames, bps = 1024, 16
+    pcm = _pcm(frames, 2, bps, rng)
+    data = flac_ref.build_flac(pcm, 48000, bps, block_size=512,
+                               stereo_mode=stereo, modes=["fixed2", "fixed2"])
+    s, out = _decode(data, frames)
+    assert s.get_num_channels() == 2
+    assert s.get_samplerate() == 48000.0
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24])
+def test_bit_depths_bit_exact(rng, bps):
+    frames = 512
+    pcm = _pcm(frames, 2, bps, rng)
+    data = flac_ref.build_flac(pcm, 44100, bps, block_size=256,
+                               modes=["fixed1", "lpc2"])
+    s, out = _decode(data, frames)
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+def test_rice2_and_partitions(rng):
+    frames, bps = 2048, 16
+    pcm = _pcm(frames, 1, bps, rng)
+    data = flac_ref.build_flac(pcm, 44100, bps, block_size=1024,
+                               modes=["fixed2"], partition_order=3,
+                               rice2=True)
+    _, out = _decode(data, frames)
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+def test_escape_partitions(rng):
+    frames, bps = 512, 16
+    pcm = _pcm(frames, 1, bps, rng)
+    data = flac_ref.build_flac(pcm, 44100, bps, block_size=256,
+                               modes=["fixed1"], escape_bits=18)
+    _, out = _decode(data, frames)
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+def test_wasted_bits(rng):
+    frames, bps = 512, 16
+    pcm = _pcm(frames, 2, bps - 3, rng) << 3  # 3 wasted bits per sample
+    data = flac_ref.build_flac(pcm, 44100, bps, block_size=256,
+                               modes=["fixed2", "lpc2"], wasted=3)
+    _, out = _decode(data, frames)
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+def test_24bit_lpc_needs_64bit_path(rng):
+    """bps>16 routes through the exact int64 predictor (drflac.d:1101)."""
+    frames, bps = 768, 24
+    pcm = _pcm(frames, 2, bps, rng)
+    data = flac_ref.build_flac(pcm, 96000, bps, block_size=256,
+                               stereo_mode="mid_side", modes=["lpc8", "lpc8"])
+    _, out = _decode(data, frames)
+    np.testing.assert_array_equal(out, _expected_float(pcm, bps))
+
+
+def test_chunked_equals_whole(rng):
+    frames = 3000
+    pcm = _pcm(frames, 2, 16, rng)
+    data = flac_ref.build_flac(pcm, 44100, 16, block_size=1024,
+                               stereo_mode="left_side", modes=["fixed2", "fixed3"])
+    whole = AudioStream().open_from_memory(data).read_samples_float(frames)
+    s = AudioStream().open_from_memory(data)
+    parts = []
+    while True:
+        c = s.read_samples_float(389)
+        if c.shape[0] == 0:
+            break
+        parts.append(c)
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+@pytest.mark.parametrize("seektable", [False, True])
+def test_seek_contract(rng, seektable):
+    frames = 5000
+    pcm = _pcm(frames, 1, 16, rng)
+    data = flac_ref.build_flac(pcm, 44100, 16, block_size=1024,
+                               modes=["fixed2"], seektable=seektable)
+    s = AudioStream().open_from_memory(data)
+    L = s.get_length_in_frames()
+    assert L == frames
+    assert s.tell_position() == 0
+    assert s.seek_position(0)
+    assert not s.seek_position(-1)
+    assert not s.seek_position(L + 1)
+    assert s.seek_position(L - 1)
+    assert s.read_samples_float(10).shape[0] == 1
+    assert s.seek_position(L)  # end: always succeeds (stream.d:1123-1125)
+    assert s.read_samples_float(10).shape[0] == 0
+    assert not s.is_error()
+    whole = AudioStream().open_from_memory(data).read_samples_float(frames)
+    for target in (1, 1023, 1024, 2500, 4999, 100):
+        assert s.seek_position(target), target
+        assert s.tell_position() == target
+        got = s.read_samples_float(16)
+        np.testing.assert_array_equal(got, whole[target : target + 16])
+
+
+def test_device_lpc_matches_int64_oracle(rng):
+    """Device int32 scan == exact int64 host model on safe inputs."""
+    L, B = 8, 512
+    order = rng.integers(1, 33, size=L).astype(np.int32)
+    shift = rng.integers(0, 15, size=L).astype(np.int32)
+    coeffs = np.zeros((L, 32), np.int32)
+    for l in range(L):
+        coeffs[l, : order[l]] = rng.integers(-(1 << 10), 1 << 10, size=order[l])
+    residual = rng.integers(-(1 << 12), 1 << 12, size=(L, B)).astype(np.int32)
+    got = np.asarray(lpc_ops.flac_lpc_scan(residual, coeffs, order, shift))
+    ref = lpc_ops.flac_lpc_np(residual, coeffs, order, shift)
+    # int64 result may exceed int32 in contrived cases; mask lanes that stay
+    # in range (valid FLAC files are in range by construction).
+    in_range = (np.abs(ref).max(axis=1) < 2**31).nonzero()[0]
+    assert in_range.size > 0
+    np.testing.assert_array_equal(got[in_range], ref[in_range].astype(np.int32))
+
+
+def test_truncated_and_garbage():
+    s = AudioStream().open_from_memory(b"fLaC\x00\x00\x00")
+    assert s.is_error()
+    rng = np.random.default_rng(0)
+    pcm = _pcm(1000, 1, 16, rng)
+    data = flac_ref.build_flac(pcm, 44100, 16, block_size=512, modes=["fixed2"])
+    s = AudioStream().open_from_memory(data[: len(data) // 2])
+    if not s.is_error():
+        out = s.read_samples_float(1000)
+        assert out.shape[0] < 1000  # short read, no crash
