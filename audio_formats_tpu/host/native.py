@@ -1,0 +1,169 @@
+"""ctypes bindings for the native host entropy stage (src/af_host.cc).
+
+The library compiles lazily on first import (g++ -O3 -shared) and is cached
+next to the source.  Set AF_TPU_NO_NATIVE=1 to force the pure-Python
+reference paths (models fall back automatically if the toolchain or binary
+is unavailable).  Tests assert native == Python bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "af_host.cc")
+_SO = os.path.join(_DIR, "src", "af_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tables_loaded = False
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+            return True
+        res = subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            capture_output=True,
+            timeout=120,
+        )
+        if res.returncode != 0:
+            res = subprocess.run(  # retry without -march=native
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                capture_output=True,
+                timeout=120,
+            )
+        return res.returncode == 0
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the loaded library or None (fallback to Python paths)."""
+    global _lib, _tables_loaded
+    if os.environ.get("AF_TPU_NO_NATIVE"):
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.af_mp3_set_table.argtypes = [
+            ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int
+        ]
+        lib.af_mp3_set_table.restype = ctypes.c_int
+        lib.af_mp3_huffman.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i8p, f32p,
+            ctypes.c_int32, ctypes.c_int32, i32p, f32p,
+        ]
+        lib.af_mp3_huffman.restype = ctypes.c_int64
+        lib.af_flac_parse_frame.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p, i64p,
+        ]
+        lib.af_flac_parse_frame.restype = ctypes.c_int
+
+        # install the MP3 Huffman tables
+        from ..utils.tables import mp3_tables as T
+
+        for t, codes in enumerate(T.HUFF_TABLES):
+            arr = np.array(codes, dtype=np.int32).reshape(-1, 4) if codes else \
+                np.zeros((0, 4), np.int32)
+            lib.af_mp3_set_table(
+                t, arr.ctypes.data_as(i32p), len(arr), int(T.LINBITS[t])
+            )
+        for t, codes in enumerate((T.COUNT1_A, T.COUNT1_B)):
+            # count1 payload: store v mask in the x byte slot, y unused
+            arr = np.array(
+                [(c, l, v, 0) for c, l, v in codes], dtype=np.int32
+            )
+            lib.af_mp3_set_table(32 + t, arr.ctypes.data_as(i32p), len(arr), 0)
+        _lib = lib
+        _tables_loaded = True
+        return _lib
+
+
+_I8P = ctypes.POINTER(ctypes.c_uint8)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_F32P = ctypes.POINTER(ctypes.c_float)
+
+
+def _u8ptr(b: bytes):
+    return ctypes.cast(ctypes.c_char_p(b), _I8P)
+
+
+def mp3_huffman(lib, maindata: bytes, start_bits: int, limit_bits: int,
+                table_select, region_count, sfbtab, scf, big_values: int,
+                count1_table: int):
+    """Native mirror of models.mp3._huffman.  Returns (q, gains) or None."""
+    q = np.zeros(576, dtype=np.int32)
+    gains = np.zeros(576, dtype=np.float32)
+    ts = np.asarray(table_select, dtype=np.int32)
+    rc = np.asarray(region_count, dtype=np.int32)
+    sfb = np.zeros(48, dtype=np.uint8)
+    tab = np.asarray(sfbtab, dtype=np.uint8)
+    sfb[: len(tab)] = tab
+    scf_arr = np.asarray(scf, dtype=np.float32)
+    end = lib.af_mp3_huffman(
+        _u8ptr(maindata), len(maindata), start_bits, limit_bits,
+        ts.ctypes.data_as(_I32P), rc.ctypes.data_as(_I32P),
+        sfb.ctypes.data_as(_I8P), scf_arr.ctypes.data_as(_F32P),
+        big_values, count1_table,
+        q.ctypes.data_as(_I32P), gains.ctypes.data_as(_F32P),
+    )
+    if end < 0:
+        return None
+    return q, gains
+
+
+def flac_parse_frame(lib, data, start_bits: int, streaminfo_bps: int,
+                     channels: int, max_block: int):
+    """Native mirror of FlacDecoder._parse_frame.  Returns dict or None."""
+    residual = np.zeros((channels, max_block), dtype=np.int32)
+    coeffs = np.zeros((channels, 32), dtype=np.int32)
+    order = np.zeros(channels, dtype=np.int32)
+    shift = np.zeros(channels, dtype=np.int32)
+    wasted = np.zeros(channels, dtype=np.int32)
+    bps = np.zeros(channels, dtype=np.int32)
+    meta = np.zeros(8, dtype=np.int64)
+    buf = bytes(data) if not isinstance(data, bytes) else data
+    rc = lib.af_flac_parse_frame(
+        _u8ptr(buf), len(buf), start_bits,
+        streaminfo_bps, channels, max_block,
+        residual.ctypes.data_as(_I32P), coeffs.ctypes.data_as(_I32P),
+        order.ctypes.data_as(_I32P), shift.ctypes.data_as(_I32P),
+        wasted.ctypes.data_as(_I32P), bps.ctypes.data_as(_I32P),
+        meta.ctypes.data_as(_I64P),
+    )
+    if rc != 0:
+        return None
+    blocksize = int(meta[0])
+    return {
+        "blocksize": blocksize,
+        "chan_assignment": int(meta[1]),
+        "residual": residual[:, :blocksize],
+        "coeffs": coeffs,
+        "order": order,
+        "shift": shift,
+        "wasted": wasted,
+        "bps": bps,
+        "end_bits": int(meta[3]),
+    }

@@ -1,0 +1,378 @@
+// Native host entropy stage: the serial, branchy bit-level inner loops that
+// feed the device DSP.  C ABI (consumed via ctypes, no pybind dependency).
+//
+// Components:
+//  * MP3 Layer III Huffman big-values/count1 decode (the reference's hot
+//    loop, minimp3.d:748-883) -> quantized ints + per-coefficient gains
+//  * FLAC subframe + partitioned-Rice residual decode (drflac.d:1149-1330)
+//    -> dense residual/coefficient tensors
+//
+// Tables are injected from Python at init (canonical spec data from
+// audio_formats_tpu/utils/tables) so no constant data is duplicated here.
+//
+// Build: g++ -O3 -shared -fPIC (see ../native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Bit reader (MSB-first) with a 64-bit cache
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* buf;
+  int64_t nbits;
+  int64_t pos;
+};
+
+static inline uint32_t br_peek(const BitReader* br, int n) {
+  // n <= 32; reads beyond the end return zero bits (callers bound reads)
+  int64_t p = br->pos;
+  int64_t byte = p >> 3;
+  uint64_t w = 0;
+  // assemble 8 bytes big-endian, tolerating EOF
+  int64_t size = (br->nbits + 7) >> 3;
+  for (int i = 0; i < 8; i++) {
+    w = (w << 8) | (byte + i < size ? br->buf[byte + i] : 0);
+  }
+  return (uint32_t)((w << (p & 7)) >> (64 - n));
+}
+
+static inline uint32_t br_get(BitReader* br, int n) {
+  uint32_t v = n ? br_peek(br, n) : 0;
+  br->pos += n;
+  return v;
+}
+
+static inline int br_unary(BitReader* br) {
+  // count zeros to the first 1 bit; returns count, consumes count+1 bits
+  int count = 0;
+  for (;;) {
+    if (br->pos >= br->nbits) return -1;
+    int64_t byte = br->pos >> 3;
+    int rem = 8 - (int)(br->pos & 7);
+    uint8_t chunk = br->buf[byte] & ((1 << rem) - 1);
+    if (chunk == 0) {
+      count += rem;
+      br->pos += rem;
+    } else {
+      int lead = rem - (32 - __builtin_clz((uint32_t)chunk) );
+      count += lead;
+      br->pos += lead + 1;
+      return count;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// MP3 Huffman
+// ---------------------------------------------------------------------------
+
+// Flat per-table LUTs sized 1<<maxlen; entry packs (len<<16 | x<<8 | y).
+static uint32_t* g_mp3_lut[34] = {nullptr};
+static int g_mp3_lut_bits[34] = {0};
+static int g_mp3_linbits[32] = {0};
+
+// codes: int32 quads (code, len, x, y) * n
+int af_mp3_set_table(int table_id, const int32_t* codes, int n, int linbits) {
+  if (table_id < 0 || table_id >= 34) return -1;
+  int maxlen = 0;
+  for (int i = 0; i < n; i++) maxlen = codes[i * 4 + 1] > maxlen ? codes[i * 4 + 1] : maxlen;
+  if (maxlen == 0) {  // empty table (table 0)
+    g_mp3_lut[table_id] = nullptr;
+    g_mp3_lut_bits[table_id] = 0;
+    if (table_id < 32) g_mp3_linbits[table_id] = linbits;
+    return 0;
+  }
+  size_t size = (size_t)1 << maxlen;
+  uint32_t* lut = (uint32_t*)malloc(size * sizeof(uint32_t));
+  memset(lut, 0xFF, size * sizeof(uint32_t));
+  for (int i = 0; i < n; i++) {
+    uint32_t code = (uint32_t)codes[i * 4 + 0];
+    int len = codes[i * 4 + 1];
+    uint32_t x = (uint32_t)codes[i * 4 + 2];
+    uint32_t y = (uint32_t)codes[i * 4 + 3];
+    uint32_t base = code << (maxlen - len);
+    uint32_t fill = 1u << (maxlen - len);
+    uint32_t entry = ((uint32_t)len << 16) | (x << 8) | y;
+    for (uint32_t j = 0; j < fill; j++) lut[base + j] = entry;
+  }
+  g_mp3_lut[table_id] = lut;
+  g_mp3_lut_bits[table_id] = maxlen;
+  if (table_id < 32) g_mp3_linbits[table_id] = linbits;
+  return 0;
+}
+
+// Decode one granule-channel.  Layout of scalar args mirrors the Python
+// implementation (models/mp3.py _huffman).  Returns the final bit position
+// (== limit_bits), or -1 on invalid codes.
+int64_t af_mp3_huffman(
+    const uint8_t* maindata, int64_t nbytes, int64_t start_bits,
+    int64_t limit_bits,
+    const int32_t* table_select,   // [3]
+    const int32_t* region_count,   // [3]
+    const uint8_t* sfbtab,         // [40+] width entries, 0-terminated
+    const float* scf,              // [40] per-sfb gains
+    int32_t big_values, int32_t count1_table,
+    int32_t* q_out, float* gain_out /* [576] each */) {
+  BitReader br = {maindata, nbytes * 8, start_bits};
+  for (int i = 0; i < 576; i++) { q_out[i] = 0; gain_out[i] = 0.0f; }
+
+  int pos = 0, sfb_i = 0, scf_i = 0;
+  float one = 0.0f;
+  int big = big_values;
+
+  for (int region = 0; region < 3 && big > 0; region++) {
+    int tab = table_select[region];
+    uint32_t* lut = g_mp3_lut[tab];
+    int lut_bits = g_mp3_lut_bits[tab];
+    int linbits = g_mp3_linbits[tab];
+    int sfb_cnt = region_count[region];
+    for (;;) {
+      int np_pairs = sfbtab[sfb_i] / 2;
+      sfb_i++;
+      int pairs = big < np_pairs ? big : np_pairs;
+      one = scf[scf_i];
+      scf_i++;
+      for (int p2 = 0; p2 < pairs; p2++) {
+        int x = 0, y = 0;
+        if (lut) {
+          uint32_t peek = br_peek(&br, lut_bits <= 24 ? lut_bits : lut_bits);
+          uint32_t e = lut[peek];
+          if (e == 0xFFFFFFFFu) return -1;
+          br.pos += (int)(e >> 16);
+          x = (int)((e >> 8) & 0xFF);
+          y = (int)(e & 0xFF);
+        }
+        int vals[2] = {x, y};
+        for (int j = 0; j < 2; j++) {
+          int v = vals[j];
+          if (v == 15 && linbits) v += (int)br_get(&br, linbits);
+          if (v && br_get(&br, 1)) v = -v;
+          if (pos < 576) { q_out[pos] = v; gain_out[pos] = one; }
+          pos++;
+        }
+      }
+      big -= np_pairs;
+      sfb_cnt -= 1;
+      if (big <= 0 || sfb_cnt < 0) break;
+    }
+  }
+
+  // count1 region
+  {
+    uint32_t* lut = g_mp3_lut[32 + count1_table];
+    int lut_bits = g_mp3_lut_bits[32 + count1_table];
+    int npairs = 1 - big;
+    while (pos <= 572) {
+      uint32_t peek = br_peek(&br, lut_bits);
+      uint32_t e = lut[peek];
+      if (e == 0xFFFFFFFFu) return -1;
+      br.pos += (int)(e >> 16);
+      if (br.pos > limit_bits) break;
+      uint32_t v = e & 0xFF;
+      int stop = 0;
+      for (int s = 0; s < 4; s++) {
+        if ((s & 1) == 0) {
+          if (--npairs == 0) {
+            int np_pairs = sfbtab[sfb_i] / 2;
+            sfb_i++;
+            if (np_pairs == 0) { stop = 1; break; }
+            npairs = np_pairs;
+            one = scf[scf_i];
+            scf_i++;
+          }
+        }
+        if ((v >> (3 - s)) & 1) {
+          int val = br_get(&br, 1) ? -1 : 1;
+          q_out[pos + s] = val;
+          gain_out[pos + s] = one;
+        } else {
+          gain_out[pos + s] = one;
+        }
+      }
+      if (stop) break;
+      pos += 4;
+    }
+  }
+  return limit_bits;
+}
+
+// ---------------------------------------------------------------------------
+// FLAC frame parse (subframes + Rice residuals)
+// ---------------------------------------------------------------------------
+
+// Fixed predictor coefficients
+static const int32_t kFixedCoef[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+static inline int32_t br_signed(BitReader* br, int n) {
+  if (n == 0) return 0;
+  uint32_t v = br_get(br, n);
+  if (v >= (1u << (n - 1))) return (int32_t)v - (int32_t)(1u << n);
+  return (int32_t)v;
+}
+
+// Parses one FLAC frame starting at bit position `start_bits` in `data`.
+// Outputs (caller-allocated):
+//   residual  [max_ch * max_block] int32 (row-major per channel)
+//   coeffs    [max_ch * 32] int32
+//   order, shift, wasted, bps  [max_ch] int32
+//   meta[0]=blocksize meta[1]=chan_assignment meta[2]=nch meta[3]=end_bitpos lo
+//   meta[4]=end_bitpos hi
+// Returns 0 on success, negative error code otherwise.
+int af_flac_parse_frame(
+    const uint8_t* data, int64_t nbytes, int64_t start_bits,
+    int32_t streaminfo_bps, int32_t expect_channels,
+    int32_t max_block,
+    int32_t* residual, int32_t* coeffs, int32_t* order_out,
+    int32_t* shift_out, int32_t* wasted_out, int32_t* bps_out,
+    int64_t* meta) {
+  BitReader br = {data, nbytes * 8, start_bits};
+  if (br_get(&br, 14) != 0x3FFE) return -1;
+  br_get(&br, 1);
+  br_get(&br, 1);
+  int bs_code = (int)br_get(&br, 4);
+  int sr_code = (int)br_get(&br, 4);
+  int chan_assignment = (int)br_get(&br, 4);
+  int bps_code = (int)br_get(&br, 3);
+  br_get(&br, 1);
+  // UTF-8 coded number
+  {
+    uint32_t first = br_get(&br, 8);
+    if (first >= 0x80) {
+      int n = 0;
+      uint32_t mask = 0x40;
+      while (first & mask) { n++; mask >>= 1; }
+      if (n == 0 || n > 6) return -2;
+      for (int i = 0; i < n; i++) {
+        uint32_t c = br_get(&br, 8);
+        if ((c & 0xC0) != 0x80) return -2;
+      }
+    }
+  }
+  int blocksize;
+  if (bs_code == 1) blocksize = 192;
+  else if (bs_code >= 2 && bs_code <= 5) blocksize = 576 << (bs_code - 2);
+  else if (bs_code == 6) blocksize = (int)br_get(&br, 8) + 1;
+  else if (bs_code == 7) blocksize = (int)br_get(&br, 16) + 1;
+  else if (bs_code >= 8) blocksize = 256 << (bs_code - 8);
+  else return -3;
+  if (blocksize > max_block) return -3;
+  if (sr_code == 12) br_get(&br, 8);
+  else if (sr_code == 13 || sr_code == 14) br_get(&br, 16);
+  else if (sr_code == 15) return -4;
+  static const int bps_table[8] = {0, 8, 12, -1, 16, 20, 24, -1};
+  int bps = bps_table[bps_code];
+  if (bps == -1) return -5;
+  if (bps == 0) bps = streaminfo_bps;
+  br_get(&br, 8);  // CRC-8 (stored, not validated — as drflac)
+
+  int nch = chan_assignment <= 7 ? chan_assignment + 1 : 2;
+  if (chan_assignment > 10) return -6;
+  if (nch != expect_channels) return -6;
+
+  for (int ci = 0; ci < nch; ci++) {
+    int sub_bps = bps;
+    if ((chan_assignment == 8 || chan_assignment == 10) && ci == 1) sub_bps++;
+    else if (chan_assignment == 9 && ci == 0) sub_bps++;
+
+    uint32_t header = br_get(&br, 8);
+    if (header & 0x80) return -7;
+    int t = (header & 0x7E) >> 1;
+    int wasted = 0;
+    if (header & 1) {
+      int u = br_unary(&br);
+      if (u < 0) return -8;
+      wasted = u + 1;
+    }
+    sub_bps -= wasted;
+    int32_t* res = residual + (int64_t)ci * max_block;
+    int32_t* cf = coeffs + ci * 32;
+    for (int j = 0; j < 32; j++) cf[j] = 0;
+    int order = 0, shift = 0;
+
+    if (t == 0) {  // CONSTANT
+      int32_t v = br_signed(&br, sub_bps);
+      for (int i = 0; i < blocksize; i++) res[i] = v;
+      order = blocksize;
+    } else if (t == 1) {  // VERBATIM
+      for (int i = 0; i < blocksize; i++) res[i] = br_signed(&br, sub_bps);
+      order = blocksize;
+    } else if (t & 0x20) {  // LPC
+      order = (t & 0x1F) + 1;
+      for (int i = 0; i < order; i++) res[i] = br_signed(&br, sub_bps);
+      int precision = (int)br_get(&br, 4);
+      if (precision == 15) return -9;
+      precision += 1;
+      shift = br_signed(&br, 5);
+      if (shift < 0) shift = 0;
+      for (int j = 0; j < order; j++) cf[j] = br_signed(&br, precision);
+      // residual
+      goto residual_decode;
+    } else if (t & 0x08) {  // FIXED
+      order = t & 0x07;
+      if (order > 4) return -10;
+      for (int i = 0; i < order; i++) res[i] = br_signed(&br, sub_bps);
+      for (int j = 0; j < 4; j++) cf[j] = kFixedCoef[order][j];
+      goto residual_decode;
+    } else {
+      return -11;
+    }
+    goto done_subframe;
+
+  residual_decode: {
+      int method = (int)br_get(&br, 2);
+      if (method > 1) return -12;
+      int param_bits = method == 0 ? 4 : 5;
+      int escape = method == 0 ? 15 : 31;
+      int partition_order = (int)br_get(&br, 4);
+      int idx = order;
+      int n_partitions = 1 << partition_order;
+      int base = blocksize >> partition_order;
+      for (int p = 0; p < n_partitions; p++) {
+        int count = p == 0 ? base - order : base;
+        if (count < 0 || idx + count > blocksize) return -13;
+        int param = (int)br_get(&br, param_bits);
+        if (param == escape) {
+          int nbits = (int)br_get(&br, 5);
+          if (nbits == 0) {
+            for (int i = 0; i < count; i++) res[idx + i] = 0;
+          } else {
+            for (int i = 0; i < count; i++) res[idx + i] = br_signed(&br, nbits);
+          }
+        } else {
+          for (int i = 0; i < count; i++) {
+            int qv = br_unary(&br);
+            if (qv < 0) return -14;
+            uint32_t u = ((uint32_t)qv << param) | br_get(&br, param);
+            res[idx + i] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+          }
+        }
+        idx += count;
+      }
+    }
+
+  done_subframe:
+    order_out[ci] = order;
+    shift_out[ci] = shift;
+    wasted_out[ci] = wasted;
+    bps_out[ci] = sub_bps;
+  }
+
+  // byte align + CRC16
+  br.pos = (br.pos + 7) & ~7LL;
+  br_get(&br, 16);
+  if (br.pos > br.nbits) return -15;
+
+  meta[0] = blocksize;
+  meta[1] = chan_assignment;
+  meta[2] = nch;
+  meta[3] = br.pos;
+  return 0;
+}
+
+}  // extern "C"

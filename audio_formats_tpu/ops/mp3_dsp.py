@@ -1,0 +1,188 @@
+"""MP3 Layer III device DSP: dequant → stereo → antialias → IMDCT → synthesis.
+
+This is the flagship MXU pipeline.  Everything after the host's Huffman
+stage is dense linear algebra over [batch, channel] lanes:
+
+* **Requantize** — sign(q)·|q|^(4/3) scaled by host-computed per-coefficient
+  gains (folds global_gain, scalefactors, preflag, subblock_gain and the
+  mid/side 1/√2, exactly as minimp3 folds them into `scf`).
+* **Stereo** — a general per-coefficient 2×2 mix (covers mid/side l±r and
+  intensity kl/kr bands; host computes the four gain vectors since intensity
+  band activation depends on which right-channel bands are all-zero —
+  already known from the Huffman output).
+* **Reorder** — host-computed permutation (short-block triple interleave),
+  one gather.
+* **Antialias** — 8 butterflies per band boundary, vectorized over bands,
+  masked by the per-granule band count (31 long / none short / n-1 mixed).
+* **IMDCT 36/12 + overlap-add** — per band a single [36]→[36] matrix over
+  (18 coeffs ‖ 18 overlap): analytic ISO/IEC 11172-3 IMDCT composed with the
+  window (normal/start/short/stop) and OLA state update.  All four window
+  matrices are applied and selected per band (cheaper than gathers at this
+  size), then frequency inversion (change-sign) applies a static mask.
+* **Polyphase synthesis** — the 32-band filterbank as a 17-tap matrix FIR
+  over granule slots: pcm_t = Σ_r W_r·S_{t−r}, with W extracted offline from
+  the reference's linear synthesis flow (tools/gen_mp3_synth.py, verified to
+  3.6e-14).  One [18, 17·32]×[17·32, 32] matmul per granule-lane: pure MXU.
+
+Carried per-stream state: IMDCT overlap [C, 32, 18] and the last 16 subband
+slot vectors S [C, 16, 32] (equivalent to minimp3's mdct_overlap + qmf_state,
+minimp3.d:40-45).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TABLE_DIR = os.path.join(os.path.dirname(__file__), "..", "utils", "tables")
+
+# Synthesis FIR [17, 32, 32] (see module docstring).
+SYNTH_FIR = np.load(os.path.join(_TABLE_DIR, "mp3_synth_fir.npz"))["W"]
+
+# Antialias butterfly coefficients from the spec's ci constants
+# (ISO 11172-3 Table B.9 values; equals minimp3's g_aa within float rounding).
+_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
+AA_CS = (1.0 / np.sqrt(1.0 + _CI**2)).astype(np.float32)
+AA_CA = (np.abs(_CI) / np.sqrt(1.0 + _CI**2)).astype(np.float32)
+
+WIN_NORMAL, WIN_START, WIN_SHORT, WIN_STOP = 0, 1, 2, 3
+
+
+def _imdct36_matrix() -> np.ndarray:
+    n = np.arange(36)[:, None]
+    k = np.arange(18)[None, :]
+    return np.cos(np.pi / 72.0 * (2 * n + 1 + 18) * (2 * k + 1))
+
+
+def _imdct12_matrix() -> np.ndarray:
+    n = np.arange(12)[:, None]
+    k = np.arange(6)[None, :]
+    return np.cos(np.pi / 24.0 * (2 * n + 1 + 6) * (2 * k + 1))
+
+
+def _long_window(kind: int) -> np.ndarray:
+    n = np.arange(36)
+    w = np.sin(np.pi / 36.0 * (n + 0.5))
+    if kind == WIN_START:
+        w[18:24] = 1.0
+        w[24:30] = np.sin(np.pi / 12.0 * (np.arange(24, 30) - 18 + 0.5))
+        w[30:] = 0.0
+    elif kind == WIN_STOP:
+        w[:6] = 0.0
+        w[6:12] = np.sin(np.pi / 12.0 * (np.arange(6, 12) - 6 + 0.5))
+        w[12:18] = 1.0
+    return w
+
+
+def _build_imdct_matrices() -> np.ndarray:
+    """[4 window types, 36, 36] mapping (coeffs(18) ‖ overlap(18)) →
+    (pcm(18) ‖ overlap'(18))."""
+    out = np.zeros((4, 36, 36))
+    c36 = _imdct36_matrix()
+    for kind in (WIN_NORMAL, WIN_START, WIN_STOP):
+        zw = c36 * _long_window(kind)[:, None]  # [36 out, 18 coeff]
+        m = np.zeros((36, 36))
+        m[:18, :18] = zw[:18].T
+        m[18:, :18] = np.eye(18)  # overlap feeds straight into pcm
+        m[:18, 18:] = zw[18:].T  # new overlap from coeff tail
+        out[kind] = m
+    # short: three 12-point IMDCTs at offsets 6, 12, 18 within the 36 frame;
+    # coefficients arrive reordered as triples [s0,s1,s2] per frequency line.
+    c12 = _imdct12_matrix() * np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))[:, None]
+    z = np.zeros((36, 18))
+    for j in range(3):
+        # window j uses coeffs [j::3]
+        z[6 + 6 * j : 18 + 6 * j, j::3] += c12
+    m = np.zeros((36, 36))
+    m[:18, :18] = z[:18].T
+    m[18:, :18] = np.eye(18)
+    m[:18, 18:] = z[18:].T
+    out[WIN_SHORT] = m
+    return out
+
+
+IMDCT_MATS = _build_imdct_matrices().astype(np.float32)
+
+# frequency inversion (change-sign): odd time samples of odd bands flip
+_SIGN = np.ones((32, 18), dtype=np.float32)
+_SIGN[1::2, 1::2] = -1.0
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "ngr"))
+def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
+                  nch: int, ngr: int):
+    """Decode the DSP half of one MP3 frame for a batch of streams.
+
+    q:       [B, ngr, nch, 576] f32 — signed quantized Huffman values
+    scale:   [B, ngr, nch, 576] f32 — per-coefficient requant gains
+    mix:     [B, ngr, 4, 576]  f32 — stereo mix (a,b,c,d):
+             l' = a·l + b·r, r' = c·l + d·r  (identity rows when mono)
+    perm:    [B, ngr, nch, 576] i32 — short-block reorder permutation
+    aa_bands:[B, ngr, nch]      i32 — antialias band-boundary count
+    wtype:   [B, ngr, nch, 32]  i32 — per-band window type (0..3)
+    overlap: [B, nch, 32, 18]   f32 — carried IMDCT OLA state
+    shist:   [B, nch, 16, 32]   f32 — carried subband slot history
+    Returns (pcm [B, ngr·576·nch interleaved? no: [B, ngr, 18·32, nch]],
+             overlap', shist').
+    """
+    B = q.shape[0]
+    W = jnp.asarray(SYNTH_FIR)  # [17, 32, 32]
+    mats = jnp.asarray(IMDCT_MATS)  # [4, 36, 36]
+    sign = jnp.asarray(_SIGN)
+
+    # 1. requantize
+    x = jnp.sign(q) * jnp.power(jnp.abs(q), jnp.float32(4.0 / 3.0)) * scale
+
+    pcm_granules = []
+    for g in range(ngr):
+        xg = x[:, g]  # [B, nch, 576]
+        # 2. stereo mix
+        if nch == 2:
+            l, r = xg[:, 0], xg[:, 1]
+            a, b, c, d = (mix[:, g, i] for i in range(4))
+            xg = jnp.stack([a * l + b * r, c * l + d * r], axis=1)
+        # 3. reorder
+        xg = jnp.take_along_axis(xg, perm[:, g], axis=-1)
+        # 4. antialias
+        xb = xg.reshape(B, nch, 32, 18)
+        u = xb[:, :, 1:, :8]  # [B, nch, 31, 8]
+        d_ = xb[:, :, :-1, 17:9:-1]
+        nu = u * AA_CS - d_ * AA_CA
+        nd = u * AA_CA + d_ * AA_CS
+        bmask = (
+            jnp.arange(31)[None, None, :, None]
+            < aa_bands[:, g][:, :, None, None]
+        )
+        u2 = jnp.where(bmask, nu, u)
+        d2 = jnp.where(bmask, nd, d_)
+        xb = xb.at[:, :, 1:, :8].set(u2)
+        xb = xb.at[:, :, :-1, 17:9:-1].set(d2)
+        # 5. IMDCT + OLA: per band select among the 4 window matrices
+        inp = jnp.concatenate([xb, overlap], axis=-1)  # [B, nch, 32, 36]
+        outs = jnp.einsum("bcki,wij->wbckj", inp, mats,
+                          precision=jax.lax.Precision.HIGHEST)  # [4, B, nch, 32, 36]
+        sel = wtype[:, g][None, :, :, :, None] == jnp.arange(4)[
+            :, None, None, None, None
+        ]
+        out = jnp.sum(jnp.where(sel, outs, 0.0), axis=0)  # [B, nch, 32, 36]
+        grb = out[..., :18] * sign  # 6. frequency inversion
+        overlap = out[..., 18:]
+        # 7. synthesis FIR over slots
+        S = jnp.swapaxes(grb, -1, -2)  # [B, nch, 18, 32]
+        Sfull = jnp.concatenate([shist, S], axis=2)  # [B, nch, 34, 32]
+        wins = jnp.stack(
+            [Sfull[:, :, 16 - r : 34 - r, :] for r in range(17)], axis=3
+        )  # [B, nch, 18, 17, 32]
+        pcm = jnp.einsum(
+            "bctrk,rjk->bctj", wins, W,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, nch, 18, 32]
+        shist = Sfull[:, :, -16:, :]
+        pcm_granules.append(pcm.reshape(B, nch, 576))
+
+    pcm_all = jnp.stack(pcm_granules, axis=1)  # [B, ngr, nch, 576]
+    return pcm_all, overlap, shist

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Benchmark: batched MP3+FLAC decode throughput on the current device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: aggregate decoded-audio seconds per wall-clock second per chip
+(realtime x) for a batch of MP3 + FLAC streams, end-to-end (host entropy
+stage + device DSP).  Baseline target: 5000x (BASELINE.json north star).
+
+Extra diagnostic fields: device-DSP-only throughput (the TPU ceiling while
+the host stage is still Python) and per-format splits.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+import numpy as np
+
+
+def make_mp3_batch(n_streams: int, seconds: float):
+    from golden import mp3_ref
+
+    rng = np.random.default_rng(0)
+    n_gr = max(2, int(seconds * 44100 / 576) // 2 * 2)
+    streams = []
+    for _ in range(n_streams):
+        qs = []
+        for _ in range(n_gr):
+            q = np.zeros(576, dtype=np.int64)
+            idx = rng.choice(400, size=50, replace=False)
+            q[idx] = rng.integers(-30, 31, size=50)
+            qs.append(q)
+        frames = []
+        for i in range(0, n_gr, 2):
+            frames.append([[{"q": qs[i]}], [{"q": qs[i + 1]}]])
+        streams.append(mp3_ref.build_mp3(frames, channels=1))
+    audio_seconds = n_streams * n_gr * 576 / 44100.0
+    return streams, audio_seconds
+
+
+def make_flac_batch(n_streams: int, seconds: float):
+    from golden import flac_ref
+
+    rng = np.random.default_rng(1)
+    frames = int(seconds * 44100)
+    streams = []
+    t = np.arange(frames)[:, None]
+    for k in range(n_streams):
+        x = np.clip(
+            np.round(12000 * np.sin(2 * np.pi * (200 + 10 * k) * t / 44100.0)
+                     + 500 * rng.standard_normal((frames, 1))),
+            -32768, 32767,
+        ).astype(np.int64)
+        streams.append(
+            flac_ref.build_flac(x, 44100, 16, block_size=4096, modes=["lpc8"])
+        )
+    return streams, n_streams * frames / 44100.0
+
+
+def bench_device_dsp_only(reps=20, B=256):
+    """Device ceiling: batched MP3 frame DSP throughput alone."""
+    import jax
+
+    from __graft_entry__ import _example_inputs
+    from audio_formats_tpu.ops import mp3_dsp
+
+    args = _example_inputs(B=B, ngr=2, nch=2)
+    args = [jax.device_put(a) for a in args]
+    import functools
+
+    fn = jax.jit(functools.partial(mp3_dsp.mp3_frame_dsp, nch=2, ngr=2))
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    audio_s = reps * B * 2 * 576 / 44100.0  # per-frame audio seconds
+    return audio_s / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/af_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    n_mp3 = int(os.environ.get("BENCH_MP3_STREAMS", "16"))
+    n_flac = int(os.environ.get("BENCH_FLAC_STREAMS", "16"))
+    secs = float(os.environ.get("BENCH_SECONDS", "4.0"))
+
+    mp3_streams, mp3_audio = make_mp3_batch(n_mp3, secs)
+    flac_streams, flac_audio = make_flac_batch(n_flac, secs)
+
+    # warmup (compile)
+    BatchDecoder(mp3_streams[:2] + flac_streams[:2]).decode_all()
+
+    t0 = time.perf_counter()
+    dec = BatchDecoder(mp3_streams)
+    dec.decode_all()
+    mp3_dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dec = BatchDecoder(flac_streams)
+    dec.decode_all()
+    flac_dt = time.perf_counter() - t0
+
+    total_audio = mp3_audio + flac_audio
+    total_dt = mp3_dt + flac_dt
+    rtx = total_audio / total_dt
+
+    dsp_rtx = bench_device_dsp_only()
+
+    result = {
+        "metric": "aggregate realtime decode factor (MP3+FLAC, end-to-end)",
+        "value": round(rtx, 2),
+        "unit": "x realtime/chip",
+        "vs_baseline": round(rtx / 5000.0, 5),
+        "detail": {
+            "mp3_rtx": round(mp3_audio / mp3_dt, 2),
+            "flac_rtx": round(flac_audio / flac_dt, 2),
+            "device_dsp_only_rtx_mp3_b256": round(dsp_rtx, 2),
+            "mp3_streams": n_mp3,
+            "flac_streams": n_flac,
+            "seconds_per_stream": secs,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,364 @@
+"""Golden MPEG-1 Layer III test-stream generator + independent numpy DSP.
+
+The encoder emits spec-conformant Layer III bitstreams from *chosen spectral
+content*: you hand it quantized values q[576] (+ global_gain) per
+granule/channel and it produces valid frames (side info, scalefactors,
+big-values/count1 Huffman with region/table selection, optional Xing header
+frame with LAME delay/padding).  Because the content is known exactly, the
+expected decoder output is computable by an independent numpy pipeline
+(dequant → antialias → IMDCT/OLA → synthesis FIR), giving end-to-end
+conformance without any external encoder.
+
+Shares only the canonical spec tables with the implementation under test.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+from audio_formats_tpu.utils.tables import mp3_tables as T  # noqa: E402
+
+SFB_LONG_44100 = [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34,
+                  42, 50, 54, 76, 158]
+SFB_SHORT_44100 = [4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 8, 8,
+                   10, 10, 10, 12, 12, 12, 14, 14, 14, 18, 18, 18, 22, 22, 22,
+                   30, 30, 30, 56, 56, 56]
+
+
+class _BW:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def nbits(self):
+        return len(self.bits)
+
+    def tobytes(self, pad_to=None):
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        if pad_to is not None:
+            out.extend(b"\0" * (pad_to - len(out)))
+        return bytes(out)
+
+
+# Huffman encode maps from the canonical tables
+_BIG_ENC = []
+for codes in T.HUFF_TABLES:
+    _BIG_ENC.append({(x, y): (c, l) for c, l, x, y in codes} if codes else None)
+_C1_ENC = [{v: (c, l) for c, l, v in T.COUNT1_A},
+           {v: (c, l) for c, l, v in T.COUNT1_B}]
+
+
+def _pick_table(maxval: int) -> int:
+    if maxval == 0:
+        return 0
+    if maxval <= 15:
+        return 15
+    for t in range(16, 24):
+        if 15 + (1 << T.LINBITS[t]) - 1 >= maxval:
+            return t
+    return 23  # linbits 13: max 8206
+
+
+def _encode_bigvalue_pair(bw: _BW, x: int, y: int, table: int):
+    enc = _BIG_ENC[table]
+    linbits = T.LINBITS[table]
+    ax, ay = abs(x), abs(y)
+    cx = min(ax, 15)
+    cy = min(ay, 15)
+    code, ln = enc[(cx, cy)]
+    bw.w(code, ln)
+    for v, cv in ((x, cx), (y, cy)):
+        if cv == 15 and linbits:
+            bw.w(abs(v) - 15, linbits)
+        if cv:
+            bw.w(1 if v < 0 else 0, 1)
+
+
+def encode_granule_data(bw: _BW, q: np.ndarray, block_type: int = 0):
+    """Huffman-encode q[576]; returns side-info fields dict.  Long blocks use
+    3 regions; short blocks use the fixed (region0=8) layout."""
+    q = np.asarray(q, dtype=np.int64)
+    assert q.shape == (576,)
+    sfb = SFB_SHORT_44100 if block_type == 2 else SFB_LONG_44100
+    bounds = np.cumsum([0] + list(sfb))
+
+    # choose big_values: cover all |q|>1 with pairs; extend to sfb boundary
+    nz = np.flatnonzero(np.abs(q) > 1)
+    big_pairs_end = int(nz[-1]) + 1 if nz.size else 0
+    # align up to an sfb boundary so region accounting is simple
+    big_end = int(bounds[np.searchsorted(bounds, big_pairs_end, side="left")])
+    big_values = big_end // 2
+    assert big_values <= 288
+
+    # count1: cover remaining ±1 values in quads
+    nz1 = np.flatnonzero(np.abs(q[big_end:]) > 0)
+    count1_len = (int(nz1[-1]) + 4) // 4 * 4 if nz1.size else 0
+    assert np.all(np.abs(q[big_end : big_end + count1_len]) <= 1)
+
+    # regions (long blocks): split big-values sfbs 2/1/rest
+    sfb_end = int(np.searchsorted(bounds, big_end))  # sfbs covering big
+    if block_type == 2:
+        # window switching implies region_count[0]=8 → 9 sfb entries
+        r0_end = int(bounds[min(9, len(bounds) - 1)])
+        regions = [(0, min(r0_end, big_end)), (min(r0_end, big_end), big_end)]
+        tables = []
+        for s, e in regions:
+            tables.append(_pick_table(int(np.max(np.abs(q[s:e]))) if e > s else 0))
+        tables.append(0)
+        region_count = None
+    else:
+        # region_count is count-1 semantics: r0 → r0+1 sfbs
+        r0 = min(2, max(0, sfb_end - 1))
+        r1 = min(2, max(0, sfb_end - (r0 + 1) - 1))
+        b0 = int(bounds[min(r0 + 1, len(bounds) - 1)])
+        b1 = int(bounds[min(r0 + 1 + r1 + 1, len(bounds) - 1)])
+        b0 = min(b0, big_end)
+        b1 = min(max(b1, b0), big_end)
+        regions = [(0, b0), (b0, b1), (b1, big_end)]
+        tables = [
+            _pick_table(int(np.max(np.abs(q[s:e]))) if e > s else 0)
+            for s, e in regions
+        ]
+        region_count = (r0, r1)
+
+    start_bits = bw.nbits()
+    for (s, e), tab in zip(regions, tables):
+        if tab == 0:
+            assert not np.any(q[s:e]), "table 0 region must be silent"
+        for i in range(s, e, 2):
+            if tab == 0:
+                continue
+            _encode_bigvalue_pair(bw, int(q[i]), int(q[i + 1]), tab)
+
+    count1_table = 1  # table B: fixed 4-bit codes
+    for i in range(big_end, big_end + count1_len, 4):
+        vals = [int(q[i + j]) for j in range(4)]
+        mask = 0
+        for v in vals:
+            mask = (mask << 1) | (1 if v else 0)
+        code, ln = _C1_ENC[count1_table][mask]
+        bw.w(code, ln)
+        for v in vals:
+            if v:
+                bw.w(1 if v < 0 else 0, 1)
+
+    return {
+        "big_values": big_values,
+        "tables": tables,
+        "region_count": region_count,
+        "count1_table": count1_table,
+        "part23_extra": bw.nbits() - start_bits,
+        "block_type": block_type,
+    }
+
+
+def build_mp3(granules, channels: int, global_gain: int = 214,
+              bitrate_idx: int = 14, xing: bool = False,
+              xing_delay: int = 0, xing_padding: int = 0) -> bytes:
+    """granules: list of per-frame lists [ngr][nch] of dicts
+    {"q": int[576], "block_type": 0|2}.  44.1 kHz MPEG-1 Layer III."""
+    frames = bytearray()
+    mode = 3 if channels == 1 else 0
+    h1 = 0xFB  # MPEG1, Layer III, no CRC
+    sr_code = 0  # 44100
+
+    def frame_header(pad=0):
+        b2 = (bitrate_idx << 4) | (sr_code << 2) | (pad << 1)
+        b3 = mode << 6
+        return bytes([0xFF, h1, b2, b3])
+
+    kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][bitrate_idx]
+    frame_bytes = 1152 * kbps * 125 // 44100
+
+    def side_info_and_data(frame_granules):
+        side = _BW()
+        data = _BW()
+        side.w(0, 9)  # main_data_begin = 0 (no reservoir)
+        side.w(0, 5 if channels == 1 else 3)  # private bits
+        for _ in range(channels):
+            side.w(0, 4)  # scfsi
+        for gr_ch in frame_granules:
+            for ch in range(channels):
+                info = gr_ch[ch]
+                q = info["q"]
+                bt = info.get("block_type", 0)
+                meta = encode_granule_data(data, q, bt)
+                part23 = meta["part23_extra"]  # scalefactor bits are 0
+                side.w(part23, 12)
+                side.w(meta["big_values"], 9)
+                side.w(info.get("global_gain", global_gain), 8)
+                side.w(0, 4)  # scalefac_compress = 0 → 0 scf bits
+                if bt == 2:
+                    side.w(1, 1)  # window switching
+                    side.w(2, 2)  # block type short
+                    side.w(0, 1)  # not mixed
+                    side.w(meta["tables"][0], 5)
+                    side.w(meta["tables"][1], 5)
+                    side.w(0, 3)
+                    side.w(0, 3)
+                    side.w(0, 3)  # subblock gains
+                else:
+                    side.w(0, 1)
+                    for t in meta["tables"]:
+                        side.w(t, 5)
+                    side.w(meta["region_count"][0], 4)
+                    side.w(meta["region_count"][1], 3)
+                side.w(0, 1)  # preflag
+                side.w(0, 1)  # scalefac_scale
+                side.w(meta["count1_table"], 1)
+        return side, data
+
+    if xing:
+        # Xing header frame: empty side info + tag
+        side = _BW()
+        side.w(0, 9)
+        side.w(0, 5 if channels == 1 else 3)
+        for _ in range(channels):
+            side.w(0, 4)
+        for _ in range(2 * channels):
+            side.w(0, 59)
+        body = side.tobytes()
+        tag = b"Xing" + (1).to_bytes(4, "big") + len(granules).to_bytes(4, "big")
+        lame = bytearray(b"LAME4.99" + b"\0" * 13)
+        d = xing_delay
+        p = xing_padding
+        lame += bytes([(d >> 4) & 0xFF, ((d & 0xF) << 4) | ((p >> 8) & 0xF),
+                       p & 0xFF])
+        lame += b"\0" * 11
+        payload = frame_header() + body + tag + bytes(lame)
+        frames += payload + b"\0" * (frame_bytes - len(payload))
+
+    for frame_granules in granules:
+        side, data = side_info_and_data(frame_granules)
+        payload = frame_header() + side.tobytes() + data.tobytes()
+        assert len(payload) <= frame_bytes, (
+            f"frame overflow: {len(payload)} > {frame_bytes}"
+        )
+        frames += payload + b"\0" * (frame_bytes - len(payload))
+    return bytes(frames)
+
+
+# ---------------------------------------------------------------------------
+# Independent numpy decode pipeline (long & short blocks, no stereo modes)
+# ---------------------------------------------------------------------------
+
+_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
+_CS = 1.0 / np.sqrt(1.0 + _CI**2)
+_CA = np.abs(_CI) / np.sqrt(1.0 + _CI**2)
+_FIR = np.load(os.path.join(os.path.dirname(__file__), "..", "..",
+                            "audio_formats_tpu", "utils", "tables",
+                            "mp3_synth_fir.npz"))["W"].astype(np.float64)
+
+
+def dequant(q, global_gain=214):
+    q = np.asarray(q, dtype=np.float64)
+    scale = 2.0 ** ((global_gain - 4 - 210) / 4.0)
+    return np.sign(q) * np.abs(q) ** (4.0 / 3.0) * scale
+
+
+def reorder_short(x):
+    """L3_reorder for non-mixed short blocks at 44.1kHz."""
+    out = x.copy()
+    pos = 0
+    dst = 0
+    for i in range(0, len(SFB_SHORT_44100), 3):
+        ln = SFB_SHORT_44100[i]
+        for j in range(ln):
+            out[dst] = x[pos + j]
+            out[dst + 1] = x[pos + ln + j]
+            out[dst + 2] = x[pos + 2 * ln + j]
+            dst += 3
+        pos += 3 * ln
+    return out
+
+
+def antialias(x, nbands=31):
+    x = x.reshape(32, 18).copy()
+    for b in range(nbands):
+        for i in range(8):
+            u = x[b + 1, i]
+            d = x[b, 17 - i]
+            x[b + 1, i] = u * _CS[i] - d * _CA[i]
+            x[b, 17 - i] = u * _CA[i] + d * _CS[i]
+    return x.reshape(576)
+
+
+def imdct_long(X, overlap, kind=0):
+    """X: [32,18]; overlap [32,18]; kind 0=normal 1=start 3=stop."""
+    n = np.arange(36)[:, None]
+    k = np.arange(18)[None, :]
+    C = np.cos(np.pi / 72 * (2 * n + 19) * (2 * k + 1))
+    w = np.sin(np.pi / 36 * (np.arange(36) + 0.5))
+    if kind == 1:
+        w[18:24] = 1
+        w[24:30] = np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5))
+        w[30:] = 0
+    elif kind == 3:
+        w[:6] = 0
+        w[6:12] = np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5))
+        w[12:18] = 1
+    z = (X @ C.T) * w  # [32, 36]
+    out = overlap + z[:, :18]
+    return out, z[:, 18:]
+
+
+def imdct_short(X, overlap):
+    n = np.arange(12)[:, None]
+    k = np.arange(6)[None, :]
+    C = np.cos(np.pi / 24 * (2 * n + 7) * (2 * k + 1))
+    w12 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    z = np.zeros((32, 36))
+    for j in range(3):
+        sub = X[:, j::3] @ C.T * w12  # [32, 12]
+        z[:, 6 + 6 * j : 18 + 6 * j] += sub
+    out = overlap + z[:, :18]
+    return out, z[:, 18:]
+
+
+_SIGNMASK = np.ones((32, 18))
+_SIGNMASK[1::2, 1::2] = -1
+
+
+def synth_granules(grbufs):
+    """grbufs: list of [32,18] (post change-sign); returns pcm [n*576]."""
+    S = np.concatenate([g.T for g in grbufs])  # [n*18, 32]
+    Spad = np.concatenate([np.zeros((16, 32)), S])
+    out = np.zeros((S.shape[0], 32))
+    for t in range(S.shape[0]):
+        for r in range(17):
+            out[t] += _FIR[r] @ Spad[16 + t - r]
+    return out.reshape(-1)
+
+
+def decode_mono(granule_qs, global_gain=214, block_types=None):
+    """Full golden decode of mono long/short-block granules."""
+    overlap = np.zeros((32, 18))
+    grbufs = []
+    block_types = block_types or [0] * len(granule_qs)
+    for q, bt in zip(granule_qs, block_types):
+        x = dequant(q, global_gain)
+        if bt == 2:
+            x = reorder_short(x)
+            X = x.reshape(32, 18)
+            out, overlap = imdct_short(X, overlap)
+        else:
+            x = antialias(x)
+            X = x.reshape(32, 18)
+            out, overlap = imdct_long(X, overlap, kind=0)
+        grbufs.append(out * _SIGNMASK)
+    return synth_granules(grbufs)

@@ -1,0 +1,219 @@
+"""MP3 conformance: golden-encoder streams with known spectral content
+decoded against an independent numpy pipeline, TDAC perfect-reconstruction
+property tests, seek/index behavior, Xing delay/length handling."""
+
+import numpy as np
+import pytest
+
+from audio_formats_tpu import AudioFileFormat, AudioStream
+from audio_formats_tpu.ops import mp3_dsp
+
+from golden import mp3_ref
+
+
+def _sparse_q(rng, n_big=40, n_small=60, maxv=40):
+    q = np.zeros(576, dtype=np.int64)
+    idx = rng.choice(380, size=n_big, replace=False)
+    q[idx] = rng.integers(-maxv, maxv + 1, size=n_big)
+    idx2 = 380 + rng.choice(150, size=n_small, replace=False)
+    q[idx2] = rng.integers(-1, 2, size=n_small)
+    return q
+
+
+def _frames_mono(qs, gg=214, block_types=None):
+    """qs: list of q arrays; pack two granules per frame."""
+    frames = []
+    bts = block_types or [0] * len(qs)
+    assert len(qs) % 2 == 0
+    for i in range(0, len(qs), 2):
+        frames.append([
+            [{"q": qs[i], "block_type": bts[i], "global_gain": gg}],
+            [{"q": qs[i + 1], "block_type": bts[i + 1], "global_gain": gg}],
+        ])
+    return frames
+
+
+def _open(data):
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    assert s.get_format() == AudioFileFormat.mp3
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Transform property tests (independent of bitstreams)
+# ---------------------------------------------------------------------------
+
+def test_imdct_long_tdac_perfect_reconstruction(rng):
+    """MDCT analysis (textbook) → our IMDCT matrices + OLA reconstructs the
+    input: validates IMDCT sign/offset/window conventions."""
+    x = rng.standard_normal(18 * 10)
+    n = np.arange(36)
+    k = np.arange(18)
+    w = np.sin(np.pi / 36 * (n + 0.5))
+    A = np.cos(np.pi / 72 * (2 * n[None, :] + 19) * (2 * k[:, None] + 1))
+    # forward MDCT with 50% overlap
+    X = []
+    xp = np.concatenate([np.zeros(18), x, np.zeros(18)])
+    for t in range(0, len(xp) - 18, 18):
+        X.append(A @ (xp[t : t + 36] * w) / 9.0)
+    # inverse via the product's matrices
+    M = mp3_dsp.IMDCT_MATS[mp3_dsp.WIN_NORMAL].astype(np.float64)
+    overlap = np.zeros(18)
+    y = []
+    for Xt in X:
+        out = np.concatenate([Xt, overlap]) @ M
+        y.append(out[:18])
+        overlap = out[18:]
+    y = np.concatenate(y)[18:]  # drop initial transform delay
+    np.testing.assert_allclose(y[: len(x) - 18], x[: len(x) - 18], atol=1e-6)
+
+
+def test_imdct_short_tdac(rng):
+    """Short-window IMDCT matrix: 3 sub-blocks reconstruct via OLA."""
+    # verify with the golden numpy short imdct as structural cross-check
+    X = rng.standard_normal((32, 18))
+    ovl = rng.standard_normal((32, 18))
+    out_ref, ovl_ref = mp3_ref.imdct_short(X, ovl)
+    M = mp3_dsp.IMDCT_MATS[mp3_dsp.WIN_SHORT].astype(np.float64)
+    got = np.concatenate([X, ovl], axis=1) @ M
+    np.testing.assert_allclose(got[:, :18], out_ref, atol=1e-5)
+    np.testing.assert_allclose(got[:, 18:], ovl_ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end decode vs golden pipeline
+# ---------------------------------------------------------------------------
+
+def test_decode_mono_long_blocks(rng):
+    qs = [_sparse_q(rng) for _ in range(8)]
+    data = mp3_ref.build_mp3(_frames_mono(qs), channels=1)
+    s = _open(data)
+    assert s.get_samplerate() == 44100.0
+    assert s.get_num_channels() == 1
+    assert s.get_length_in_frames() == 8 * 576
+    got = s.read_samples_float(8 * 576).reshape(-1)
+    ref = mp3_ref.decode_mono(qs)
+    assert got.shape[0] == ref.shape[0]
+    # tight relative agreement (same math, f32 vs f64); the 1e-4 max-abs
+    # conformance target applies to PCM in [-1,1] — these synthetic streams
+    # are deliberately loud, so normalize.
+    assert np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9) < 1e-5
+
+
+def test_decode_short_blocks(rng):
+    bts = [0, 0, 2, 2, 2, 0, 0, 0]
+    qs = [_sparse_q(rng, n_big=30, maxv=20) for _ in range(8)]
+    data = mp3_ref.build_mp3(_frames_mono(qs, block_types=bts), channels=1)
+    s = _open(data)
+    got = s.read_samples_float(8 * 576).reshape(-1)
+    ref = mp3_ref.decode_mono(qs, block_types=bts)
+    assert np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9) < 1e-5
+
+
+def test_decode_large_values_linbits(rng):
+    q = np.zeros(576, dtype=np.int64)
+    q[:20] = rng.integers(-8000, 8000, size=20)  # forces linbits tables
+    q[20:32] = rng.integers(-100, 100, size=12)
+    qs = [q, np.zeros(576, dtype=np.int64)]
+    data = mp3_ref.build_mp3(_frames_mono(qs, gg=80), channels=1)
+    got = _open(data).read_samples_float(2 * 576).reshape(-1)
+    ref = mp3_ref.decode_mono(qs, global_gain=80)
+    denom = np.max(np.abs(ref)) + 1e-12
+    assert np.max(np.abs(got - ref)) / denom < 1e-4
+
+
+def test_decode_stereo_independent(rng):
+    qs_l = [_sparse_q(rng) for _ in range(4)]
+    qs_r = [_sparse_q(rng) for _ in range(4)]
+    frames = []
+    for i in range(0, 4, 2):
+        frames.append([
+            [{"q": qs_l[i]}, {"q": qs_r[i]}],
+            [{"q": qs_l[i + 1]}, {"q": qs_r[i + 1]}],
+        ])
+    data = mp3_ref.build_mp3(frames, channels=2)
+    s = _open(data)
+    assert s.get_num_channels() == 2
+    got = s.read_samples_float(4 * 576)
+    ref_l = mp3_ref.decode_mono(qs_l)
+    ref_r = mp3_ref.decode_mono(qs_r)
+    assert np.max(np.abs(got[:, 0] - ref_l)) / (np.max(np.abs(ref_l)) + 1e-9) < 1e-5
+    assert np.max(np.abs(got[:, 1] - ref_r)) / (np.max(np.abs(ref_r)) + 1e-9) < 1e-5
+
+
+def test_chunked_equals_whole(rng):
+    qs = [_sparse_q(rng) for _ in range(8)]
+    data = mp3_ref.build_mp3(_frames_mono(qs), channels=1)
+    whole = _open(data).read_samples_float(10000)
+    s = _open(data)
+    parts = []
+    while True:
+        c = s.read_samples_float(333)
+        if c.shape[0] == 0:
+            break
+        parts.append(c)
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+def test_seek_contract_and_accuracy(rng):
+    qs = [_sparse_q(rng) for _ in range(12)]
+    data = mp3_ref.build_mp3(_frames_mono(qs), channels=1)
+    s = _open(data)
+    L = s.get_length_in_frames()
+    assert L == 12 * 576
+    assert s.tell_position() == 0
+    assert not s.seek_position(-1)
+    assert not s.seek_position(L + 1)
+    assert s.seek_position(L - 1)
+    assert s.read_samples_float(10).shape[0] == 1
+    assert s.seek_position(L)
+    assert s.read_samples_float(10).shape[0] == 0
+    whole = _open(data).read_samples_float(L)
+    for target in (0, 1, 575, 576, 2000, 5000, L - 10):
+        assert s.seek_position(target), target
+        assert s.tell_position() == target
+        got = s.read_samples_float(64)
+        ref = whole[target : target + 64]
+        # seek re-decodes with preroll: bit-reservoir is empty in these
+        # streams so the result must match exactly
+        np.testing.assert_allclose(got, ref, atol=1e-3 * np.max(np.abs(whole)))
+
+
+def test_xing_tag_length_and_delay(rng):
+    qs = [_sparse_q(rng) for _ in range(6)]
+    delay, padding = 576 + 100, 576 - 100
+    data = mp3_ref.build_mp3(_frames_mono(qs), channels=1, xing=True,
+                             xing_delay=delay - 529, xing_padding=padding + 529)
+    s = _open(data)
+    expected = 3 * 1152 - delay - padding
+    assert s.get_length_in_frames() == expected
+    out = s.read_samples_float(100000)
+    assert out.shape[0] == expected
+    ref = mp3_ref.decode_mono(qs)
+    np.testing.assert_allclose(out.reshape(-1), ref[delay : delay + expected],
+                               atol=1e-5 * np.max(np.abs(ref)))
+
+
+def test_id3v2_and_id3v1_tags_skipped(rng):
+    qs = [_sparse_q(rng) for _ in range(2)]
+    body = mp3_ref.build_mp3(_frames_mono(qs), channels=1)
+    id3v2 = b"ID3\x04\x00\x00\x00\x00\x02\x00" + b"\x00" * 256
+    id3v1 = b"TAG" + b"\x00" * 125
+    s = _open(id3v2 + body + id3v1)
+    assert s.get_length_in_frames() == 2 * 576
+    got = s.read_samples_float(2 * 576).reshape(-1)
+    ref = mp3_ref.decode_mono(qs)
+    assert np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9) < 1e-5
+
+
+def test_garbage_prefix_sync(rng):
+    qs = [_sparse_q(rng) for _ in range(2)]
+    body = mp3_ref.build_mp3(_frames_mono(qs), channels=1)
+    s = _open(b"\x12\x34\x56" * 30 + body)
+    assert s.get_length_in_frames() == 2 * 576
+
+
+def test_not_mp3_rejected():
+    s = AudioStream().open_from_memory(b"\xff\xff\xff\xff" * 100)
+    assert s.is_error()
