@@ -110,6 +110,13 @@ def _u8ptr(b: bytes):
     return ctypes.cast(ctypes.c_char_p(b), _I8P)
 
 
+def _buf_ptr(data):
+    """Zero-copy pointer to any buffer-protocol object (incl. read-only
+    mmap views).  Returns (ptr, nbytes, keepalive)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return ctypes.cast(arr.ctypes.data, _I8P), arr.size, arr
+
+
 def mp3_huffman(lib, maindata: bytes, start_bits: int, limit_bits: int,
                 table_select, region_count, sfbtab, scf, big_values: int,
                 count1_table: int):
@@ -144,9 +151,9 @@ def flac_parse_frame(lib, data, start_bits: int, streaminfo_bps: int,
     wasted = np.zeros(channels, dtype=np.int32)
     bps = np.zeros(channels, dtype=np.int32)
     meta = np.zeros(8, dtype=np.int64)
-    buf = bytes(data) if not isinstance(data, bytes) else data
+    ptr, nbytes, _keep = _buf_ptr(data)
     rc = lib.af_flac_parse_frame(
-        _u8ptr(buf), len(buf), start_bits,
+        ptr, nbytes, start_bits,
         streaminfo_bps, channels, max_block,
         residual.ctypes.data_as(_I32P), coeffs.ctypes.data_as(_I32P),
         order.ctypes.data_as(_I32P), shift.ctypes.data_as(_I32P),

@@ -173,7 +173,7 @@ int64_t af_mp3_huffman(
       if (e == 0xFFFFFFFFu) return -1;
       br.pos += (int)(e >> 16);
       if (br.pos > limit_bits) break;
-      uint32_t v = e & 0xFF;
+      uint32_t v = (e >> 8) & 0xFF;  // count1 mask lives in the x slot
       int stop = 0;
       for (int s = 0; s < 4; s++) {
         if ((s & 1) == 0) {

@@ -32,9 +32,18 @@ import numpy as np
 
 from ..config import AudioFileFormat
 from ..errors import AudioFormatError
+from ..host import native
 from ..io.bits import BitReaderMSB
 from ..io.source import ByteSource
 from ..ops import lpc as lpc_ops
+
+_NATIVE_CACHE = []
+
+
+def _native_lib():
+    if not _NATIVE_CACHE:
+        _NATIVE_CACHE.append(native.get_lib())
+    return _NATIVE_CACHE[0]
 
 _SAMPLE_RATE_TABLE = [0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
                       32000, 44100, 48000, 96000]
@@ -296,31 +305,61 @@ class FlacDecoder:
         return out
 
     # --------------------------------------------------------------- decode
-    def _decode_next_frame(self) -> int:
-        """Decode the frame at the bit cursor into self._buf (s32-aligned
-        ints).  Returns samples per channel (0 on EOF)."""
+    def _parse_frame_tensors(self):
+        """Host entropy stage for the frame at the bit cursor; returns
+        (blocksize, chan_assignment, residual [C,B], coeffs, order, shift,
+        wasted, max_bps) or None at EOF/corrupt.  Advances the cursor."""
         if self._cur_bit >= len(self._view) * 8 - 15:
-            return 0
+            return None
+        lib = _native_lib()
+        if lib is not None:
+            max_block = self._max_block if 0 < self._max_block <= 65535 else 65535
+            nat = native.flac_parse_frame(
+                lib, self._view, self._cur_bit, self.bits_per_sample,
+                self.channels, max_block,
+            )
+            if nat is None:
+                return None
+            self._cur_bit = nat["end_bits"]
+            return (
+                nat["blocksize"], nat["chan_assignment"], nat["residual"],
+                nat["coeffs"], nat["order"], nat["shift"], nat["wasted"],
+                nat["bps"],
+            )
         b = BitReaderMSB(self._view)
         b.seek_bits(self._cur_bit)
         try:
             blocksize, chan_assignment, subframes = self._parse_frame(b)
         except AudioFormatError:
-            return 0
+            return None
         self._cur_bit = b.tell_bits()
-
         residual = np.stack([s.residual for s in subframes])  # [C, B]
         order = np.array([s.order for s in subframes], dtype=np.int32)
         shift = np.array([s.shift for s in subframes], dtype=np.int32)
         coeffs = np.stack([s.coeffs for s in subframes])
-        if max(s.bps for s in subframes) > 16:
+        wasted = np.array([s.wasted for s in subframes], dtype=np.int32)
+        return (blocksize, chan_assignment, residual, coeffs, order, shift,
+                wasted, np.array([s.bps for s in subframes], dtype=np.int32))
+
+    def _decode_next_frame(self) -> int:
+        """Decode the frame at the bit cursor into self._buf (s32-aligned
+        ints).  Returns samples per channel (0 on EOF)."""
+        parsed = self._parse_frame_tensors()
+        if parsed is None:
+            return 0
+        (blocksize, chan_assignment, residual, coeffs, order, shift, wasted,
+         bps) = parsed
+        if int(np.max(bps)) > 18:
+            # beyond the device limb-split range: exact int64 on host
             samples = lpc_ops.flac_lpc_np(residual, coeffs, order, shift)
             samples = samples.astype(np.int32)  # drflac stores into int32
         else:
+            # drflac's per-subframe 32/64-bit dispatch (drflac.d:1055-1110):
+            # bps>16 lanes take the exact path, others wraparound int32
             samples = np.asarray(
-                lpc_ops.flac_lpc_scan(residual, coeffs, order, shift)
+                lpc_ops.flac_lpc_scan(residual, coeffs, order, shift,
+                                      bps > 16)
             )
-        wasted = np.array([s.wasted for s in subframes], dtype=np.int32)
         out = np.asarray(
             lpc_ops.flac_post_stereo(
                 samples,

@@ -37,9 +37,18 @@ import numpy as np
 
 from ..config import AudioFileFormat
 from ..errors import AudioFormatError
+from ..host import native
 from ..io.source import ByteSource
 from ..ops import mp3_dsp
 from ..utils.tables import mp3_tables as T
+
+_NATIVE_CACHE = []
+
+
+def _native_lib():
+    if not _NATIVE_CACHE:
+        _NATIVE_CACHE.append(native.get_lib())
+    return _NATIVE_CACHE[0]
 
 HDR_SIZE = 4
 MAX_BITRESERVOIR_BYTES = 511
@@ -873,13 +882,25 @@ class Mp3Decoder:
             perm = np.zeros((1, ngr, nch, 576), dtype=np.int32)
             aa_bands = np.zeros((1, ngr, nch), dtype=np.int32)
             wtype = np.zeros((1, ngr, nch, 32), dtype=np.int32)
+            lib = _native_lib()
             for g in range(ngr):
                 qg = []
                 for ch in range(nch):
                     gr = grs[g * nch + ch]
                     limit = br.pos + gr.part_23_length
                     scf = _decode_scalefactors(h, self._ist_pos[ch], br, gr, ch)
-                    qv, gains = _huffman(br, gr, scf, limit)
+                    res = None
+                    if lib is not None:
+                        res = native.mp3_huffman(
+                            lib, br.buf, br.pos, limit, gr.table_select,
+                            gr.region_count, gr.sfbtab, scf,
+                            gr.big_values, gr.count1_table,
+                        )
+                        if res is not None:
+                            br.pos = limit
+                    if res is None:
+                        res = _huffman(br, gr, scf, limit)
+                    qv, gains = res
                     q[0, g, ch] = qv
                     scale[0, g, ch] = gains
                     qg.append(qv)

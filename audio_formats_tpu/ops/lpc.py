@@ -37,32 +37,62 @@ MAX_ORDER = 32
 
 
 @jax.jit
-def flac_lpc_scan(residual, coeffs, order, shift):
-    """int32 LPC synthesis over lanes.
+def flac_lpc_scan(residual, coeffs, order, shift, exact=None):
+    """LPC synthesis over lanes with drflac's dual arithmetic semantics.
 
     residual: [L, B] int32 — residuals; positions t < order[l] hold the
               warm-up samples verbatim.
     coeffs:   [L, 32] int32 — coeffs[l, j] multiplies s[t-1-j]; zero-padded
               past the order.
     order:    [L] int32; shift: [L] int32 (non-negative).
+    exact:    optional [L] bool — lanes needing drflac's 64-bit (exact)
+              prediction (subframe bps > 16, drflac.d:1055-1110).  False
+              lanes use int32 wraparound, bit-identical to the 32-bit path.
+
+    The exact path avoids 64-bit ints (slow/emulated on TPU) by splitting
+    coefficients into 8-bit limbs: A = Σ (c>>8)·s, B = Σ (c&255)·s — both
+    int32-safe for |s| < 2^19 (covers ≤18-bit subframes incl. the +1-bit
+    side channels of 16-bit stereo).  The 40-bit product A·2^8 + B is then
+    shifted exactly via hi = A + (B>>8), lo = B&255:
+      shift ≥ 8: result = hi >> (shift-8)                (remainder < 2^shift)
+      shift < 8: result = (hi << (8-shift)) + (lo >> shift)
+    The wrap path is (A<<8) + B in int32 — identical mod 2^32 to Σ c·s.
+
     Returns samples [L, B] int32.
     """
     L = residual.shape[0]
     history = jnp.zeros((L, MAX_ORDER), jnp.int32)  # history[:, j] = s[t-1-j]
+    c_hi = coeffs >> 8
+    c_lo = coeffs & 255
+    if exact is None:
+        exact_l = jnp.zeros((L,), bool)
+    else:
+        exact_l = exact
+    sm8 = jnp.maximum(shift - 8, 0)
+    s8m = jnp.maximum(8 - shift, 0)
+    shift_ge8 = shift >= 8
 
     def step(carry, inp):
         h = carry
         r, t = inp  # r: [L], t: scalar
-        pred = jnp.sum(h * coeffs, axis=-1, dtype=jnp.int32) >> shift
+        A = jnp.sum(h * c_hi, axis=-1, dtype=jnp.int32)
+        B = jnp.sum(h * c_lo, axis=-1, dtype=jnp.int32)
+        hi = A + (B >> 8)
+        lo = B & 255
+        pred_exact = jnp.where(
+            shift_ge8, hi >> sm8, (hi << s8m) + (lo >> shift)
+        )
+        pred_wrap = ((A << 8) + B) >> shift
+        pred = jnp.where(exact_l, pred_exact, pred_wrap)
         s = jnp.where(t < order, r, r + pred)
         h = jnp.concatenate([s[:, None], h[:, :-1]], axis=1)
         return h, s
 
-    B = residual.shape[1]
+    B_ = residual.shape[1]
     _, out = jax.lax.scan(
         step,
         history,
-        (jnp.swapaxes(residual, 0, 1), jnp.arange(B, dtype=jnp.int32)),
+        (jnp.swapaxes(residual, 0, 1), jnp.arange(B_, dtype=jnp.int32)),
     )
     return jnp.swapaxes(out, 0, 1)
 
@@ -87,8 +117,7 @@ def flac_lpc_np(residual, coeffs, order, shift):
     return out
 
 
-@jax.jit
-def flac_post_stereo(samples, chan_assignment, wasted, out_shift):
+def _post_stereo_core(samples, chan_assignment, wasted, out_shift):
     """Inter-channel decorrelation + output shift to s32, exactly as
     drflac_read_s32 (drflac.d:2884-2944): decorrelate the *unshifted*
     subframe samples, then shift each channel by
@@ -123,3 +152,10 @@ def flac_post_stereo(samples, chan_assignment, wasted, out_shift):
     else:
         decor = samples
     return decor << (out_shift + wasted)[:, None]
+
+
+flac_post_stereo = jax.jit(_post_stereo_core)
+
+#: Batched variant: leading stream axis on every argument
+#: (samples [S, C, B], chan_assignment [S], wasted [S, C], out_shift [S]).
+flac_post_stereo_batch = jax.jit(jax.vmap(_post_stereo_core))

@@ -114,7 +114,7 @@ _SIGN[1::2, 1::2] = -1.0
 
 @functools.partial(jax.jit, static_argnames=("nch", "ngr"))
 def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
-                  nch: int, ngr: int):
+                  nch: int, ngr: int, gr_active=None):
     """Decode the DSP half of one MP3 frame for a batch of streams.
 
     q:       [B, ngr, nch, 576] f32 — signed quantized Huffman values
@@ -126,6 +126,12 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     wtype:   [B, ngr, nch, 32]  i32 — per-band window type (0..3)
     overlap: [B, nch, 32, 18]   f32 — carried IMDCT OLA state
     shist:   [B, nch, 16, 32]   f32 — carried subband slot history
+    gr_active: optional [B, ngr] bool — granules whose state commits (lanes
+             with reservoir-underflow/ended frames freeze their state, as the
+             reference skips decode entirely for such frames)
+
+    ``ngr`` may cover several physical frames (the batch scheduler windows
+    W frames per call: ngr = W · granules-per-frame).
     Returns (pcm [B, ngr·576·nch interleaved? no: [B, ngr, 18·32, nch]],
              overlap', shist').
     """
@@ -170,7 +176,7 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
         ]
         out = jnp.sum(jnp.where(sel, outs, 0.0), axis=0)  # [B, nch, 32, 36]
         grb = out[..., :18] * sign  # 6. frequency inversion
-        overlap = out[..., 18:]
+        new_overlap = out[..., 18:]
         # 7. synthesis FIR over slots
         S = jnp.swapaxes(grb, -1, -2)  # [B, nch, 18, 32]
         Sfull = jnp.concatenate([shist, S], axis=2)  # [B, nch, 34, 32]
@@ -181,7 +187,14 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
             "bctrk,rjk->bctj", wins, W,
             precision=jax.lax.Precision.HIGHEST,
         )  # [B, nch, 18, 32]
-        shist = Sfull[:, :, -16:, :]
+        new_shist = Sfull[:, :, -16:, :]
+        if gr_active is not None:
+            act = gr_active[:, g][:, None, None, None]
+            overlap = jnp.where(act, new_overlap, overlap)
+            shist = jnp.where(act, new_shist, shist)
+        else:
+            overlap = new_overlap
+            shist = new_shist
         pcm_granules.append(pcm.reshape(B, nch, 576))
 
     pcm_all = jnp.stack(pcm_granules, axis=1)  # [B, ngr, nch, 576]

@@ -6,15 +6,15 @@ device tensors carrying a leading [batch] axis (shardable over a mesh's
 'data' axis) and per-stream carried state (MP3 overlap/slot-history, FLAC
 LPC warm-up, QOA LMS) held in device arrays between steps.
 
+Scheduling: the host entropy stage parses a *window* of W frames per stream,
+stacks them into [B, ...] tensors, and issues ONE device call per window —
+amortizing dispatch latency and keeping the MXU fed.  Lanes that end (or hit
+reservoir underflow) freeze their carried state via per-granule active masks,
+matching the reference's skip-without-decode behavior.
+
 Error lattice: a corrupt stream only poisons its own lane — it stops
 producing frames and its `errors` entry is set; other lanes are unaffected
 (SURVEY.md §5 requirement).
-
-Round-1 scope: per-format batched stepping for MP3 (frame-lockstep with
-masked finished lanes), QOA (whole-file frame-parallel decode), FLAC and WAV
-(host parse + batched device conversion per stream group).  The C++ host
-entropy stage slots in underneath `Mp3Decoder._parse_frame_tensors` /
-`FlacDecoder._parse_frame` without changing this driver.
 """
 
 from __future__ import annotations
@@ -27,8 +27,15 @@ from .. import models
 from ..config import AudioFileFormat
 from ..errors import AudioFormatError
 from ..io.source import ByteSource, FileSource, MemorySource
+from ..models.flac import FlacDecoder
 from ..models.mp3 import Mp3Decoder
+from ..ops import lpc as lpc_ops
 from ..ops import mp3_dsp
+
+#: frames per device call in the MP3 lockstep scheduler
+MP3_WINDOW_FRAMES = 8
+#: FLAC frames per device call
+FLAC_WINDOW_FRAMES = 4
 
 
 def _open_source(item) -> ByteSource:
@@ -71,20 +78,29 @@ class BatchDecoder:
         """Decode every stream to completion; returns per-lane PCM (None for
         errored lanes)."""
         out: List[Optional[np.ndarray]] = [None] * len(self.decoders)
-        mp3_lanes = [
-            i for i, d in enumerate(self.decoders) if isinstance(d, Mp3Decoder)
-        ]
-        # group MP3 lanes by (channels, mpeg1) for lockstep batching
-        groups = {}
-        for i in mp3_lanes:
-            d = self.decoders[i]
-            groups.setdefault((d.channels, d._mpeg1), []).append(i)
-        for (nch, mpeg1), lanes in groups.items():
-            res = self._decode_mp3_group([self.decoders[i] for i in lanes],
-                                         nch, 2 if mpeg1 else 1)
+
+        mp3_groups = {}
+        flac_groups = {}
+        for i, d in enumerate(self.decoders):
+            if isinstance(d, Mp3Decoder):
+                mp3_groups.setdefault((d.channels, d._mpeg1), []).append(i)
+            elif isinstance(d, FlacDecoder) and d.bits_per_sample <= 16:
+                flac_groups.setdefault(d.channels, []).append(i)
+
+        for (nch, mpeg1), lanes in mp3_groups.items():
+            res = self._decode_mp3_group(
+                [self.decoders[i] for i in lanes], nch, 2 if mpeg1 else 1
+            )
+            for i, pcm in zip(lanes, res):
+                out[i] = pcm
+        for nch, lanes in flac_groups.items():
+            res = self._decode_flac_group(
+                [self.decoders[i] for i in lanes], nch
+            )
             for i, pcm in zip(lanes, res):
                 out[i] = pcm
 
+        # remaining formats: per-stream streaming read
         for i, d in enumerate(self.decoders):
             if d is None or out[i] is not None:
                 continue
@@ -113,33 +129,30 @@ class BatchDecoder:
     # ------------------------------------------------- batched MP3 lockstep
     def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int):
         B = len(decs)
+        W = MP3_WINDOW_FRAMES
+        G = W * ngr  # granules per device call
         overlap = np.zeros((B, nch, 32, 18), dtype=np.float32)
         shist = np.zeros((B, nch, 16, 32), dtype=np.float32)
         outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
-        # neutral tensors for finished/silent lanes
-        zq = np.zeros((ngr, nch, 576), np.float32)
-        zscale = np.zeros((ngr, nch, 576), np.float32)
-        zmix = np.zeros((ngr, 4, 576), np.float32)
-        zmix[:, 0] = 1.0
-        zmix[:, 3] = 1.0
-        zperm = np.broadcast_to(
-            np.arange(576, dtype=np.int32), (ngr, nch, 576)
-        ).copy()
-        zaa = np.full((ngr, nch), 31, np.int32)
-        zw = np.zeros((ngr, nch, 32), np.int32)
 
+        ident = np.arange(576, dtype=np.int32)
         while active.any():
-            q = np.empty((B, ngr, nch, 576), np.float32)
-            scale = np.empty_like(q)
-            mix = np.empty((B, ngr, 4, 576), np.float32)
-            perm = np.empty((B, ngr, nch, 576), np.int32)
-            aa = np.empty((B, ngr, nch), np.int32)
-            wt = np.empty((B, ngr, nch, 32), np.int32)
-            produced = np.zeros(B, dtype=bool)
+            q = np.zeros((B, G, nch, 576), np.float32)
+            scale = np.zeros((B, G, nch, 576), np.float32)
+            mix = np.zeros((B, G, 4, 576), np.float32)
+            mix[:, :, 0] = 1.0
+            mix[:, :, 3] = 1.0
+            perm = np.broadcast_to(ident, (B, G, nch, 576)).copy()
+            aa = np.full((B, G, nch), 31, np.int32)
+            wt = np.zeros((B, G, nch, 32), np.int32)
+            gr_act = np.zeros((B, G), dtype=bool)
+            frames_in_window = np.zeros(B, dtype=np.int32)
+
             for bi, d in enumerate(decs):
-                tensors = None
-                while active[bi]:
+                for w in range(W):
+                    if not active[bi]:
+                        break
                     if d._offset >= len(d._view) - 4 or (
                         d._total_samples
                         and d._cur_sample >= d._total_samples
@@ -151,35 +164,33 @@ class BatchDecoder:
                         active[bi] = False
                         break
                     d._offset += fb
-                    if tensors is not None:
-                        break  # silent frame: parse the next one
-                if tensors is not None:
-                    q[bi] = tensors["q"][0]
-                    scale[bi] = tensors["scale"][0]
-                    mix[bi] = tensors["mix"][0]
-                    perm[bi] = tensors["perm"][0]
-                    aa[bi] = tensors["aa_bands"][0]
-                    wt[bi] = tensors["wtype"][0]
-                    produced[bi] = True
-                else:
-                    q[bi] = zq
-                    scale[bi] = zscale
-                    mix[bi] = zmix
-                    perm[bi] = zperm
-                    aa[bi] = zaa
-                    wt[bi] = zw
-            if not produced.any():
+                    if tensors is None:
+                        continue  # silent frame: state frozen, no output
+                    g0 = w * ngr
+                    q[bi, g0 : g0 + ngr] = tensors["q"][0]
+                    scale[bi, g0 : g0 + ngr] = tensors["scale"][0]
+                    mix[bi, g0 : g0 + ngr] = tensors["mix"][0]
+                    perm[bi, g0 : g0 + ngr] = tensors["perm"][0]
+                    aa[bi, g0 : g0 + ngr] = tensors["aa_bands"][0]
+                    wt[bi, g0 : g0 + ngr] = tensors["wtype"][0]
+                    gr_act[bi, g0 : g0 + ngr] = True
+                    frames_in_window[bi] = w + 1
+            if not gr_act.any():
                 break
             pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
                 q, scale, mix, perm, aa, wt, overlap, shist,
-                nch=nch, ngr=ngr,
+                nch=nch, ngr=G, gr_active=gr_act,
             )
-            pcm = np.asarray(pcm)  # [B, ngr, nch, 576]
+            pcm = np.asarray(pcm)  # [B, G, nch, 576]
             for bi in range(B):
-                if produced[bi]:
-                    frame_pcm = pcm[bi].transpose(0, 2, 1).reshape(-1, nch)
-                    outputs[bi].append(frame_pcm)
-                    decs[bi]._cur_sample += frame_pcm.shape[0] * nch
+                sel = gr_act[bi]
+                if not sel.any():
+                    continue
+                frame_pcm = (
+                    pcm[bi][sel].transpose(0, 2, 1).reshape(-1, nch)
+                )
+                outputs[bi].append(frame_pcm)
+                decs[bi]._cur_sample += frame_pcm.shape[0] * nch
 
         result = []
         for bi, d in enumerate(decs):
@@ -191,5 +202,93 @@ class BatchDecoder:
             pcm = pcm[skip:]
             if d._total_samples:
                 pcm = pcm[: d._total_samples // nch]
+            result.append(pcm)
+        return result
+
+    # ------------------------------------------------ batched FLAC lockstep
+    def _decode_flac_group(self, decs: List[FlacDecoder], nch: int):
+        B = len(decs)
+        W = FLAC_WINDOW_FRAMES
+        outputs = [[] for _ in range(B)]
+        active = np.ones(B, dtype=bool)
+
+        while active.any():
+            # host entropy stage: parse up to W frames per stream
+            parsed = [[] for _ in range(B)]
+            max_bs = 0
+            progress = False
+            for bi, d in enumerate(decs):
+                for _ in range(W):
+                    if not active[bi]:
+                        break
+                    if d._frame_pos >= d.length_frames > 0:
+                        active[bi] = False
+                        break
+                    p = d._parse_frame_tensors()
+                    if p is None:
+                        active[bi] = False
+                        break
+                    progress = True
+                    if int(np.max(p[7])) > 18:  # beyond device limb range
+                        (bs, ca, residual, coeffs, order, shift, wasted,
+                         _b) = p
+                        samples = lpc_ops.flac_lpc_np(
+                            residual, coeffs, order, shift
+                        ).astype(np.int32)
+                        out32 = np.asarray(lpc_ops.flac_post_stereo(
+                            samples, np.int32(ca), wasted.astype(np.int32),
+                            np.int32(32 - d.bits_per_sample)))
+                        outputs[bi].append(out32.T)
+                        d._frame_pos += bs
+                        continue
+                    parsed[bi].append(p)
+                    d._frame_pos += p[0]
+                    max_bs = max(max_bs, p[0])
+            lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
+            if not lanes:
+                if not progress:
+                    break
+                continue
+            S = len(lanes)
+            residual = np.zeros((S * nch, max_bs), np.int32)
+            coeffs = np.zeros((S * nch, 32), np.int32)
+            order = np.full(S * nch, max_bs, np.int32)  # pad: pass-through
+            shift = np.zeros(S * nch, np.int32)
+            exact = np.zeros(S * nch, bool)
+            assigns = np.zeros(S, np.int32)
+            wasteds = np.zeros((S, nch), np.int32)
+            out_shifts = np.zeros(S, np.int32)
+            for si, (bi, p) in enumerate(lanes):
+                bs, ca, res, cf, orr, sh, wa, bps = p
+                residual[si * nch : si * nch + nch, :bs] = res
+                coeffs[si * nch : si * nch + nch] = cf
+                order[si * nch : si * nch + nch] = orr
+                shift[si * nch : si * nch + nch] = sh
+                exact[si * nch : si * nch + nch] = np.asarray(bps) > 16
+                assigns[si] = ca
+                wasteds[si] = wa
+                out_shifts[si] = 32 - decs[bi].bits_per_sample
+            samples = np.asarray(
+                lpc_ops.flac_lpc_scan(residual, coeffs, order, shift, exact)
+            ).reshape(S, nch, max_bs)
+            out32 = np.asarray(
+                lpc_ops.flac_post_stereo_batch(
+                    samples, assigns, wasteds, out_shifts
+                )
+            )  # [S, nch, max_bs]
+            for si, (bi, p) in enumerate(lanes):
+                outputs[bi].append(out32[si, :, : p[0]].T)
+
+        result = []
+        for bi, d in enumerate(decs):
+            if outputs[bi]:
+                s32 = np.concatenate(outputs[bi])
+            else:
+                s32 = np.zeros((0, nch), np.int32)
+            if d.length_frames:
+                s32 = s32[: d.length_frames]
+            pcm = (s32.astype(np.float64) * (1.0 / 2147483647.0)).astype(
+                np.float32
+            )
             result.append(pcm)
         return result

@@ -1,0 +1,85 @@
+"""BatchDecoder: batched lockstep decode must equal the single-stream facade
+bit-for-bit, with per-lane error isolation."""
+
+import numpy as np
+
+from audio_formats_tpu import AudioStream
+from audio_formats_tpu.parallel import BatchDecoder
+
+from golden import flac_ref, mp3_ref, qoa_ref, wav_ref
+
+
+def _facade(data, frames=10**6):
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    return s.read_samples_float(frames)
+
+
+def _mp3(rng, n_frames=5, channels=1):
+    qs = []
+    for _ in range(2 * n_frames):
+        q = np.zeros(576, np.int64)
+        idx = rng.choice(380, size=40, replace=False)
+        q[idx] = rng.integers(-30, 31, size=40)
+        qs.append(q)
+    frames = []
+    for i in range(0, 2 * n_frames, 2):
+        frames.append([
+            [{"q": qs[i]} for _ in range(channels)],
+            [{"q": qs[i + 1]} for _ in range(channels)],
+        ])
+    return mp3_ref.build_mp3(frames, channels=channels)
+
+
+def _flac(rng, frames=5000, stereo="mid_side"):
+    t = np.arange(frames)[:, None]
+    pcm = np.clip(
+        np.round(9000 * np.sin(2 * np.pi * 300 * t * [1, 1.4] / 44100)
+                 + 300 * rng.standard_normal((frames, 2))),
+        -32768, 32767,
+    ).astype(np.int64)
+    return flac_ref.build_flac(pcm, 44100, 16, block_size=1024,
+                               stereo_mode=stereo, modes=["lpc8", "fixed3"])
+
+
+def test_mp3_batch_equals_facade(rng):
+    streams = [_mp3(rng, n_frames=3 + i) for i in range(5)]  # ragged lengths
+    batch = BatchDecoder(streams).decode_all()
+    for data, got in zip(streams, batch):
+        ref = _facade(data)
+        assert got.shape == ref.shape
+        # float pipeline: XLA reduction order differs with batch size
+        scale = np.max(np.abs(ref)) + 1e-9
+        assert np.max(np.abs(got - ref)) / scale < 1e-6
+
+
+def test_flac_batch_equals_facade(rng):
+    streams = [_flac(rng, frames=4000 + 997 * i) for i in range(4)]
+    batch = BatchDecoder(streams).decode_all()
+    for data, got in zip(streams, batch):
+        ref = _facade(data)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_mixed_formats_and_error_isolation(rng):
+    s16 = np.clip(
+        np.round(12000 * np.sin(2 * np.pi * 440 * np.arange(3000) / 44100)),
+        -32768, 32767,
+    ).astype(np.int64)
+    qoa_data = qoa_ref.encode(s16.reshape(-1, 1).astype(np.int16), 44100)
+    wav_data = wav_ref.build_wav(wav_ref.pack_pcm(s16, 16), fmt_tag=1,
+                                 channels=1, sample_rate=44100, bits=16)
+    items = [
+        _mp3(rng), b"NOT AUDIO" * 10, _flac(rng, 3000), qoa_data, wav_data,
+    ]
+    dec = BatchDecoder(items)
+    out = dec.decode_all()
+    assert out[1] is None and dec.errors[1] is not None
+    for i in (2, 3, 4):  # FLAC/QOA/WAV integer paths: bit-exact
+        assert out[i] is not None
+        ref = _facade(items[i])
+        np.testing.assert_array_equal(out[i], ref)
+    ref0 = _facade(items[0])  # MP3 float path: tight relative
+    assert out[0].shape == ref0.shape
+    assert np.max(np.abs(out[0] - ref0)) / (np.max(np.abs(ref0)) + 1e-9) < 1e-6
+    assert dec.stats["decoded_seconds"] > 0
