@@ -112,9 +112,9 @@ _SIGN = np.ones((32, 18), dtype=np.float32)
 _SIGN[1::2, 1::2] = -1.0
 
 
-@functools.partial(jax.jit, static_argnames=("nch", "ngr"))
+@functools.partial(jax.jit, static_argnames=("nch", "ngr", "use_perm"))
 def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
-                  nch: int, ngr: int, gr_active=None):
+                  nch: int, ngr: int, gr_active=None, use_perm: bool = True):
     """Decode the DSP half of one MP3 frame for a batch of streams.
 
     q:       [B, ngr, nch, 576] f32 — signed quantized Huffman values
@@ -139,20 +139,26 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     W = jnp.asarray(SYNTH_FIR)  # [17, 32, 32]
     mats = jnp.asarray(IMDCT_MATS)  # [4, 36, 36]
     sign = jnp.asarray(_SIGN)
+    if gr_active is None:
+        gr_active = jnp.ones((B, ngr), bool)
 
-    # 1. requantize
-    x = jnp.sign(q) * jnp.power(jnp.abs(q), jnp.float32(4.0 / 3.0)) * scale
-
-    pcm_granules = []
-    for g in range(ngr):
-        xg = x[:, g]  # [B, nch, 576]
+    def granule_step(carry, xs):
+        overlap, shist = carry
+        q_g, scale_g, mix_g, perm_g, aa_g, wt_g, act_g = xs
+        # 1. requantize
+        xg = (
+            jnp.sign(q_g)
+            * jnp.power(jnp.abs(q_g), jnp.float32(4.0 / 3.0))
+            * scale_g
+        )  # [B, nch, 576]
         # 2. stereo mix
         if nch == 2:
             l, r = xg[:, 0], xg[:, 1]
-            a, b, c, d = (mix[:, g, i] for i in range(4))
+            a, b, c, d = (mix_g[:, i] for i in range(4))
             xg = jnp.stack([a * l + b * r, c * l + d * r], axis=1)
-        # 3. reorder
-        xg = jnp.take_along_axis(xg, perm[:, g], axis=-1)
+        # 3. reorder (skipped entirely for long-block-only windows)
+        if use_perm:
+            xg = jnp.take_along_axis(xg, perm_g, axis=-1)
         # 4. antialias
         xb = xg.reshape(B, nch, 32, 18)
         u = xb[:, :, 1:, :8]  # [B, nch, 31, 8]
@@ -161,7 +167,7 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
         nd = u * AA_CA + d_ * AA_CS
         bmask = (
             jnp.arange(31)[None, None, :, None]
-            < aa_bands[:, g][:, :, None, None]
+            < aa_g[:, :, None, None]
         )
         u2 = jnp.where(bmask, nu, u)
         d2 = jnp.where(bmask, nd, d_)
@@ -170,8 +176,8 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
         # 5. IMDCT + OLA: per band select among the 4 window matrices
         inp = jnp.concatenate([xb, overlap], axis=-1)  # [B, nch, 32, 36]
         outs = jnp.einsum("bcki,wij->wbckj", inp, mats,
-                          precision=jax.lax.Precision.HIGHEST)  # [4, B, nch, 32, 36]
-        sel = wtype[:, g][None, :, :, :, None] == jnp.arange(4)[
+                          precision=jax.lax.Precision.HIGHEST)
+        sel = wt_g[None, :, :, :, None] == jnp.arange(4)[
             :, None, None, None, None
         ]
         out = jnp.sum(jnp.where(sel, outs, 0.0), axis=0)  # [B, nch, 32, 36]
@@ -188,14 +194,22 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
             precision=jax.lax.Precision.HIGHEST,
         )  # [B, nch, 18, 32]
         new_shist = Sfull[:, :, -16:, :]
-        if gr_active is not None:
-            act = gr_active[:, g][:, None, None, None]
-            overlap = jnp.where(act, new_overlap, overlap)
-            shist = jnp.where(act, new_shist, shist)
-        else:
-            overlap = new_overlap
-            shist = new_shist
-        pcm_granules.append(pcm.reshape(B, nch, 576))
+        act = act_g[:, None, None, None]
+        overlap = jnp.where(act, new_overlap, overlap)
+        shist = jnp.where(act, new_shist, shist)
+        return (overlap, shist), pcm.reshape(B, nch, 576)
 
-    pcm_all = jnp.stack(pcm_granules, axis=1)  # [B, ngr, nch, 576]
-    return pcm_all, overlap, shist
+    # scan over the granule axis: program size independent of the window
+    xs = (
+        jnp.swapaxes(q, 0, 1),
+        jnp.swapaxes(scale, 0, 1),
+        jnp.swapaxes(mix, 0, 1),
+        jnp.swapaxes(perm, 0, 1),
+        jnp.swapaxes(aa_bands, 0, 1),
+        jnp.swapaxes(wtype, 0, 1),
+        jnp.swapaxes(gr_active, 0, 1),
+    )
+    (overlap, shist), pcm_all = jax.lax.scan(
+        granule_step, (overlap, shist), xs
+    )
+    return jnp.swapaxes(pcm_all, 0, 1), overlap, shist

@@ -33,9 +33,9 @@ from ..ops import lpc as lpc_ops
 from ..ops import mp3_dsp
 
 #: frames per device call in the MP3 lockstep scheduler
-MP3_WINDOW_FRAMES = 8
+MP3_WINDOW_FRAMES = 24
 #: FLAC frames per device call
-FLAC_WINDOW_FRAMES = 4
+FLAC_WINDOW_FRAMES = 12
 
 
 def _open_source(item) -> ByteSource:
@@ -129,25 +129,28 @@ class BatchDecoder:
     # ------------------------------------------------- batched MP3 lockstep
     def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int):
         B = len(decs)
+        # pad the batch axis to power-of-two buckets: XLA specializes on B,
+        # so buckets keep the compile cache hot across batch sizes
+        Bp = max(8, 1 << (B - 1).bit_length())
         W = MP3_WINDOW_FRAMES
         G = W * ngr  # granules per device call
-        overlap = np.zeros((B, nch, 32, 18), dtype=np.float32)
-        shist = np.zeros((B, nch, 16, 32), dtype=np.float32)
+        overlap = np.zeros((Bp, nch, 32, 18), dtype=np.float32)
+        shist = np.zeros((Bp, nch, 16, 32), dtype=np.float32)
         outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
 
         ident = np.arange(576, dtype=np.int32)
         while active.any():
-            q = np.zeros((B, G, nch, 576), np.float32)
-            scale = np.zeros((B, G, nch, 576), np.float32)
-            mix = np.zeros((B, G, 4, 576), np.float32)
+            q = np.zeros((Bp, G, nch, 576), np.float32)
+            scale = np.zeros((Bp, G, nch, 576), np.float32)
+            mix = np.zeros((Bp, G, 4, 576), np.float32)
             mix[:, :, 0] = 1.0
             mix[:, :, 3] = 1.0
-            perm = np.broadcast_to(ident, (B, G, nch, 576)).copy()
-            aa = np.full((B, G, nch), 31, np.int32)
-            wt = np.zeros((B, G, nch, 32), np.int32)
-            gr_act = np.zeros((B, G), dtype=bool)
-            frames_in_window = np.zeros(B, dtype=np.int32)
+            perm = np.broadcast_to(ident, (Bp, G, nch, 576)).copy()
+            aa = np.full((Bp, G, nch), 31, np.int32)
+            wt = np.zeros((Bp, G, nch, 32), np.int32)
+            gr_act = np.zeros((Bp, G), dtype=bool)
+            has_short = False
 
             for bi, d in enumerate(decs):
                 for w in range(W):
@@ -170,18 +173,20 @@ class BatchDecoder:
                     q[bi, g0 : g0 + ngr] = tensors["q"][0]
                     scale[bi, g0 : g0 + ngr] = tensors["scale"][0]
                     mix[bi, g0 : g0 + ngr] = tensors["mix"][0]
-                    perm[bi, g0 : g0 + ngr] = tensors["perm"][0]
                     aa[bi, g0 : g0 + ngr] = tensors["aa_bands"][0]
-                    wt[bi, g0 : g0 + ngr] = tensors["wtype"][0]
+                    wtg = tensors["wtype"][0]
+                    wt[bi, g0 : g0 + ngr] = wtg
+                    if (wtg == mp3_dsp.WIN_SHORT).any():
+                        has_short = True
+                        perm[bi, g0 : g0 + ngr] = tensors["perm"][0]
                     gr_act[bi, g0 : g0 + ngr] = True
-                    frames_in_window[bi] = w + 1
             if not gr_act.any():
                 break
             pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
                 q, scale, mix, perm, aa, wt, overlap, shist,
-                nch=nch, ngr=G, gr_active=gr_act,
+                nch=nch, ngr=G, gr_active=gr_act, use_perm=has_short,
             )
-            pcm = np.asarray(pcm)  # [B, G, nch, 576]
+            pcm = np.asarray(pcm)  # [Bp, G, nch, 576]
             for bi in range(B):
                 sel = gr_act[bi]
                 if not sel.any():
@@ -249,7 +254,9 @@ class BatchDecoder:
                 if not progress:
                     break
                 continue
-            S = len(lanes)
+            # bucket the lane count and block length to keep compiles cached
+            S = max(8, 1 << (len(lanes) - 1).bit_length())
+            max_bs = -(-max_bs // 1024) * 1024
             residual = np.zeros((S * nch, max_bs), np.int32)
             coeffs = np.zeros((S * nch, 32), np.int32)
             order = np.full(S * nch, max_bs, np.int32)  # pad: pass-through
