@@ -117,6 +117,16 @@ class BitReaderLSB:
         word = int.from_bytes(self._buf[first : last + 1], "little")
         return (word >> (p & 7)) & ((1 << n) - 1)
 
+    def peek(self, n: int) -> int:
+        """Peek up to n bits; bits past the end read as zero."""
+        p = self._bitpos
+        first = p >> 3
+        last = min((p + n - 1) >> 3, len(self._buf) - 1)
+        if first > last:
+            return 0
+        word = int.from_bytes(self._buf[first : last + 1], "little")
+        return (word >> (p & 7)) & ((1 << n) - 1)
+
     def skip(self, n: int) -> None:
         if self._bitpos + n > self._nbits:
             raise AudioFormatError("Bit reader: skip past end")
