@@ -1,0 +1,149 @@
+"""FastTracker II XM engine tests: loading, pitch, envelopes, effects,
+loop-stop, module API."""
+
+import numpy as np
+import pytest
+
+from audio_formats_tpu import AudioFileFormat, AudioStream
+
+from golden import xm_ref
+
+
+def _square_sample(length=32, amp=100, loop=True):
+    data = np.where(np.arange(length) < length // 2, amp, -amp).astype(np.int8)
+    return {
+        "data": data, "volume": 64, "loop_type": 1 if loop else 0,
+        "loop_start": 0, "loop_len": length if loop else 0,
+        "relative_note": 0, "bits": 8,
+    }
+
+
+def _simple_xm(rows=16, notes=((0, 49),), fx=(), tempo=6, bpm=125,
+               instruments=None, vol_env=None, fadeout=0):
+    """notes: (row, note) pairs on channel 0; fx: (row, ch, fx, param)."""
+    channels = 4
+    pat = xm_ref.empty_rows(rows, channels)
+    for row, note in notes:
+        pat[row][0] = xm_ref.cell(note=note, instr=1)
+    for row, ch, fxt, param in fx:
+        c = pat[row][ch]
+        pat[row][ch] = (c[0], c[1], c[2], fxt, param)
+    instruments = instruments or [
+        {"samples": [_square_sample()], "vol_env": vol_env,
+         "fadeout": fadeout}
+    ]
+    return xm_ref.build_xm([pat], [0], instruments, channels=channels,
+                           tempo=tempo, bpm=bpm)
+
+
+def _open(data):
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    assert s.get_format() == AudioFileFormat.xm
+    return s
+
+
+def test_probe_and_metadata():
+    s = _open(_simple_xm())
+    assert s.get_samplerate() == 44100.0
+    assert s.get_num_channels() == 2
+    assert s.get_length_in_frames() == -1
+    assert s.is_module()
+    assert s.count_module_patterns() == 1
+    assert s.get_module_length() == 1
+    assert s.rows_in_pattern(0) == 16
+    assert s.rows_in_pattern(5) == -1
+    assert s.frames_remaining_in_pattern() == -1  # unimplemented in reference
+
+
+def test_renders_and_stops_after_loop():
+    s = _open(_simple_xm())
+    total = 0
+    for _ in range(100):
+        c = s.read_samples_float(8192)
+        if c.shape[0] == 0:
+            break
+        total += c.shape[0]
+    # one pattern: 16 rows * 6 ticks * (44100/(125*0.4)) = 16*6*882
+    expected = 16 * 6 * 882
+    assert total >= expected  # generate pads with zeros to chunk size
+    assert s.read_samples_float(100).shape[0] == 0
+
+
+def test_tone_pitch_linear():
+    # note 49 (A-4 with relative 0) => linear period 7680-48*64=4608
+    # => frequency 8363 Hz; square wave of 32 samples loops at 8363/32 Hz
+    s = _open(_simple_xm(notes=((0, 49),)))
+    y = s.read_samples_float(30000)[:, 0]
+    y = y[2000:28000]
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    peak = np.argmax(spec[5:]) + 5
+    freq = peak * 44100 / len(y)
+    expect = 8363.0 / 32
+    assert abs(freq - expect) / expect < 0.03, (freq, expect)
+
+
+def test_volume_effect_and_key_off():
+    loud = _open(_simple_xm(fx=((0, 0, 0xC, 0x40),))).read_samples_float(8000)
+    quiet = _open(_simple_xm(fx=((0, 0, 0xC, 0x10),))).read_samples_float(8000)
+    assert np.abs(quiet[3000:]).max() < np.abs(loud[3000:]).max() * 0.5
+    # key off without envelope cuts the note
+    cut = _open(_simple_xm(notes=((0, 49), (4, 97)))).read_samples_float(44100)
+    tail = cut[30000:]
+    assert np.abs(tail).max() < 1e-4
+
+
+def test_volume_envelope_decay_and_fadeout():
+    env = {"points": [(0, 64), (40, 0)], "sustain_on": False}
+    data = _simple_xm(notes=((0, 49),), vol_env=env, fadeout=2000, rows=32)
+    y = _open(data).read_samples_float(60000)[:, 0]
+    early = np.abs(y[1000:5000]).max()
+    late = np.abs(y[40000:50000]).max()
+    assert late < early * 0.2
+
+
+def test_arpeggio_and_portamento_smoke():
+    data = _simple_xm(
+        rows=32,
+        notes=((0, 49),),
+        fx=tuple((r, 0, 0x0, 0x37) for r in range(1, 8))  # arpeggio
+        + tuple((r, 0, 0x1, 0x08) for r in range(8, 16)),  # porta up
+    )
+    y = _open(data).read_samples_float(70000)
+    assert np.abs(y).max() > 0.01
+    assert np.all(np.isfinite(y))
+
+
+def test_pattern_jump_and_seek():
+    pat0 = xm_ref.empty_rows(8, 4)
+    pat0[0][0] = xm_ref.cell(note=49, instr=1)
+    pat1 = xm_ref.empty_rows(8, 4)
+    pat1[0][0] = xm_ref.cell(note=61, instr=1)
+    data = xm_ref.build_xm([pat0, pat1], [0, 1],
+                           [{"samples": [_square_sample()]}], channels=4)
+    s = _open(data)
+    s.read_samples_float(8 * 6 * 882 + 100)
+    assert s.tell_module_pattern() >= 1
+    assert s.seek_position(1, 4)
+    assert s.tell_module_pattern() == 1
+    assert s.tell_module_row() >= 4
+    assert not s.seek_position(500)  # frame seek rejected for modules
+
+
+def test_16bit_sample_and_amiga_frequencies():
+    data16 = (np.sin(2 * np.pi * np.arange(64) / 64) * 20000).astype(np.int16)
+    ins = [{"samples": [{
+        "data": data16, "volume": 64, "loop_type": 1, "loop_start": 0,
+        "loop_len": 64, "relative_note": 0, "bits": 16,
+    }]}]
+    pat = xm_ref.empty_rows(8, 4)
+    pat[0][0] = xm_ref.cell(note=49, instr=1)
+    data = xm_ref.build_xm([pat], [0], ins, channels=4, linear=False)
+    y = _open(data).read_samples_float(20000)
+    assert np.abs(y).max() > 0.01
+    assert np.all(np.isfinite(y))
+
+
+def test_not_an_xm_rejected():
+    s = AudioStream().open_from_memory(b"Extended Nodule: " + b"\0" * 100)
+    assert s.is_error()
