@@ -59,7 +59,53 @@ def probe(src: ByteSource):
             return FlacDecoder(src)
         except AudioFormatError:
             return None
+    if len(head) == 4 and bytes(head) == b"OggS":
+        return _probe_ogg_flac(src)
     return None
+
+
+def _probe_ogg_flac(src: ByteSource):
+    """Ogg-encapsulated FLAC (drflac.d:2196-2425).
+
+    The first packet is the FLAC mapping header: 0x7F 'FLAC' major minor
+    nheaders(u16 BE) followed by a native 'fLaC' signature and STREAMINFO.
+    Audio packets are whole FLAC frames.  Since frames are self-delimiting,
+    de-encapsulating the packet bytes back into a native FLAC stream lets
+    the native decoder (incl. its device pipeline and seek paths) run
+    unchanged."""
+    from ..io import ogg
+
+    view = src.view()
+    page = ogg.parse_page(view, 0)
+    if page is None:
+        return None
+    first = view[page.body_offset : page.body_offset + page.body_size]
+    if len(first) < 13 or bytes(first[:5]) != b"\x7fFLAC":
+        return None
+    reader = ogg.OggPacketReader(view, page.serial)
+    pk = reader.next_packet()
+    if pk is None:
+        return None
+    parts = [pk[0][9:]]  # strip the mapping header: native 'fLaC' + metadata
+    while True:
+        pk = reader.next_packet()
+        if pk is None:
+            break
+        parts.append(pk[0])
+    try:
+        return FlacDecoder(MemorySourceLike(b"".join(parts)))
+    except AudioFormatError:
+        return None
+
+
+class MemorySourceLike:
+    """Minimal ByteSource over de-encapsulated bytes (decode is view-based)."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+
+    def view(self):
+        return memoryview(self._data)
 
 
 @dataclasses.dataclass

@@ -27,8 +27,9 @@ Host responsibilities (with reference anchors):
   minimp3.d:963-1000) is computed from the Huffman output
 
 Float output matches minimp3's float build (PCM scaled by 1/32768 inside the
-synthesis FIR).  Layers I/II (minimp3.d:294-486) are a later milestone: this
-decoder rejects them at probe time.
+synthesis FIR).  Layers I/II decode through the same synthesis filterbank
+with the subband bit-allocation/scalefactor stage of minimp3.d:286-486
+(grouped 3/5/9-level quantizers, joint-stereo bound, per-part scalefactors).
 """
 
 from __future__ import annotations
@@ -713,8 +714,7 @@ class Mp3Decoder:
         if pos < 0:
             raise AudioFormatError("Not an MP3 stream")
         h = view[pos : pos + 4]
-        if _layer(h) != 3:
-            raise AudioFormatError("MP3: only Layer III supported")
+        self._layer = _layer(h)
         self.channels = 1 if _is_mono(h) else 2
         self.sample_rate = _hdr_sample_rate(h)
         self._mpeg1 = _is_mpeg1(h)
@@ -724,7 +724,10 @@ class Mp3Decoder:
         self._start_delay = 0
         self._detected_samples = 0
         frame_size = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
-        ret, frames, delay, padding = _check_vbr_tag(view, pos, frame_size)
+        ret, frames, delay, padding = (
+            _check_vbr_tag(view, pos, frame_size)
+            if self._layer == 3 else (0, 0, 0, 0)
+        )
         start = pos
         if ret:
             start = pos + frame_size  # skip the tag frame
@@ -761,8 +764,12 @@ class Mp3Decoder:
                 break
             offsets.append(p)
             samples_acc.append(total)
-            # decodability via reservoir simulation (side-info only)
-            ok, consumed, avail = self._frame_reservoir_step(p, fb, reserv)
+            # decodability via reservoir simulation (side-info only; Layer
+            # I/II frames are always independently decodable)
+            if self._layer == 3:
+                ok, consumed, avail = self._frame_reservoir_step(p, fb, reserv)
+            else:
+                ok, avail = True, 0
             if ok or had_success:
                 total += self._spf * self.channels
                 had_success = True
@@ -952,6 +959,8 @@ class Mp3Decoder:
     def _decode_frame_at(self, off: int):
         """Decode one frame; returns (pcm [n, ch] f32 | None at EOF,
         frame_bytes)."""
+        if self._layer != 3:
+            return self._decode_l12_frame_at(off)
         tensors, fb = self._parse_frame_tensors(off)
         if fb == 0:
             return None, 0
@@ -967,6 +976,78 @@ class Mp3Decoder:
         out = np.asarray(out)  # [1, ngr, nch, 576]
         pcm = out[0].transpose(0, 2, 1).reshape(ngr * 576, nch)
         return pcm, fb
+
+
+    # -- Layer I/II decode (minimp3.d:286-486) --------------------------------
+    def _decode_l12_frame_at(self, off: int):
+        view = self._view
+        h = view[off : off + 4]
+        if not _hdr_compare(self._hdr0, h):
+            return None, 0
+        fb = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
+        if off + fb > len(view):
+            return None, 0
+        bs = _Bits(view[off + 4 : off + fb])
+        if not (h[1] & 1):
+            bs.get(16)
+        try:
+            sci = _l12_read_scale_info(h, bs)
+        except AudioFormatError:
+            return np.zeros((0, self.channels), np.float32), fb
+        layer = _layer(h)
+        group_size = 1 if layer == 1 else 3
+        n_granules = 3
+        nch = self.channels
+        slots_total = 12 if layer == 1 else 36
+        S = np.zeros((1, nch, slots_total, 32), np.float32)
+        slot = 0
+        for igr in range(n_granules):
+            grbuf = np.zeros((2, 32, 18), np.float32)
+            # 4 groups of group_size slots
+            for j in range(4):
+                for i in range(2 * sci["total_bands"]):
+                    ba = sci["bitalloc"][i]
+                    ch, band = i & 1, i >> 1
+                    base_slot = group_size * j
+                    if ba != 0:
+                        if ba < 17:
+                            half = (1 << (ba - 1)) - 1
+                            for k in range(group_size):
+                                grbuf[ch, band, base_slot + k] = float(
+                                    bs.get(ba) - half
+                                )
+                        else:
+                            mod = (2 << (ba - 17)) + 1  # 3, 5, 9
+                            code = bs.get(mod + 2 - (mod >> 3))  # 5, 7, 10
+                            for k in range(group_size):
+                                grbuf[ch, band, base_slot + k] = float(
+                                    code % mod - mod // 2
+                                )
+                                code //= mod
+            if layer == 1 and igr < 2:
+                # Layer I accumulates 3 granule-iterations (12 slots) before
+                # synthesis; stash and continue
+                pass
+            # apply scalefactors (L12_apply_scf_384): granule igr uses
+            # scf part igr; mono bands copy ch0 -> ch1
+            nslots = group_size * 4
+            if nch == 2:
+                sb = sci["stereo_bands"]
+                grbuf[1, sb:, :] = grbuf[0, sb:, :]
+            for band in range(sci["total_bands"]):
+                for ch in range(nch):
+                    scf = sci["scf"][band * 6 + ch * 3 + igr]
+                    grbuf[ch, band, :nslots] *= scf
+            s0 = igr * nslots if layer != 1 else igr * 4
+            S[0, :nch, s0 : s0 + nslots, :] = np.transpose(
+                grbuf[:nch, :, :nslots], (0, 2, 1)
+            )
+            slot = s0 + nslots
+        pcm, self._shist = mp3_dsp.mp3_synth_slots(
+            S[:, :, :slot], self._shist, nch=nch
+        )
+        pcm = np.asarray(pcm)[0]  # [nch, slots*32]
+        return pcm.T.astype(np.float32), fb
 
     # -- streaming read (mp3dec_ex_read, minimp3_ex.d:787-888) ---------------
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
@@ -1036,7 +1117,7 @@ class Mp3Decoder:
         i = max(0, i)
         # predecode + reservoir preroll (minimp3_ex.d:713-752)
         i = max(0, i - PREDECODE_FRAMES)
-        to_fill = 511
+        to_fill = 511 if self._layer == 3 else 0
         while i and to_fill:
             off = int(self._index_offsets[i - 1])
             h = self._view[off : off + 4]
@@ -1054,3 +1135,107 @@ class Mp3Decoder:
         self._offset = int(self._index_offsets[i])
         self._to_skip = int(position - self._index_samples[i])
         return True
+
+# ---------------------------------------------------------------------------
+# Layer I/II scale info (minimp3.d:286-430)
+# ---------------------------------------------------------------------------
+
+# (tab_offset into BITALLOC_CODE_TAB, code width, band count)
+_ALLOC_L1 = [(76, 4, 32)]
+_ALLOC_L2M2 = [(60, 4, 4), (44, 3, 7), (44, 2, 19)]
+_ALLOC_L2M1 = [(0, 4, 3), (16, 4, 8), (32, 3, 12), (40, 2, 7)]
+_ALLOC_L2M1_LOW = [(44, 4, 2), (44, 3, 10)]
+
+# dequant scale table (minimp3.d:356-366; ISO quantization steps)
+_DEQ_L12 = [
+    3.17891e-07, 2.52311e-07, 2.00259e-07, 1.36239e-07, 1.08133e-07,
+    8.58253e-08, 6.35783e-08, 5.04621e-08, 4.00518e-08, 3.07637e-08,
+    2.44172e-08, 1.93799e-08, 1.51377e-08, 1.20148e-08, 9.53615e-09,
+    7.50925e-09, 5.96009e-09, 4.73053e-09, 3.7399e-09, 2.96836e-09,
+    2.35599e-09, 1.86629e-09, 1.48128e-09, 1.17569e-09, 9.32233e-10,
+    7.39914e-10, 5.8727e-10, 4.65889e-10, 3.69776e-10, 2.93492e-10,
+    2.32888e-10, 1.84843e-10, 1.4671e-10, 1.1643e-10, 9.24102e-11,
+    7.3346e-11, 5.82112e-11, 4.62023e-11, 3.66708e-11, 2.91047e-11,
+    2.31004e-11, 1.83348e-11, 1.45521e-11, 1.155e-11, 9.16727e-12,
+    3.17891e-07, 2.52311e-07, 2.00259e-07, 1.90735e-07, 1.51386e-07,
+    1.20155e-07, 1.05964e-07, 8.41035e-08, 6.6753e-08,
+]
+
+
+def _l12_subband_alloc(h):
+    mode = (h[3] >> 6) & 3
+    mode_ext = (h[3] >> 4) & 3
+    if mode == 3:
+        stereo_bands = 0
+    elif mode == 1:
+        stereo_bands = (mode_ext << 2) + 4
+    else:
+        stereo_bands = 32
+    if (h[1] & 6) == 6:  # layer 1
+        alloc, nbands = _ALLOC_L1, 32
+    elif not _is_mpeg1(h):
+        alloc, nbands = _ALLOC_L2M2, 30
+    else:
+        sr_idx = (h[2] >> 2) & 3
+        kbps = _hdr_bitrate_kbps(h) >> (1 if mode != 3 else 0)
+        if not kbps:
+            kbps = 192
+        alloc, nbands = _ALLOC_L2M1, 27
+        if kbps < 56:
+            alloc = _ALLOC_L2M1_LOW
+            nbands = 12 if sr_idx == 2 else 8
+        elif kbps >= 96 and sr_idx != 1:
+            nbands = 30
+    return alloc, nbands, min(stereo_bands, nbands)
+
+
+def _l12_read_scale_info(h, bs: "_Bits") -> dict:
+    alloc, total_bands, stereo_bands = _l12_subband_alloc(h)
+    bitalloc = [0] * 64
+    scfcod = [0] * 64
+    k = 0
+    ai = -1
+    ba_bits = 0
+    tab_off = 0
+    for i in range(total_bands):
+        if i == k:
+            ai += 1
+            tab_off, ba_bits, cnt = alloc[ai]
+            k += cnt
+        ba = T.BITALLOC_CODE_TAB[tab_off + bs.get(ba_bits)]
+        bitalloc[2 * i] = ba
+        if i < stereo_bands:
+            ba = T.BITALLOC_CODE_TAB[tab_off + bs.get(ba_bits)]
+        bitalloc[2 * i + 1] = ba if stereo_bands else 0
+    for i in range(2 * total_bands):
+        # NOTE: scfcod bits exist only for allocated subchannels.  The D
+        # reference hoists get_bits out of the C short-circuit ternary
+        # (minimp3.d:430) and would misread mono/partially-allocated Layer II
+        # streams; we keep the original minimp3/ISO semantics.
+        if bitalloc[i]:
+            scfcod[i] = 2 if (h[1] & 6) == 6 else bs.get(2)
+        else:
+            scfcod[i] = 6
+    # scalefactors (L12_read_scalefactors, minimp3.d:354-386)
+    scf = [0.0] * (64 * 3)
+    idx = 0
+    for i in range(2 * total_bands):
+        s = 0.0
+        ba = bitalloc[i]
+        mask = (4 + ((19 >> scfcod[i]) & 3)) if ba else 0
+        m = 4
+        while m:
+            if mask & m:
+                b = bs.get(6)
+                s = _DEQ_L12[ba * 3 - 6 + b % 3] * float(1 << 21 >> (b // 3))
+            scf[idx] = s
+            idx += 1
+            m >>= 1
+    for i in range(stereo_bands, total_bands):
+        bitalloc[2 * i + 1] = 0
+    return {
+        "total_bands": total_bands,
+        "stereo_bands": stereo_bands,
+        "bitalloc": bitalloc,
+        "scf": scf,
+    }

@@ -213,3 +213,24 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
         granule_step, (overlap, shist), xs
     )
     return jnp.swapaxes(pcm_all, 0, 1), overlap, shist
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def mp3_synth_slots(S, shist, nch: int):
+    """Polyphase synthesis only — Layer I/II path (no IMDCT: L1/L2 are pure
+    subband codecs, minimp3.d:449-486).
+
+    S: [B, nch, T, 32] scf-applied subband slot vectors
+    shist: [B, nch, 16, 32] carried slot history
+    Returns (pcm [B, nch, T*32], shist').
+    """
+    W = jnp.asarray(SYNTH_FIR)
+    B, _, T, _ = S.shape
+    Sfull = jnp.concatenate([shist, S], axis=2)  # [B, nch, 16+T, 32]
+    wins = jnp.stack(
+        [Sfull[:, :, 16 - r : 16 - r + T, :] for r in range(17)], axis=3
+    )  # [B, nch, T, 17, 32]
+    pcm = jnp.einsum(
+        "bctrk,rjk->bctj", wins, W, precision=jax.lax.Precision.HIGHEST
+    )
+    return pcm.reshape(B, nch, T * 32), Sfull[:, :, -16:, :]

@@ -362,3 +362,186 @@ def decode_mono(granule_qs, global_gain=214, block_types=None):
             out, overlap = imdct_long(X, overlap, kind=0)
         grbufs.append(out * _SIGNMASK)
     return synth_granules(grbufs)
+
+
+# ---------------------------------------------------------------------------
+# Layer II fixture generator (MPEG-1, 44.1 kHz)
+# ---------------------------------------------------------------------------
+
+BITALLOC_CODE_TAB = [
+    0, 17, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+    0, 17, 18, 3, 19, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16,
+    0, 17, 18, 3, 19, 4, 5, 16,
+    0, 17, 18, 16,
+    0, 17, 18, 19, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    0, 17, 18, 3, 19, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+    0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+DEQ_L12 = [
+    3.17891e-07, 2.52311e-07, 2.00259e-07, 1.36239e-07, 1.08133e-07,
+    8.58253e-08, 6.35783e-08, 5.04621e-08, 4.00518e-08, 3.07637e-08,
+    2.44172e-08, 1.93799e-08, 1.51377e-08, 1.20148e-08, 9.53615e-09,
+    7.50925e-09, 5.96009e-09, 4.73053e-09, 3.7399e-09, 2.96836e-09,
+    2.35599e-09, 1.86629e-09, 1.48128e-09, 1.17569e-09, 9.32233e-10,
+    7.39914e-10, 5.8727e-10, 4.65889e-10, 3.69776e-10, 2.93492e-10,
+    2.32888e-10, 1.84843e-10, 1.4671e-10, 1.1643e-10, 9.24102e-11,
+    7.3346e-11, 5.82112e-11, 4.62023e-11, 3.66708e-11, 2.91047e-11,
+    2.31004e-11, 1.83348e-11, 1.45521e-11, 1.155e-11, 9.16727e-12,
+    3.17891e-07, 2.52311e-07, 2.00259e-07, 1.90735e-07, 1.51386e-07,
+    1.20155e-07, 1.05964e-07, 8.41035e-08, 6.6753e-08,
+]
+# 192 kbps mono @ 44.1 kHz MPEG-1: alloc regions (offset, width, bands)
+L2_ALLOC = [(0, 4, 3), (16, 4, 8), (32, 3, 12), (40, 2, 7)]
+L2_NBANDS = 30
+
+
+class _MSB:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def tobytes(self, pad_to):
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        assert len(out) <= pad_to, (len(out), pad_to)
+        return bytes(out) + b"\0" * (pad_to - len(out))
+
+
+def _l2_code_for_ba(tab_off, width, ba):
+    for c in range(1 << width):
+        if BITALLOC_CODE_TAB[tab_off + c] == ba:
+            return c
+    raise ValueError((tab_off, ba))
+
+
+def build_mp3_l2(granule_q, scf_idx, ba=3, frames_bitrate_idx=10):
+    """Mono MPEG-1 Layer II 44.1 kHz frames.
+
+    granule_q: [n_frames][3][30][12] quantized values (0 .. 2^ba-1)
+    scf_idx:   [n_frames][30] 6-bit scalefactor index per band
+    All 30 bands use the same bit allocation `ba` (a direct quantizer < 17).
+    Returns (bytes, expected_S) where expected_S is [n_frames*36, 32] float
+    subband slot vectors (for the synthesis expectation).
+    """
+    import numpy as np
+
+    out = bytearray()
+    S_all = []
+    frame_bytes = 1152 * 192 * 125 // 44100
+    # the top allocation region (bands 23+) only offers grouped quantizers;
+    # keep those bands silent so a single direct `ba` covers the rest
+    def band_ba(band):
+        return ba if band < 23 else 0
+
+    for q, scfs in zip(granule_q, scf_idx):
+        bw = _MSB()
+        # bitalloc codes per band
+        for band in range(L2_NBANDS):
+            off, width = _l2_region(band)
+            bw.w(_l2_code_for_ba(off, width, band_ba(band)), width)
+        # scfcod = 2 (single scalefactor), only for allocated bands
+        for band in range(L2_NBANDS):
+            if band_ba(band):
+                bw.w(2, 2)
+        # scalefactors (mask=4: one 6-bit value) — only for allocated bands
+        for band in range(L2_NBANDS):
+            if band_ba(band):
+                bw.w(scfs[band], 6)
+        # sample data: 3 granules x 4 groups x bands x 3 samples
+        half = (1 << (ba - 1)) - 1
+        for igr in range(3):
+            for j in range(4):
+                for band in range(L2_NBANDS):
+                    if band_ba(band):
+                        for k in range(3):
+                            bw.w(int(q[igr][band][j * 3 + k]), ba)
+        hdr = bytes([0xFF, 0xFD, (frames_bitrate_idx << 4) | 0, 0xC0])
+        out += hdr + bw.tobytes(frame_bytes - 4)
+        # expectation: S[slot, band] = (q - half) * scf
+        S = np.zeros((36, 32))
+        for igr in range(3):
+            for band in range(L2_NBANDS):
+                if not band_ba(band):
+                    continue
+                scf = DEQ_L12[ba * 3 - 6 + scfs[band] % 3] * \
+                    float(1 << 21 >> (scfs[band] // 3))
+                for t in range(12):
+                    S[igr * 12 + t, band] = \
+                        (q[igr][band][t] - half) * scf
+        S_all.append(S)
+    return bytes(out), np.concatenate(S_all)
+
+
+def _l2_region(band):
+    k = 0
+    for off, width, cnt in L2_ALLOC:
+        if band < k + cnt:
+            return off, width
+        k += cnt
+    raise ValueError(band)
+
+
+def _region_iter():
+    return []
+
+
+def synth_expected(S):
+    """Synthesis expectation for subband slots S [T, 32] (mono)."""
+    import numpy as np
+
+    Spad = np.concatenate([np.zeros((16, 32)), S])
+    out = np.zeros((S.shape[0], 32))
+    for t in range(S.shape[0]):
+        for r in range(17):
+            out[t] += _FIR[r] @ Spad[16 + t - r]
+    return out.reshape(-1)
+
+
+def build_mp3_l1(granule_q, scf_idx, ba=4):
+    """Mono MPEG-1 Layer I 44.1 kHz frames (288 kbps).
+
+    granule_q: [n_frames][32 bands][12 samples] values in 0..2^ba-1
+    scf_idx:   [n_frames][32] 6-bit scalefactor indices
+    """
+    import numpy as np
+
+    out = bytearray()
+    S_all = []
+    frame_bytes = (384 * 448 * 125 // 44100) & ~3
+    l1_tab_off = 76
+    for q, scfs in zip(granule_q, scf_idx):
+        bw = _MSB()
+        for band in range(32):
+            c = 0
+            for cand in range(16):
+                if BITALLOC_CODE_TAB[l1_tab_off + cand] == ba:
+                    c = cand
+                    break
+            bw.w(c, 4)
+        for band in range(32):
+            bw.w(scfs[band], 6)
+        half = (1 << (ba - 1)) - 1
+        for igr in range(3):
+            for j in range(4):
+                for band in range(32):
+                    bw.w(int(q[band][igr * 4 + j]), ba)
+        hdr = bytes([0xFF, 0xFF, (14 << 4) | 0, 0xC0])
+        out += hdr + bw.tobytes(frame_bytes - 4)
+        S = np.zeros((12, 32))
+        for band in range(32):
+            scf = DEQ_L12[ba * 3 - 6 + scfs[band] % 3] * \
+                float(1 << 21 >> (scfs[band] // 3))
+            for t in range(12):
+                S[t, band] = (q[band][t] - half) * scf
+        S_all.append(S)
+    return bytes(out), np.concatenate(S_all)

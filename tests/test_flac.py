@@ -182,3 +182,55 @@ def test_truncated_and_garbage():
     if not s.is_error():
         out = s.read_samples_float(1000)
         assert out.shape[0] < 1000  # short read, no crash
+
+
+def test_ogg_encapsulated_flac(rng):
+    """Ogg-FLAC (drflac.d:2196): mapping header packet + frame packets."""
+    from audio_formats_tpu.io import ogg as oggmod
+    frames = 3000
+    pcm = _pcm(frames, 2, 16, rng)
+    native = flac_ref.build_flac(pcm, 44100, 16, block_size=1024,
+                                 stereo_mode="left_side",
+                                 modes=["lpc4", "fixed2"])
+    # split the native stream into (metadata, frames...) packets
+    import struct
+    pos = 4
+    while True:
+        hdr = int.from_bytes(native[pos : pos + 4], "big")
+        size = hdr & 0xFFFFFF
+        last = hdr >> 31
+        pos += 4 + size
+        if last:
+            break
+    header_pkt = b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big") + native[:pos]
+    # one packet per FLAC frame: frames start with 0xFF F8 sync
+    body = native[pos:]
+    starts = [i for i in range(len(body) - 1)
+              if body[i] == 0xFF and (body[i + 1] & 0xFE) == 0xF8]
+    # keep only frame starts at increasing boundaries (first is real; use
+    # block alignment: every frame here starts after the previous one)
+    pkts = []
+    prev = 0
+    for i in starts[1:]:
+        # heuristic split is fine for this fixture: sync bytes inside frame
+        # data are possible but rare with this content; validate via decode
+        pass
+    # simpler: single audio packet containing all frames (legal: packets
+    # may hold any number of frames per the mapping's framing rules here)
+    pages = [oggmod.build_page([header_pkt], serial=42, seq=0, granule=0,
+                               bos=True)]
+    CHUNK = 4000
+    seq = 1
+    for i in range(0, len(body), CHUNK):
+        pages.append(oggmod.build_page(
+            [body[i : i + CHUNK]], serial=42, seq=seq,
+            granule=frames if i + CHUNK >= len(body) else 0,
+            eos=i + CHUNK >= len(body),
+        ))
+        seq += 1
+    data = b"".join(pages)
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    assert s.get_format() == AudioFileFormat.flac
+    out = s.read_samples_float(frames)
+    np.testing.assert_array_equal(out, _expected_float(pcm, 16))

@@ -217,3 +217,36 @@ def test_garbage_prefix_sync(rng):
 def test_not_mp3_rejected():
     s = AudioStream().open_from_memory(b"\xff\xff\xff\xff" * 100)
     assert s.is_error()
+
+
+def test_layer2_decode(rng):
+    """MPEG-1 Layer II: subband bit allocation + scalefactors + synthesis."""
+    n_frames = 3
+    ba = 4
+    gq = rng.integers(0, 1 << ba, size=(n_frames, 3, 30, 12)).tolist()
+    scfs = rng.integers(0, 60, size=(n_frames, 30)).tolist()
+    data, S = mp3_ref.build_mp3_l2(gq, scfs, ba=ba)
+    s = _open(data)
+    assert s.get_samplerate() == 44100.0
+    assert s.get_num_channels() == 1
+    assert s.get_length_in_frames() == n_frames * 1152
+    got = s.read_samples_float(n_frames * 1152).reshape(-1)
+    ref = mp3_ref.synth_expected(S)
+    assert got.shape[0] == ref.shape[0]
+    scale = np.max(np.abs(ref)) + 1e-12
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_layer1_decode(rng):
+    """MPEG-1 Layer I: 384-sample frames, single scalefactor per band."""
+    n_frames = 4
+    ba = 6
+    gq = rng.integers(0, 1 << ba, size=(n_frames, 32, 12)).tolist()
+    scfs = rng.integers(0, 60, size=(n_frames, 32)).tolist()
+    data, S = mp3_ref.build_mp3_l1(gq, scfs, ba=ba)
+    s = _open(data)
+    assert s.get_length_in_frames() == n_frames * 384
+    got = s.read_samples_float(n_frames * 384).reshape(-1)
+    ref = mp3_ref.synth_expected(S)
+    scale = np.max(np.abs(ref)) + 1e-12
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
