@@ -1,4 +1,472 @@
-"""Placeholder for the opus codec — implemented in a later milestone."""
+"""Ogg Opus: container layer, packet TOC, range decoder, silence/DTX frames.
 
-def probe(src):
-    return None
+Parity target: dopus.d.  Implemented this round:
+
+* Ogg-Opus demux: OpusHead (version/channels/preskip/input-rate/gain/mapping,
+  dopus.d:7793-7830), OpusTags with R128_TRACK_GAIN (dopus.d:8011),
+  duration = last-page granule − preskip at a fixed 48 kHz output
+  (dopus.d:7954, 8155-8158), page-anchor seek with preskip-aware
+  decode-and-discard positions (stream.d:1177-1188 contract)
+* Packet TOC parse: config/bandwidth/frame sizes, stereo flag, frame-count
+  codes 0-3 incl. VBR/CBR framing and padding (RFC 6716 §3, dopus.d
+  OpusPacket), per-packet sample counts
+* The RFC 6716 §4.1 range decoder (dopus.d OpusRangeCoder:707-810) — the
+  entropy substrate for CELT/SILK decode
+* Silence/DTX handling: zero-length frames and CELT silence frames decode to
+  silence with exact sample accounting
+
+NOT yet implemented (the remaining gap, next round): CELT band decode
+(PVQ/allocation, dopus.d:1647-3731), SILK (dopus.d:3815-5378) and hybrid
+mode.  Packets with coded audio set the stream error state with a clear
+message rather than producing wrong samples.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import AudioFileFormat
+from ..errors import AudioFormatError
+from ..io import ogg
+from ..io.source import ByteSource
+
+
+# ---------------------------------------------------------------------------
+# Range decoder (RFC 6716 §4.1)
+# ---------------------------------------------------------------------------
+
+class RangeDecoder:
+    """Opus range decoder over one frame's bytes.
+
+    Front bits feed the range coder; raw bits are read from the packet tail
+    (RFC 6716 §4.1.4).
+    """
+
+    SYM_BITS = 8
+    CODE_BITS = 32
+    SYM_MAX = (1 << 8) - 1
+    CODE_TOP = 1 << 31
+    CODE_BOT = 1 << 23
+    CODE_EXTRA = (32 - 2) % 8 + 1  # 7
+
+    def __init__(self, data: bytes):
+        self.buf = data
+        self.storage = len(data)
+        self.offs = 0
+        self.end_offs = 0
+        self.end_window = 0
+        self.nend_bits = 0
+        self.nbits_total = self.CODE_BITS + 1 - \
+            ((self.CODE_BITS - self.CODE_EXTRA) // self.SYM_BITS) * self.SYM_BITS
+        self.rng = 1 << self.CODE_EXTRA
+        self.rem = self._read_byte()
+        self.val = self.rng - 1 - (self.rem >> (self.SYM_BITS - self.CODE_EXTRA))
+        self._normalize()
+
+    def _read_byte(self) -> int:
+        if self.offs < self.storage:
+            b = self.buf[self.offs]
+            self.offs += 1
+            return b
+        return 0
+
+    def _read_byte_from_end(self) -> int:
+        if self.end_offs < self.storage:
+            self.end_offs += 1
+            return self.buf[self.storage - self.end_offs]
+        return 0
+
+    def _normalize(self) -> None:
+        while self.rng <= self.CODE_BOT:
+            self.nbits_total += self.SYM_BITS
+            self.rng <<= self.SYM_BITS
+            sym = self.rem
+            self.rem = self._read_byte()
+            sym = ((sym << self.SYM_BITS) | self.rem) >> (self.SYM_BITS - self.CODE_EXTRA)
+            self.val = ((self.val << self.SYM_BITS) +
+                        (self.SYM_MAX & ~sym)) & (self.CODE_TOP - 1)
+
+    def decode(self, ft: int) -> int:
+        """ec_decode: returns fs in [0, ft)."""
+        self.ext = self.rng // ft
+        s = self.val // self.ext
+        return ft - 1 - min(s, ft - 1)
+
+    def decode_bin(self, bits: int) -> int:
+        self.ext = self.rng >> bits
+        s = self.val // self.ext
+        return (1 << bits) - 1 - min(s, (1 << bits) - 1)
+
+    def update(self, fl: int, fh: int, ft: int) -> None:
+        """ec_dec_update."""
+        s = self.ext * (ft - fh)
+        self.val -= s
+        self.rng = self.ext * (fh - fl) if fl > 0 else self.rng - s
+        self._normalize()
+
+    def dec_bit_logp(self, logp: int) -> int:
+        r = self.rng
+        d = self.val
+        s = r >> logp
+        ret = int(d < s)
+        if not ret:
+            self.val = d - s
+        self.rng = s if ret else r - s
+        self._normalize()
+        return ret
+
+    def dec_icdf(self, icdf, ftb: int) -> int:
+        """ec_dec_icdf with an inverse CDF table (values scaled to 2^ftb)."""
+        s = self.rng
+        d = self.val
+        r = s >> ftb
+        ret = -1
+        while True:
+            ret += 1
+            t = s
+            s = r * icdf[ret]
+            if d >= s:
+                break
+        self.val = d - s
+        self.rng = t - s
+        self._normalize()
+        return ret
+
+    def dec_uint(self, ft: int) -> int:
+        """ec_dec_uint: uniform in [0, ft)."""
+        assert ft > 1
+        ft -= 1
+        ftb = ft.bit_length()
+        if ftb > 8:
+            ftb -= 8
+            ft1 = (ft >> ftb) + 1
+            t = self.decode(ft1)
+            self.update(t, t + 1, ft1)
+            t = (t << ftb) | self.dec_bits(ftb)
+            if t <= ft:
+                return t
+            raise AudioFormatError("Opus: range decoder uint overflow")
+        ft += 1
+        t = self.decode(ft)
+        self.update(t, t + 1, ft)
+        return t
+
+    def dec_bits(self, bits: int) -> int:
+        """Raw bits from the packet tail."""
+        window = self.end_window
+        available = self.nend_bits
+        while available < bits:
+            window |= self._read_byte_from_end() << available
+            available += self.SYM_BITS
+        ret = window & ((1 << bits) - 1)
+        window >>= bits
+        available -= bits
+        self.end_window = window
+        self.nend_bits = available
+        self.nbits_total += bits
+        return ret
+
+    def tell(self) -> int:
+        return self.nbits_total - self.rng.bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Packet TOC (RFC 6716 §3.1-3.2)
+# ---------------------------------------------------------------------------
+
+_CONFIG_FRAME_SIZES = []  # samples at 48 kHz per config 0..31
+for _c in range(32):
+    if _c < 12:
+        _CONFIG_FRAME_SIZES.append(
+            [480, 960, 1920, 2880][_c & 3]
+        )
+    elif _c < 16:
+        _CONFIG_FRAME_SIZES.append(480 << (_c & 1))
+    else:
+        _CONFIG_FRAME_SIZES.append(120 << (_c & 3))
+
+
+def parse_packet(data: bytes):
+    """Split an Opus packet into frames (RFC 6716 §3.2).
+
+    Returns dict(config, stereo, frame_size, frames=[bytes...]) or None.
+    """
+    if len(data) < 1:
+        return None
+    toc = data[0]
+    config = toc >> 3
+    stereo = (toc >> 2) & 1
+    code = toc & 3
+    frame_size = _CONFIG_FRAME_SIZES[config]
+    body = data[1:]
+    frames: List[bytes] = []
+    if code == 0:
+        frames = [body]
+    elif code == 1:
+        if len(body) & 1:
+            return None
+        half = len(body) // 2
+        frames = [body[:half], body[half:]]
+    elif code == 2:
+        if not body:
+            return None
+        n1 = body[0]
+        off = 1
+        if n1 >= 252:
+            if len(body) < 2:
+                return None
+            n1 = body[1] * 4 + n1
+            off = 2
+        if off + n1 > len(body):
+            return None
+        frames = [body[off : off + n1], body[off + n1 :]]
+    else:  # code 3
+        if not body:
+            return None
+        ch = body[0]
+        nframes = ch & 0x3F
+        vbr = (ch >> 7) & 1
+        has_padding = (ch >> 6) & 1
+        off = 1
+        if nframes == 0:
+            return None
+        padding = 0
+        if has_padding:
+            while True:
+                if off >= len(body):
+                    return None
+                p = body[off]
+                off += 1
+                padding += p if p < 255 else 254
+                if p != 255:
+                    break
+        payload_end = len(body) - padding
+        if vbr:
+            sizes = []
+            for _ in range(nframes - 1):
+                if off >= payload_end:
+                    return None
+                n = body[off]
+                off += 1
+                if n >= 252:
+                    if off >= payload_end:
+                        return None
+                    n = body[off] * 4 + n
+                    off += 1
+                sizes.append(n)
+            rest = payload_end - off - sum(sizes)
+            if rest < 0:
+                return None
+            sizes.append(rest)
+        else:
+            total = payload_end - off
+            if total % nframes:
+                return None
+            sizes = [total // nframes] * nframes
+        for n in sizes:
+            frames.append(body[off : off + n])
+            off += n
+    if frame_size * len(frames) > 5760:  # max 120 ms per packet
+        return None
+    return {
+        "config": config,
+        "stereo": stereo,
+        "frame_size": frame_size,
+        "frames": frames,
+        "mode": ("silk" if config < 12 else
+                 "hybrid" if config < 16 else "celt"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Decoder (container complete; coded-audio decode lands next round)
+# ---------------------------------------------------------------------------
+
+def probe(src: ByteSource):
+    view = src.view()
+    page = ogg.parse_page(view, 0)
+    if page is None:
+        return None
+    body = view[page.body_offset : page.body_offset + page.body_size]
+    if len(body) < 19 or bytes(body[:8]) != b"OpusHead":
+        return None
+    try:
+        return OpusDecoder(src)
+    except AudioFormatError:
+        return None
+
+
+class OpusDecoder:
+    format = AudioFileFormat.opus
+    sample_rate = 48000  # Opus always decodes at 48 kHz (dopus.d:7954)
+
+    def __init__(self, src: ByteSource):
+        self._src = src
+        self._view = src.view()
+        self._parse_headers()
+        total = ogg.last_granule(self._view, self._serial)
+        if total < self.preskip:
+            raise AudioFormatError("Opus: invalid granule positions")
+        self.length_frames = int(total) - self.preskip
+        self._page_index = [
+            (off, g) for off, g in ogg.page_offsets(self._view, self._serial)
+            if g >= 0
+        ]
+        self._start_stream()
+
+    def _parse_headers(self) -> None:
+        reader = ogg.OggPacketReader(self._view)
+        pk = reader.next_packet()
+        if pk is None or len(pk[0]) < 19 or pk[0][:8] != b"OpusHead":
+            raise AudioFormatError("Opus: missing OpusHead")
+        head = pk[0]
+        page0 = ogg.parse_page(self._view, 0)
+        self._serial = page0.serial
+        version = head[8]
+        if version & 0xF0:
+            raise AudioFormatError("Opus: unsupported version")
+        self.channels = head[9]
+        self.preskip = struct.unpack_from("<H", head, 10)[0]
+        self.input_sample_rate = struct.unpack_from("<I", head, 12)[0]
+        self.output_gain_q8 = struct.unpack_from("<h", head, 16)[0]
+        self.channel_mapping = head[18]
+        if self.channels == 0 or self.channels > 2 or self.channel_mapping != 0:
+            # multistream mappings: next round
+            raise AudioFormatError("Opus: unsupported channel mapping")
+        pk = reader.next_packet()
+        if pk is None or pk[0][:8] != b"OpusTags":
+            raise AudioFormatError("Opus: missing OpusTags")
+        self.r128_track_gain_q8 = _parse_r128_gain(pk[0])
+        self._data_start = reader._pos
+
+    def _start_stream(self) -> None:
+        self._reader = ogg.OggPacketReader(self._view, self._serial,
+                                           self._data_start)
+        self._pos = 0  # position in output samples (post-preskip)
+        self._to_skip = self.preskip
+        self._buf = np.zeros((0, self.channels), np.float32)
+        self._buf_start = 0
+
+    # -- frame decode ---------------------------------------------------------
+    def _decode_packet(self, data: bytes) -> np.ndarray:
+        pk = parse_packet(data)
+        if pk is None:
+            raise AudioFormatError("Opus: corrupt packet")
+        out = []
+        for frame in pk["frames"]:
+            n = pk["frame_size"]
+            if len(frame) == 0:
+                # DTX/packet-loss frame: silence
+                out.append(np.zeros((n, self.channels), np.float32))
+                continue
+            if pk["mode"] == "celt":
+                rd = RangeDecoder(frame)
+                if rd.dec_bit_logp(15):  # CELT silence flag (RFC 6716 §4.3)
+                    out.append(np.zeros((n, self.channels), np.float32))
+                    continue
+            raise AudioFormatError(
+                "Opus: coded %s frames not yet supported" % pk["mode"]
+            )
+        return np.concatenate(out) if out else \
+            np.zeros((0, self.channels), np.float32)
+
+    # -- read / seek -----------------------------------------------------------
+    def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
+        chunks = []
+        got = 0
+        while got < max_frames:
+            avail = self._buf.shape[0] - self._buf_start
+            if avail == 0:
+                if self._pos >= self.length_frames:
+                    break
+                pk = self._reader.next_packet()
+                if pk is None:
+                    break
+                pcm = self._decode_packet(pk[0])
+                if self._to_skip:
+                    skip = min(self._to_skip, pcm.shape[0])
+                    pcm = pcm[skip:]
+                    self._to_skip -= skip
+                pcm = pcm[: max(0, self.length_frames - self._pos)]
+                self._buf = pcm
+                self._buf_start = 0
+                avail = pcm.shape[0]
+                if avail == 0:
+                    continue
+            take = min(avail, max_frames - got)
+            chunks.append(self._buf[self._buf_start : self._buf_start + take])
+            self._buf_start += take
+            self._pos += take
+            got += take
+        if not chunks:
+            return np.zeros((0, self.channels), dtype=dtype)
+        return np.concatenate(chunks).astype(dtype)
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, frame: int) -> bool:
+        """Page-anchor bisection + decode-and-discard for sample accuracy
+        (OggStream.seekPCM dopus.d:7458 + stream.d:1177-1188)."""
+        if frame < 0 or frame > self.length_frames:
+            return False
+        target_granule = frame + self.preskip
+        anchor = None
+        for off, g in self._page_index:
+            if off < self._data_start:
+                continue
+            if g <= target_granule:
+                anchor = (off, g)
+            else:
+                break
+        self._start_stream()
+        if anchor is not None:
+            self._reader.reset(
+                ogg.parse_page(self._view, anchor[0]).body_offset
+                + ogg.parse_page(self._view, anchor[0]).body_size
+            )
+            self._pos = anchor[1] - self.preskip
+            self._to_skip = 0
+            if self._pos < 0:
+                self._to_skip = -self._pos
+                self._pos = 0
+        to_skip = frame - self._pos
+        while to_skip > 0:
+            pk = self._reader.next_packet()
+            if pk is None:
+                return self._pos == frame
+            pcm = self._decode_packet(pk[0])
+            if self._to_skip:
+                s = min(self._to_skip, pcm.shape[0])
+                pcm = pcm[s:]
+                self._to_skip -= s
+            take = min(to_skip, pcm.shape[0])
+            if take < pcm.shape[0]:
+                self._buf = np.ascontiguousarray(pcm[take:])
+                self._buf_start = 0
+            self._pos += take
+            to_skip -= take
+        return True
+
+
+def _parse_r128_gain(tags: bytes) -> int:
+    """R128_TRACK_GAIN from OpusTags (dopus.d:8011)."""
+    try:
+        pos = 8
+        vendor_len = struct.unpack_from("<I", tags, pos)[0]
+        pos += 4 + vendor_len
+        count = struct.unpack_from("<I", tags, pos)[0]
+        pos += 4
+        for _ in range(count):
+            ln = struct.unpack_from("<I", tags, pos)[0]
+            pos += 4
+            item = tags[pos : pos + ln]
+            pos += ln
+            if item.upper().startswith(b"R128_TRACK_GAIN="):
+                return int(item.split(b"=", 1)[1])
+    except (struct.error, ValueError, IndexError):
+        pass
+    return 0

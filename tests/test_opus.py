@@ -1,0 +1,169 @@
+"""Opus: range-decoder roundtrip vs the RFC range encoder, packet TOC
+parsing, Ogg-Opus container metadata/duration/preskip, silence decode,
+seek, and the documented coded-audio gap."""
+
+import numpy as np
+import pytest
+
+from audio_formats_tpu import AudioFileFormat, AudioStream
+from audio_formats_tpu.models.opus import RangeDecoder, parse_packet
+
+from golden import opus_ref
+
+
+# ---------------------------------------------------------------------------
+# Range coder roundtrip
+# ---------------------------------------------------------------------------
+
+def test_range_coder_roundtrip_symbols(rng):
+    for trial in range(20):
+        n = int(rng.integers(5, 60))
+        fts = rng.integers(2, 300, size=n)
+        symbols = [int(rng.integers(0, ft)) for ft in fts]
+        enc = opus_ref.RangeEncoder(256)
+        for s, ft in zip(symbols, fts):
+            enc.encode(s, s + 1, int(ft))
+        data = enc.done()
+        dec = RangeDecoder(data)
+        for s, ft in zip(symbols, fts):
+            got = dec.decode(int(ft))
+            assert got == s
+            dec.update(got, got + 1, int(ft))
+
+
+def test_range_coder_bit_logp_and_icdf(rng):
+    icdf = [200, 150, 100, 50, 20, 0]  # 8-bit inverse CDF
+    for trial in range(10):
+        bits = [int(rng.integers(0, 2)) for _ in range(30)]
+        logps = [int(rng.integers(1, 14)) for _ in range(30)]
+        syms = [int(rng.integers(0, len(icdf))) for _ in range(12)]
+        enc = opus_ref.RangeEncoder(256)
+        for b, lp in zip(bits, logps):
+            enc.enc_bit_logp(b, lp)
+        for s in syms:
+            enc.enc_icdf(s, icdf, 8)
+        data = enc.done()
+        dec = RangeDecoder(data)
+        for b, lp in zip(bits, logps):
+            assert dec.dec_bit_logp(lp) == b
+        for s in syms:
+            assert dec.dec_icdf(icdf, 8) == s
+
+
+def test_range_coder_uint_and_raw_bits(rng):
+    for trial in range(10):
+        uints = [(int(rng.integers(0, ft)), int(ft))
+                 for ft in rng.integers(2, 100000, size=15)]
+        raws = [(int(rng.integers(0, 1 << b)), int(b))
+                for b in rng.integers(1, 20, size=10)]
+        enc = opus_ref.RangeEncoder(512)
+        for v, ft in uints:
+            enc.enc_uint(v, ft)
+        for v, b in raws:
+            enc.enc_bits(v, b)
+        data = enc.done()
+        dec = RangeDecoder(data)
+        for v, ft in uints:
+            assert dec.dec_uint(ft) == v
+        for v, b in raws:
+            assert dec.dec_bits(b) == v
+
+
+# ---------------------------------------------------------------------------
+# Packet TOC
+# ---------------------------------------------------------------------------
+
+def test_toc_codes():
+    # code 0: single frame
+    p = parse_packet(bytes([17 << 3]) + b"abc")
+    assert p["mode"] == "celt" and p["frame_size"] == 240
+    assert p["frames"] == [b"abc"]
+    # code 1: two equal frames
+    p = parse_packet(bytes([(17 << 3) | 1]) + b"abcd")
+    assert p["frames"] == [b"ab", b"cd"]
+    # code 2: two frames, explicit first length
+    p = parse_packet(bytes([(17 << 3) | 2, 2]) + b"abcde")
+    assert p["frames"] == [b"ab", b"cde"]
+    # code 3 CBR: 3 frames
+    p = parse_packet(bytes([(16 << 3) | 3, 3]) + b"abcdef")
+    assert p["frames"] == [b"ab", b"cd", b"ef"]
+    # code 3 VBR with padding
+    p = parse_packet(bytes([(16 << 3) | 3, 0xC2, 1, 1]) + b"abcdZ")
+    assert p["frames"] == [b"a", b"bcd"]
+    # SILK/hybrid configs
+    assert parse_packet(bytes([0]) + b"x")["mode"] == "silk"
+    assert parse_packet(bytes([12 << 3]) + b"x")["mode"] == "hybrid"
+    assert parse_packet(bytes([15 << 3]) + b"x")["frame_size"] == 960
+    assert parse_packet(bytes([14 << 3]) + b"x")["frame_size"] == 480
+    # stereo flag
+    assert parse_packet(bytes([(17 << 3) | 4]) + b"x")["stereo"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Container end-to-end (silence streams)
+# ---------------------------------------------------------------------------
+
+def _silence_stream(n_packets=20, preskip=312, **kw):
+    packets = [opus_ref.silence_packet() for _ in range(n_packets)]
+    return opus_ref.build_ogg_opus(packets, preskip=preskip, **kw), packets
+
+
+def test_container_metadata_and_silence_decode():
+    data, packets = _silence_stream()
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    assert s.get_format() == AudioFileFormat.opus
+    assert s.get_samplerate() == 48000.0  # always 48 kHz (dopus.d:7954)
+    assert s.get_num_channels() == 1
+    total = sum(n for _, n in packets) - 312  # preskip excluded
+    assert s.get_length_in_frames() == total
+    out = s.read_samples_float(10**6)
+    assert out.shape == (total, 1)
+    assert np.all(out == 0)
+    assert s._decoder.r128_track_gain_q8 == -1024
+
+
+def test_dtx_and_final_truncation():
+    packets = [opus_ref.silence_packet(), opus_ref.dtx_packet(),
+               opus_ref.silence_packet()]
+    total = sum(n for _, n in packets)
+    data = opus_ref.build_ogg_opus(packets, preskip=100,
+                                   final_granule=total - 50)
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error()
+    assert s.get_length_in_frames() == total - 50 - 100
+    out = s.read_samples_float(10**6)
+    assert out.shape[0] == total - 50 - 100
+
+
+def test_seek_contract_silence():
+    data, packets = _silence_stream(n_packets=30)
+    s = AudioStream().open_from_memory(data)
+    L = s.get_length_in_frames()
+    assert s.tell_position() == 0
+    assert not s.seek_position(-1)
+    assert not s.seek_position(L + 1)
+    assert s.seek_position(L - 1)
+    assert s.read_samples_float(10).shape[0] == 1
+    assert s.seek_position(L)
+    assert s.read_samples_float(10).shape[0] == 0
+    for target in (0, 1, 500, 1921, 3000):
+        assert s.seek_position(target), target
+        assert s.tell_position() == target
+    assert not s.is_error()
+
+
+def test_coded_audio_reports_clear_error():
+    # a CELT frame with the silence bit CLEAR => coded audio => decode gap
+    enc = opus_ref.RangeEncoder(16)
+    enc.enc_bit_logp(0, 15)
+    enc.enc_bits(0x2A, 6)
+    frame = enc.done()
+    pkt = bytes([17 << 3]) + frame
+    data = opus_ref.build_ogg_opus([(pkt, 240)], preskip=100)
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error()
+    out = s.read_samples_float(100)
+    assert out.shape[0] == 0
+    assert s.is_error()
+    assert "not yet supported" in s.error_message()
