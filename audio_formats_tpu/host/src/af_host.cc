@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 
 extern "C" {
 
@@ -372,6 +373,347 @@ int af_flac_parse_frame(
   meta[1] = chan_assignment;
   meta[2] = nch;
   meta[3] = br.pos;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// MP3 Layer III: full side-info + scalefactor + Huffman frame parse
+// ---------------------------------------------------------------------------
+
+struct Mp3Bits {
+  const uint8_t* buf;
+  int64_t pos;
+  int64_t limit;
+};
+
+static inline uint32_t mp3_get(Mp3Bits* bs, int n) {
+  int64_t p = bs->pos;
+  bs->pos = p + n;
+  if (bs->pos > bs->limit || n == 0) return 0;
+  int64_t first = p >> 3;
+  int64_t last = (p + n - 1) >> 3;
+  uint64_t w = 0;
+  for (int64_t i = first; i <= last; i++) w = (w << 8) | bs->buf[i];
+  return (uint32_t)((w >> ((last + 1) * 8 - p - n)) & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+}
+
+// Tables injected from Python at init.
+static uint8_t g_scf_long[8 * 23];
+static uint8_t g_scf_short[8 * 40];
+static uint8_t g_scf_mixed[8 * 40];
+static uint8_t g_scf_partitions[3 * 28];
+static uint8_t g_scfc_decode[16];
+static uint8_t g_scf_mod[24];
+static uint8_t g_preamp[10];
+
+int af_mp3_set_l3_tables(const uint8_t* scf_long, const uint8_t* scf_short,
+                         const uint8_t* scf_mixed, const uint8_t* parts,
+                         const uint8_t* scfc, const uint8_t* mod,
+                         const uint8_t* preamp) {
+  memcpy(g_scf_long, scf_long, sizeof(g_scf_long));
+  memcpy(g_scf_short, scf_short, sizeof(g_scf_short));
+  memcpy(g_scf_mixed, scf_mixed, sizeof(g_scf_mixed));
+  memcpy(g_scf_partitions, parts, sizeof(g_scf_partitions));
+  memcpy(g_scfc_decode, scfc, sizeof(g_scfc_decode));
+  memcpy(g_scf_mod, mod, sizeof(g_scf_mod));
+  memcpy(g_preamp, preamp, sizeof(g_preamp));
+  return 0;
+}
+
+struct GrInfo {
+  const uint8_t* sfbtab;
+  int part_23_length, big_values, scalefac_compress;
+  int global_gain, block_type, mixed_block_flag, n_long_sfb, n_short_sfb;
+  int table_select[3], region_count[3], subblock_gain[3];
+  int preflag, scalefac_scale, count1_table, scfsi;
+};
+
+// L3_read_side_info (minimp3.d:487-640).  Returns main_data_begin or -1.
+static int mp3_side_info(Mp3Bits* bs, GrInfo* gr, const uint8_t* h) {
+  int sr_idx = ((h[2] >> 2) & 3) + (((h[1] >> 3) & 1) + ((h[1] >> 4) & 1)) * 3;
+  sr_idx -= (sr_idx != 0);
+  int mpeg1 = h[1] & 0x8;
+  int mono = (h[3] & 0xC0) == 0xC0;
+  int gr_count = mono ? 1 : 2;
+  unsigned scfsi = 0;
+  int main_data_begin;
+  if (mpeg1) {
+    gr_count *= 2;
+    main_data_begin = (int)mp3_get(bs, 9);
+    scfsi = mp3_get(bs, 7 + gr_count);
+  } else {
+    main_data_begin = (int)(mp3_get(bs, 8 + gr_count) >> gr_count);
+  }
+  int part_23_sum = 0;
+  for (int g = 0; g < gr_count; g++, gr++) {
+    if (mono) scfsi <<= 4;
+    gr->part_23_length = (int)mp3_get(bs, 12);
+    part_23_sum += gr->part_23_length;
+    gr->big_values = (int)mp3_get(bs, 9);
+    if (gr->big_values > 288) return -1;
+    gr->global_gain = (int)mp3_get(bs, 8);
+    gr->scalefac_compress = (int)mp3_get(bs, mpeg1 ? 4 : 9);
+    gr->sfbtab = g_scf_long + sr_idx * 23;
+    gr->n_long_sfb = 22;
+    gr->n_short_sfb = 0;
+    gr->region_count[0] = gr->region_count[1] = gr->region_count[2] = 0;
+    gr->subblock_gain[0] = gr->subblock_gain[1] = gr->subblock_gain[2] = 0;
+    gr->mixed_block_flag = 0;
+    unsigned tables;
+    if (mp3_get(bs, 1)) {
+      gr->block_type = (int)mp3_get(bs, 2);
+      if (!gr->block_type) return -1;
+      gr->mixed_block_flag = (int)mp3_get(bs, 1);
+      gr->region_count[0] = 7;
+      gr->region_count[1] = 255;
+      if (gr->block_type == 2) {
+        scfsi &= 0x0F0F;
+        if (!gr->mixed_block_flag) {
+          gr->region_count[0] = 8;
+          gr->sfbtab = g_scf_short + sr_idx * 40;
+          gr->n_long_sfb = 0;
+          gr->n_short_sfb = 39;
+        } else {
+          gr->sfbtab = g_scf_mixed + sr_idx * 40;
+          gr->n_long_sfb = mpeg1 ? 8 : 6;
+          gr->n_short_sfb = 30;
+        }
+      }
+      tables = mp3_get(bs, 10) << 5;
+      gr->subblock_gain[0] = (int)mp3_get(bs, 3);
+      gr->subblock_gain[1] = (int)mp3_get(bs, 3);
+      gr->subblock_gain[2] = (int)mp3_get(bs, 3);
+    } else {
+      gr->block_type = 0;
+      tables = mp3_get(bs, 15);
+      gr->region_count[0] = (int)mp3_get(bs, 4);
+      gr->region_count[1] = (int)mp3_get(bs, 3);
+      gr->region_count[2] = 255;
+    }
+    gr->table_select[0] = (int)(tables >> 10);
+    gr->table_select[1] = (int)((tables >> 5) & 31);
+    gr->table_select[2] = (int)(tables & 31);
+    gr->preflag = mpeg1 ? (int)mp3_get(bs, 1) : (gr->scalefac_compress >= 500);
+    gr->scalefac_scale = (int)mp3_get(bs, 1);
+    gr->count1_table = (int)mp3_get(bs, 1);
+    gr->scfsi = (int)((scfsi >> 12) & 15);
+    scfsi <<= 4;
+  }
+  if (part_23_sum + bs->pos > bs->limit + (int64_t)main_data_begin * 8)
+    return -1;
+  return main_data_begin;
+}
+
+// L3_decode_scalefactors (minimp3.d:648-720) over the maindata reader.
+static void mp3_scalefactors(const uint8_t* h, int32_t* ist_pos,
+                             BitReader* br, const GrInfo* gr, int ch,
+                             float* scf /*[40]*/) {
+  int mpeg1 = h[1] & 0x8;
+  int part_idx = (gr->n_short_sfb ? 1 : 0) + (gr->n_long_sfb ? 0 : 1);
+  const uint8_t* scf_partition = g_scf_partitions + part_idx * 28;
+  int scf_size[4] = {0, 0, 0, 0};
+  int32_t iscf[43];
+  memset(iscf, 0, sizeof(iscf));
+  int scf_shift = gr->scalefac_scale + 1;
+  long scfsi = gr->scfsi;
+  int k = 0;
+  if (mpeg1) {
+    int part = g_scfc_decode[gr->scalefac_compress];
+    scf_size[0] = scf_size[1] = part >> 2;
+    scf_size[2] = scf_size[3] = part & 3;
+  } else {
+    int ist = ((h[3] & 0x10) && ch) ? 1 : 0;
+    long sfc = gr->scalefac_compress >> ist;
+    k = ist * 3 * 4;
+    while (sfc >= 0) {
+      long modprod = 1;
+      for (int i = 3; i >= 0; i--) {
+        scf_size[i] = (int)((sfc / modprod) % g_scf_mod[k + i]);
+        modprod *= g_scf_mod[k + i];
+      }
+      sfc -= modprod;
+      k += 4;
+    }
+    scfsi = -16;
+  }
+  // read scalefactors
+  {
+    const uint8_t* scf_count = scf_partition + k;
+    int n = 0;
+    for (int i = 0; i < 4 && scf_count[i]; i++) {
+      int cnt = scf_count[i];
+      if (scfsi & 8) {
+        for (int j = 0; j < cnt; j++) iscf[n + j] = ist_pos[n + j];
+      } else {
+        int bits = scf_size[i];
+        if (!bits) {
+          for (int j = 0; j < cnt; j++) { iscf[n + j] = 0; ist_pos[n + j] = 0; }
+        } else {
+          int max_scf = (scfsi < 0) ? (1 << bits) - 1 : -1;
+          for (int j = 0; j < cnt; j++) {
+            int s = (int)br_get(br, bits);
+            ist_pos[n + j] = (s == max_scf) ? 255 : s;
+            iscf[n + j] = s;
+          }
+        }
+      }
+      n += cnt;
+      scfsi *= 2;
+    }
+    iscf[n] = iscf[n + 1] = iscf[n + 2] = 0;
+  }
+  if (gr->n_short_sfb) {
+    int sh = 3 - scf_shift;
+    for (int i = 0; i < gr->n_short_sfb; i += 3) {
+      iscf[gr->n_long_sfb + i + 0] += gr->subblock_gain[0] << sh;
+      iscf[gr->n_long_sfb + i + 1] += gr->subblock_gain[1] << sh;
+      iscf[gr->n_long_sfb + i + 2] += gr->subblock_gain[2] << sh;
+    }
+  } else if (gr->preflag) {
+    for (int i = 0; i < 10; i++) iscf[11 + i] += g_preamp[i];
+  }
+  int ms_stereo = (h[3] & 0xE0) == 0x60;
+  int gain_exp = gr->global_gain - 4 - 210 - (ms_stereo ? 2 : 0);
+  int nb = gr->n_long_sfb + gr->n_short_sfb;
+  for (int i = 0; i < 40; i++) scf[i] = 0.0f;
+  for (int i = 0; i < nb; i++) {
+    long e = (long)gain_exp - ((long)iscf[i] << scf_shift);
+    scf[i] = (float)exp2((double)e / 4.0);
+  }
+}
+
+// Full-frame Layer III main-data parse: scalefactors + Huffman for every
+// granule-channel.  maindata layout mirrors the Python path.
+//   q_out    [ngr*nch*576] int32
+//   gain_out [ngr*nch*576] float
+//   meta_in: [0]=ngr [1]=nch; header: 4 bytes
+//   gr_fields: int32[ngr*nch*24] packed GrInfo fields from Python? No —
+//   side info is parsed here too, from the frame bytes.
+// Returns 0 ok, -1 bad side info (decoder resets), -2 reservoir underflow
+// handled by caller (this function is only called when restore succeeded).
+int af_mp3_parse_granules(
+    const uint8_t* hdr4, const uint8_t* maindata, int64_t maindata_len,
+    const uint8_t* sideinfo, int64_t sideinfo_len,
+    int32_t* ist_pos /* [2*40] persistent */,
+    int32_t* q_out, float* gain_out,
+    int32_t* gr_meta /* [ngr*nch*12], layout documented in native.py */,
+    int32_t* ist_snapshot /* [ngr*40]: right-channel ist_pos after each
+                             granule (intensity-stereo mixing input) */,
+    int32_t* out_counts /* [2]: ngr, nch */) {
+  GrInfo grs[4];
+  Mp3Bits bs = {sideinfo, 0, sideinfo_len * 8};
+  int main_data_begin = mp3_side_info(&bs, grs, hdr4);
+  if (main_data_begin < 0) return -1;
+  int mpeg1 = hdr4[1] & 0x8;
+  int nch = ((hdr4[3] & 0xC0) == 0xC0) ? 1 : 2;
+  int ngr = mpeg1 ? 2 : 1;
+  out_counts[0] = ngr;
+  out_counts[1] = nch;
+
+  BitReader br = {maindata, maindata_len * 8, 0};
+  float scf[40];
+  for (int g = 0; g < ngr; g++) {
+    for (int ch = 0; ch < nch; ch++) {
+      GrInfo* gr = &grs[g * nch + ch];
+      int64_t limit = br.pos + gr->part_23_length;
+      mp3_scalefactors(hdr4, ist_pos + ch * 40, &br, gr, ch, scf);
+      int32_t* q = q_out + (int64_t)(g * nch + ch) * 576;
+      float* gains = gain_out + (int64_t)(g * nch + ch) * 576;
+      int32_t ts[3] = {gr->table_select[0], gr->table_select[1],
+                       gr->table_select[2]};
+      int32_t rc[3] = {gr->region_count[0], gr->region_count[1],
+                       gr->region_count[2]};
+      uint8_t sfb[48];
+      memset(sfb, 0, sizeof(sfb));
+      memcpy(sfb, gr->sfbtab, gr->n_short_sfb ? 40 : 23);
+      int64_t end = af_mp3_huffman(maindata, maindata_len, br.pos, limit,
+                                   ts, rc, sfb, scf, gr->big_values,
+                                   gr->count1_table, q, gains);
+      if (end < 0) return -1;
+      br.pos = limit;
+      // export per-granule metadata for device-side window/mix prep
+      int32_t* m = gr_meta + (int64_t)(g * nch + ch) * 12;
+      m[0] = gr->big_values;
+      m[1] = gr->block_type;
+      m[2] = gr->mixed_block_flag;
+      m[3] = gr->n_long_sfb;
+      m[4] = gr->n_short_sfb;
+      m[5] = gr->scalefac_compress;
+      m[6] = gr->scfsi;
+      m[7] = 0;
+      m[8] = 0;
+      m[9] = 0;
+      m[10] = 0;
+      m[11] = 0;
+    }
+    memcpy(ist_snapshot + (int64_t)g * 40, ist_pos + (nch - 1) * 40,
+           40 * sizeof(int32_t));
+  }
+  return 0;
+}
+
+// Lean per-frame entry: Python parses side info (it owns the bit-reservoir
+// bookkeeping) and passes per-granule parameters; this decodes scalefactors
+// + Huffman for every granule-channel in one call.
+// gr_params per granule-channel, int32[20]:
+//  [0]=part_23_length [1]=big_values [2]=scalefac_compress [3]=global_gain
+//  [4]=block_type [5]=mixed [6]=n_long_sfb [7]=n_short_sfb
+//  [8..10]=table_select [11..13]=region_count [14..16]=subblock_gain
+//  [17]=preflag [18]=scalefac_scale [19]=count1_table ; scfsi in [20]? ->
+//  packed as [21] ints with [20]=scfsi.
+int af_mp3_granules_scf_huff(
+    const uint8_t* hdr4, const uint8_t* maindata, int64_t maindata_len,
+    const int32_t* gr_params /* [ngr*nch*21] */,
+    const uint8_t* sfbtabs /* [ngr*nch*40] */,
+    int32_t ngr, int32_t nch,
+    int32_t* ist_pos /* [2*40] persistent */,
+    int32_t* q_out, float* gain_out /* [ngr*nch*576] */,
+    int32_t* ist_snapshot /* [ngr*40] */) {
+  BitReader br = {maindata, maindata_len * 8, 0};
+  float scf[40];
+  for (int g = 0; g < ngr; g++) {
+    for (int ch = 0; ch < nch; ch++) {
+      const int32_t* p = gr_params + (int64_t)(g * nch + ch) * 21;
+      GrInfo gr;
+      gr.part_23_length = p[0];
+      gr.big_values = p[1];
+      gr.scalefac_compress = p[2];
+      gr.global_gain = p[3];
+      gr.block_type = p[4];
+      gr.mixed_block_flag = p[5];
+      gr.n_long_sfb = p[6];
+      gr.n_short_sfb = p[7];
+      for (int i = 0; i < 3; i++) {
+        gr.table_select[i] = p[8 + i];
+        gr.region_count[i] = p[11 + i];
+        gr.subblock_gain[i] = p[14 + i];
+      }
+      gr.preflag = p[17];
+      gr.scalefac_scale = p[18];
+      gr.count1_table = p[19];
+      gr.scfsi = p[20];
+      const uint8_t* sfb = sfbtabs + (int64_t)(g * nch + ch) * 40;
+      gr.sfbtab = sfb;
+      int64_t limit = br.pos + gr.part_23_length;
+      mp3_scalefactors(hdr4, ist_pos + ch * 40, &br, &gr, ch, scf);
+      int32_t ts[3] = {gr.table_select[0], gr.table_select[1],
+                       gr.table_select[2]};
+      int32_t rc[3] = {gr.region_count[0], gr.region_count[1],
+                       gr.region_count[2]};
+      uint8_t sfb48[48];
+      memset(sfb48, 0, sizeof(sfb48));
+      memcpy(sfb48, sfb, 40);
+      int64_t end = af_mp3_huffman(
+          maindata, maindata_len, br.pos, limit, ts, rc, sfb48, scf,
+          gr.big_values, gr.count1_table,
+          q_out + (int64_t)(g * nch + ch) * 576,
+          gain_out + (int64_t)(g * nch + ch) * 576);
+      if (end < 0) return -1;
+      br.pos = limit;
+    }
+    memcpy(ist_snapshot + (int64_t)g * 40, ist_pos + (nch - 1) * 40,
+           40 * sizeof(int32_t));
+  }
   return 0;
 }
 

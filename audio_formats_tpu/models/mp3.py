@@ -842,7 +842,7 @@ class Mp3Decoder:
         self._reserv_buf = b""
         self._overlap = np.zeros((1, ch, 32, 18), dtype=np.float32)
         self._shist = np.zeros((1, ch, 16, 32), dtype=np.float32)
-        self._ist_pos = [np.zeros(40, dtype=np.int32) for _ in range(2)]
+        self._ist_pos = np.zeros((2, 40), dtype=np.int32)
 
     # -- frame decode --------------------------------------------------------
     def _parse_frame_tensors(self, off: int):
@@ -890,31 +890,53 @@ class Mp3Decoder:
             aa_bands = np.zeros((1, ngr, nch), dtype=np.int32)
             wtype = np.zeros((1, ngr, nch, 32), dtype=np.int32)
             lib = _native_lib()
-            for g in range(ngr):
-                qg = []
-                for ch in range(nch):
-                    gr = grs[g * nch + ch]
-                    limit = br.pos + gr.part_23_length
-                    scf = _decode_scalefactors(h, self._ist_pos[ch], br, gr, ch)
-                    res = None
-                    if lib is not None:
-                        res = native.mp3_huffman(
-                            lib, br.buf, br.pos, limit, gr.table_select,
-                            gr.region_count, gr.sfbtab, scf,
-                            gr.big_values, gr.count1_table,
+            native_done = False
+            ist_snaps = None
+            if lib is not None:
+                gr_params = np.zeros((ngr * nch, 21), np.int32)
+                sfbtabs = np.zeros((ngr * nch, 40), np.uint8)
+                for i, gr in enumerate(grs):
+                    gr_params[i] = (
+                        [gr.part_23_length, gr.big_values,
+                         gr.scalefac_compress, gr.global_gain,
+                         gr.block_type, gr.mixed_block_flag,
+                         gr.n_long_sfb, gr.n_short_sfb]
+                        + list(gr.table_select) + list(gr.region_count)
+                        + list(gr.subblock_gain)
+                        + [gr.preflag, gr.scalefac_scale, gr.count1_table,
+                           gr.scfsi]
+                    )
+                    tab = np.asarray(gr.sfbtab, np.uint8)
+                    sfbtabs[i, : len(tab)] = tab
+                res = native.mp3_granules_scf_huff(
+                    lib, bytes(h), maindata, gr_params, sfbtabs,
+                    ngr, nch, self._ist_pos,
+                )
+                if res is not None:
+                    qn, gn, ist_snaps = res
+                    q[0] = qn
+                    scale[0] = gn
+                    br.pos = sum(g.part_23_length for g in grs)
+                    native_done = True
+            if not native_done:
+                for g in range(ngr):
+                    for ch in range(nch):
+                        gr = grs[g * nch + ch]
+                        limit = br.pos + gr.part_23_length
+                        scf = _decode_scalefactors(
+                            h, self._ist_pos[ch], br, gr, ch
                         )
-                        if res is not None:
-                            br.pos = limit
-                    if res is None:
-                        res = _huffman(br, gr, scf, limit)
-                    qv, gains = res
-                    q[0, g, ch] = qv
-                    scale[0, g, ch] = gains
-                    qg.append(qv)
-                gr0 = grs[g * nch]
+                        qv, gains = _huffman(br, gr, scf, limit)
+                        q[0, g, ch] = qv
+                        scale[0, g, ch] = gains
+            for g in range(ngr):
                 if nch == 2:
+                    ist_r = (
+                        ist_snaps[g] if ist_snaps is not None
+                        else self._ist_pos[1]
+                    )
                     mix[0, g] = _stereo_mix(
-                        h, grs, gr0, qg[1], self._ist_pos[1],
+                        h, grs, grs[g * nch], q[0, g, 1], ist_r,
                         grs[g * nch + 1],
                     )
                 else:

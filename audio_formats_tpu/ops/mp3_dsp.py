@@ -141,6 +141,10 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     sign = jnp.asarray(_SIGN)
     if gr_active is None:
         gr_active = jnp.ones((B, ngr), bool)
+    if not use_perm:
+        # placeholder: the reorder gather is compiled out; avoid shipping a
+        # [B, ngr, nch, 576] identity tensor to the device every window
+        perm = jnp.zeros((1, ngr, 1, 1), jnp.int32)
 
     def granule_step(carry, xs):
         overlap, shist = carry

@@ -87,18 +87,26 @@ class BatchDecoder:
             elif isinstance(d, FlacDecoder) and d.bits_per_sample <= 16:
                 flac_groups.setdefault(d.channels, []).append(i)
 
+        # cap lockstep group width: past ~64 streams the per-window tensor
+        # assembly/transfer dominates over batching gains on a single chip
+        GROUP = 64
         for (nch, mpeg1), lanes in mp3_groups.items():
-            res = self._decode_mp3_group(
-                [self.decoders[i] for i in lanes], nch, 2 if mpeg1 else 1
-            )
-            for i, pcm in zip(lanes, res):
-                out[i] = pcm
+            for c in range(0, len(lanes), GROUP):
+                chunk = lanes[c : c + GROUP]
+                res = self._decode_mp3_group(
+                    [self.decoders[i] for i in chunk], nch,
+                    2 if mpeg1 else 1,
+                )
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
         for nch, lanes in flac_groups.items():
-            res = self._decode_flac_group(
-                [self.decoders[i] for i in lanes], nch
-            )
-            for i, pcm in zip(lanes, res):
-                out[i] = pcm
+            for c in range(0, len(lanes), GROUP):
+                chunk = lanes[c : c + GROUP]
+                res = self._decode_flac_group(
+                    [self.decoders[i] for i in chunk], nch
+                )
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
 
         # remaining formats: per-stream streaming read
         for i, d in enumerate(self.decoders):
@@ -146,7 +154,7 @@ class BatchDecoder:
             mix = np.zeros((Bp, G, 4, 576), np.float32)
             mix[:, :, 0] = 1.0
             mix[:, :, 3] = 1.0
-            perm = np.broadcast_to(ident, (Bp, G, nch, 576)).copy()
+            perm = None  # materialized lazily on the first short block
             aa = np.full((Bp, G, nch), 31, np.int32)
             wt = np.zeros((Bp, G, nch, 32), np.int32)
             gr_act = np.zeros((Bp, G), dtype=bool)
@@ -178,10 +186,16 @@ class BatchDecoder:
                     wt[bi, g0 : g0 + ngr] = wtg
                     if (wtg == mp3_dsp.WIN_SHORT).any():
                         has_short = True
+                        if perm is None:
+                            perm = np.broadcast_to(
+                                ident, (Bp, G, nch, 576)
+                            ).copy()
                         perm[bi, g0 : g0 + ngr] = tensors["perm"][0]
                     gr_act[bi, g0 : g0 + ngr] = True
             if not gr_act.any():
                 break
+            if perm is None:
+                perm = np.zeros((1, G, 1, 1), np.int32)
             pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
                 q, scale, mix, perm, aa, wt, overlap, shist,
                 nch=nch, ngr=G, gr_active=gr_act, use_perm=has_short,

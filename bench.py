@@ -28,18 +28,20 @@ def make_mp3_batch(n_streams: int, seconds: float):
 
     rng = np.random.default_rng(0)
     n_gr = max(2, int(seconds * 44100 / 576) // 2 * 2)
-    streams = []
-    for _ in range(n_streams):
-        qs = []
-        for _ in range(n_gr):
-            q = np.zeros(576, dtype=np.int64)
-            idx = rng.choice(400, size=50, replace=False)
-            q[idx] = rng.integers(-30, 31, size=50)
-            qs.append(q)
-        frames = []
-        for i in range(0, n_gr, 2):
-            frames.append([[{"q": qs[i]}], [{"q": qs[i + 1]}]])
-        streams.append(mp3_ref.build_mp3(frames, channels=1))
+    # one golden-encoded stream, replicated: fixture generation is pure
+    # Python and would otherwise dominate bench wall-clock; decode cost is
+    # identical per lane
+    qs = []
+    for _ in range(n_gr):
+        q = np.zeros(576, dtype=np.int64)
+        idx = rng.choice(400, size=50, replace=False)
+        q[idx] = rng.integers(-30, 31, size=50)
+        qs.append(q)
+    frames = []
+    for i in range(0, n_gr, 2):
+        frames.append([[{"q": qs[i]}], [{"q": qs[i + 1]}]])
+    data = mp3_ref.build_mp3(frames, channels=1)
+    streams = [data] * n_streams
     audio_seconds = n_streams * n_gr * 576 / 44100.0
     return streams, audio_seconds
 
@@ -49,18 +51,14 @@ def make_flac_batch(n_streams: int, seconds: float):
 
     rng = np.random.default_rng(1)
     frames = int(seconds * 44100)
-    streams = []
     t = np.arange(frames)[:, None]
-    for k in range(n_streams):
-        x = np.clip(
-            np.round(12000 * np.sin(2 * np.pi * (200 + 10 * k) * t / 44100.0)
-                     + 500 * rng.standard_normal((frames, 1))),
-            -32768, 32767,
-        ).astype(np.int64)
-        streams.append(
-            flac_ref.build_flac(x, 44100, 16, block_size=4096, modes=["lpc8"])
-        )
-    return streams, n_streams * frames / 44100.0
+    x = np.clip(
+        np.round(12000 * np.sin(2 * np.pi * 220 * t / 44100.0)
+                 + 500 * rng.standard_normal((frames, 1))),
+        -32768, 32767,
+    ).astype(np.int64)
+    data = flac_ref.build_flac(x, 44100, 16, block_size=4096, modes=["lpc8"])
+    return [data] * n_streams, n_streams * frames / 44100.0
 
 
 def bench_device_dsp_only(reps=20, B=256):
@@ -94,9 +92,9 @@ def main():
 
     from audio_formats_tpu.parallel import BatchDecoder
 
-    n_mp3 = int(os.environ.get("BENCH_MP3_STREAMS", "16"))
-    n_flac = int(os.environ.get("BENCH_FLAC_STREAMS", "16"))
-    secs = float(os.environ.get("BENCH_SECONDS", "4.0"))
+    n_mp3 = int(os.environ.get("BENCH_MP3_STREAMS", "64"))
+    n_flac = int(os.environ.get("BENCH_FLAC_STREAMS", "64"))
+    secs = float(os.environ.get("BENCH_SECONDS", "8.0"))
 
     mp3_streams, mp3_audio = make_mp3_batch(n_mp3, secs)
     flac_streams, flac_audio = make_flac_batch(n_flac, secs)
