@@ -148,6 +148,7 @@ class BatchDecoder:
         active = np.ones(B, dtype=bool)
 
         ident = np.arange(576, dtype=np.int32)
+        pending = []  # (device pcm, gr_act) per window; fetched after the loop
         while active.any():
             q = np.zeros((Bp, G, nch, 576), np.float32)
             scale = np.zeros((Bp, G, nch, 576), np.float32)
@@ -200,16 +201,26 @@ class BatchDecoder:
                 q, scale, mix, perm, aa, wt, overlap, shist,
                 nch=nch, ngr=G, gr_active=gr_act, use_perm=has_short,
             )
-            pcm = np.asarray(pcm)  # [Bp, G, nch, 576]
+            # start the device->host copy in the background and keep parsing
+            # the next window; the tunnel transfer overlaps the host entropy
+            # stage instead of serializing after it
+            try:
+                pcm.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((pcm, gr_act))
+            for bi in range(B):
+                decs[bi]._cur_sample += int(gr_act[bi].sum()) * 576 * nch
+
+        for pcm_dev, gr_act in pending:
+            pcm = np.asarray(pcm_dev)  # [Bp, G, nch, 576]
             for bi in range(B):
                 sel = gr_act[bi]
                 if not sel.any():
                     continue
-                frame_pcm = (
+                outputs[bi].append(
                     pcm[bi][sel].transpose(0, 2, 1).reshape(-1, nch)
                 )
-                outputs[bi].append(frame_pcm)
-                decs[bi]._cur_sample += frame_pcm.shape[0] * nch
 
         result = []
         for bi, d in enumerate(decs):
@@ -230,6 +241,7 @@ class BatchDecoder:
         W = FLAC_WINDOW_FRAMES
         outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
+        pending = []  # (device out32, [(slot, si, blocksize), ...])
 
         while active.any():
             # host entropy stage: parse up to W frames per stream
@@ -289,21 +301,37 @@ class BatchDecoder:
                 assigns[si] = ca
                 wasteds[si] = wa
                 out_shifts[si] = 32 - decs[bi].bits_per_sample
-            samples = np.asarray(
-                lpc_ops.flac_lpc_scan(residual, coeffs, order, shift, exact)
+            # chain LPC -> stereo decorrelation on device (no host round
+            # trip between the two stages), then fetch asynchronously so the
+            # tunnel transfer overlaps the next window's host entropy stage
+            samples = lpc_ops.flac_lpc_scan(
+                residual, coeffs, order, shift, exact
             ).reshape(S, nch, max_bs)
-            out32 = np.asarray(
-                lpc_ops.flac_post_stereo_batch(
-                    samples, assigns, wasteds, out_shifts
-                )
-            )  # [S, nch, max_bs]
+            out32 = lpc_ops.flac_post_stereo_batch(
+                samples, assigns, wasteds, out_shifts
+            )  # [S, nch, max_bs] device array
+            try:
+                out32.copy_to_host_async()
+            except AttributeError:
+                pass
+            slots = []
             for si, (bi, p) in enumerate(lanes):
-                outputs[bi].append(out32[si, :, : p[0]].T)
+                slot = [None]
+                outputs[bi].append(slot)  # placeholder keeps stream order
+                slots.append((slot, si, p[0]))
+            pending.append((out32, slots))
+
+        for out32_dev, slots in pending:
+            out32 = np.asarray(out32_dev)
+            for slot, si, bs in slots:
+                slot[0] = out32[si, :, :bs].T
 
         result = []
         for bi, d in enumerate(decs):
             if outputs[bi]:
-                s32 = np.concatenate(outputs[bi])
+                s32 = np.concatenate(
+                    [c[0] if isinstance(c, list) else c for c in outputs[bi]]
+                )
             else:
                 s32 = np.zeros((0, nch), np.int32)
             if d.length_frames:
