@@ -15,7 +15,8 @@ Parity target: dopus.d.  Implemented this round:
 * Silence/DTX handling: zero-length frames and CELT silence frames decode to
   silence with exact sample accounting
 
-NOT yet implemented (the remaining gap, next round): CELT band decode
+CELT-only streams (music; configs 16-31) decode fully via models/celt.py.
+NOT yet implemented (the remaining gap, next round): SILK and hybrid modes
 (PVQ/allocation, dopus.d:1647-3731), SILK (dopus.d:3815-5378) and hybrid
 mode.  Packets with coded audio set the stream error state with a clear
 message rather than producing wrong samples.
@@ -146,13 +147,90 @@ class RangeDecoder:
             t = self.decode(ft1)
             self.update(t, t + 1, ft1)
             t = (t << ftb) | self.dec_bits(ftb)
-            if t <= ft:
-                return t
-            raise AudioFormatError("Opus: range decoder uint overflow")
+            # clamp on overflow (ec_dec_uint sets the error flag and
+            # returns ft; ff clamps to size-1 — dopus.d:952)
+            return t if t <= ft else ft
         ft += 1
         t = self.decode(ft)
         self.update(t, t + 1, ft)
         return t
+
+    def tell_frac(self) -> int:
+        """ec_tell_frac: bits consumed in 1/8-bit units (dopus.d:896)."""
+        nbits = self.nbits_total << 3
+        l = self.rng.bit_length()
+        r = self.rng >> (l - 16)
+        for _ in range(3):
+            r = (r * r) >> 15
+            b = r >> 16
+            l = (l << 1) | b
+            r >>= b
+        return nbits - l
+
+    def dec_laplace(self, fs: int, decay: int) -> int:
+        """Laplace-distributed symbol (ec_laplace_decode; dopus.d:957)."""
+        value = 0
+        low = 0
+        center = self.decode_bin(15)
+        if center >= fs:
+            value += 1
+            low = fs
+            fs = 1 + (((32768 - 32 - fs) * (16384 - decay)) >> 15)
+            while fs > 1 and center >= low + 2 * fs:
+                value += 1
+                fs *= 2
+                low += fs
+                fs = (((fs - 2) * decay) >> 15) + 1
+            if fs <= 1:
+                distance = (center - low) >> 1
+                value += distance
+                low += 2 * distance
+            if center < low + fs:
+                value = -value
+            else:
+                low += fs
+        self.update(low, min(low + fs, 32768), 32768)
+        return value
+
+    def dec_cdf(self, model) -> int:
+        """Symbol with an ff-style cdf model: model[0] = ft, model[1:] the
+        cumulative highs (dopus.d:852)."""
+        total = model[0]
+        fs = self.decode(total)
+        k = 0
+        while model[1 + k] <= fs:
+            k += 1
+        self.update(model[k] if k else 0, model[1 + k], total)
+        return k
+
+    def dec_step(self, k0: int) -> int:
+        """Step pdf for stereo theta (dopus.d:998)."""
+        total = (k0 + 1) * 3 + k0
+        fs = self.decode(total)
+        k = fs // 3 if fs < (k0 + 1) * 3 else fs - (k0 + 1) * 2
+        if k <= k0:
+            self.update(3 * k, 3 * (k + 1), total)
+        else:
+            self.update((k - 1 - k0) + 3 * (k0 + 1),
+                        (k - k0) + 3 * (k0 + 1), total)
+        return k
+
+    def dec_tri(self, qn: int) -> int:
+        """Triangular pdf for mono theta (dopus.d:1012)."""
+        import math
+
+        total = ((qn >> 1) + 1) * ((qn >> 1) + 1)
+        center = self.decode(total)
+        if center < total >> 1:
+            k = (math.isqrt(8 * center + 1) - 1) >> 1
+            low = k * (k + 1) >> 1
+            fs = k + 1
+        else:
+            k = (2 * (qn + 1) - math.isqrt(8 * (total - center - 1) + 1)) >> 1
+            low = total - ((qn + 1 - k) * (qn + 2 - k) >> 1)
+            fs = qn + 1 - k
+        self.update(low, low + fs, total)
+        return k
 
     def dec_bits(self, bits: int) -> int:
         """Raw bits from the packet tail."""
@@ -343,12 +421,21 @@ class OpusDecoder:
         self._data_start = reader._pos
 
     def _start_stream(self) -> None:
+        from .celt import CeltDecoder
+
         self._reader = ogg.OggPacketReader(self._view, self._serial,
                                            self._data_start)
         self._pos = 0  # position in output samples (post-preskip)
         self._to_skip = self.preskip
         self._buf = np.zeros((0, self.channels), np.float32)
         self._buf_start = 0
+        self._celt = CeltDecoder(output_channels=self.channels)
+        # combined playback gain: OpusHead output gain + R128 track gain
+        # (dopus.d:1312-1316), applied as a scalar on decoded floats
+        gain_i = max(-32768, min(32767,
+                                 self.output_gain_q8 +
+                                 self.r128_track_gain_q8))
+        self._gain = 10.0 ** (gain_i / (20.0 * 256.0)) if gain_i else 1.0
 
     # -- frame decode ---------------------------------------------------------
     def _decode_packet(self, data: bytes) -> np.ndarray:
@@ -363,10 +450,16 @@ class OpusDecoder:
                 out.append(np.zeros((n, self.channels), np.float32))
                 continue
             if pk["mode"] == "celt":
+                # CELT-only bandwidths: configs 16-19 NB, 20-23 WB,
+                # 24-27 SWB, 28-31 FB (RFC 6716 §3.1)
+                endband = [13, 17, 19, 21][(pk["config"] - 16) >> 2]
                 rd = RangeDecoder(frame)
-                if rd.dec_bit_logp(15):  # CELT silence flag (RFC 6716 §4.3)
-                    out.append(np.zeros((n, self.channels), np.float32))
-                    continue
+                coded = 2 if pk["stereo"] else 1
+                pcm = self._celt.decode_frame(rd, coded, n, 0, endband)
+                if self._gain != 1.0:
+                    pcm = pcm * np.float32(self._gain)
+                out.append(pcm.astype(np.float32))
+                continue
             raise AudioFormatError(
                 "Opus: coded %s frames not yet supported" % pk["mode"]
             )

