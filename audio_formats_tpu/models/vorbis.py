@@ -725,9 +725,14 @@ class VorbisDecoder:
         if had_prev and self._prev.shape[1] > 0:
             mdct_ops.overlap_add(y, self._prev, left_start)
         length = right_end  # *len = right_end (stb_vorbis2.d:2594)
-        # final-packet truncation against the stream's total length
-        # (stb_vorbis2.d:2565-2579)
-        if granule is not None and self.length_frames and had_prev:
+        # final-packet truncation against the stream's total length —
+        # ONLY for the packet that completes on the EOS page (stb checks
+        # PAGEFLAG_last_page, stb_vorbis2.d:2565-2579); intermediate
+        # pages with granules below the natural sample count must not
+        # shorten the saved lap window
+        page = getattr(self._reader, "_page", None)
+        if granule is not None and self.length_frames and had_prev and \
+                page is not None and page.is_eos:
             remaining = self.length_frames - self._pos
             if remaining < (right_end - left_start):
                 length = left_start + max(0, remaining)
