@@ -16,10 +16,13 @@ Parity target: dopus.d.  Implemented this round:
   silence with exact sample accounting
 
 CELT-only streams (music; configs 16-31) decode fully via models/celt.py.
-NOT yet implemented (the remaining gap, next round): SILK and hybrid modes
-(PVQ/allocation, dopus.d:1647-3731), SILK (dopus.d:3815-5378) and hybrid
-mode.  Packets with coded audio set the stream error state with a clear
-message rather than producing wrong samples.
+SILK-only streams (speech; configs 0-11) decode fully via models/silk.py
+with polyphase upsampling to 48 kHz (ops/resample.py), aligned to the
+libopus decoder's SILK-path delay.  NOT yet implemented: hybrid mode
+(configs 12-15; SILK WB + CELT >=band 17 with redundancy crossfades,
+dopus.d:6402-6505), LBRR redundancy frames, and multistream mappings.
+Unsupported packets set the stream error state with a clear message
+rather than producing wrong samples.
 """
 
 from __future__ import annotations
@@ -430,6 +433,9 @@ class OpusDecoder:
         self._buf = np.zeros((0, self.channels), np.float32)
         self._buf_start = 0
         self._celt = CeltDecoder(output_channels=self.channels)
+        self._silk = None
+        self._silk_rs = None
+        self._silk_bw = None
         # combined playback gain: OpusHead output gain + R128 track gain
         # (dopus.d:1312-1316), applied as a scalar on decoded floats
         gain_i = max(-32768, min(32767,
@@ -455,7 +461,15 @@ class OpusDecoder:
                 endband = [13, 17, 19, 21][(pk["config"] - 16) >> 2]
                 rd = RangeDecoder(frame)
                 coded = 2 if pk["stereo"] else 1
+                if self._silk is not None:
+                    self._silk.flush()  # mode switch (dopus.d:6396)
                 pcm = self._celt.decode_frame(rd, coded, n, 0, endband)
+                if self._gain != 1.0:
+                    pcm = pcm * np.float32(self._gain)
+                out.append(pcm.astype(np.float32))
+                continue
+            if pk["mode"] == "silk":
+                pcm = self._decode_silk_frame(pk, frame)
                 if self._gain != 1.0:
                     pcm = pcm * np.float32(self._gain)
                 out.append(pcm.astype(np.float32))
@@ -465,6 +479,69 @@ class OpusDecoder:
             )
         return np.concatenate(out) if out else \
             np.zeros((0, self.channels), np.float32)
+
+    #: alignment delay of the libopus decoder's SILK path in 48 kHz
+    #: samples, measured against opus_decode_float per bandwidth
+    #: (NB/MB/WB); applied via the resampler so Ogg preskip trims the same
+    #: audio a libopus-based player would
+    _SILK_DELAY_48 = [15, 27, 29]
+
+    def _decode_silk_frame(self, pk, frame: bytes) -> np.ndarray:
+        from ..ops.resample import PolyphaseUpsampler
+        from .silk import SilkDecoder
+
+        bw = pk["config"] // 4  # 0 NB, 1 MB, 2 WB
+        dur_ms = [10, 20, 40, 60][pk["config"] & 3]
+        coded = 2 if pk["stereo"] else 1
+        if self._silk is None:
+            self._silk = SilkDecoder(output_channels=self.channels)
+        if self._silk_rs is None or self._silk_bw != bw:
+            ratio = [6, 4, 3][bw]
+            # the stereo unmix path has one native sample less intrinsic
+            # delay than the mono copy path (mid[i-1] vs output-2)
+            extra = self._SILK_DELAY_48[bw] + \
+                (ratio if self.channels == 2 else 0)
+            self._silk_rs = [
+                PolyphaseUpsampler(ratio, extra)
+                for _ in range(self.channels)
+            ]
+            self._silk_bw = bw
+        rd = RangeDecoder(frame)
+        native = self._silk.decode_superframe(rd, bw, coded, dur_ms)
+        cols = [rs.process(native[:, c])
+                for c, rs in enumerate(self._silk_rs)]
+        n48 = min(c.shape[0] for c in cols)
+        pcm = np.stack([c[:n48] for c in cols], 1)
+
+        # the CELT layer is flushed while SILK-only packets play
+        # (dopus.d:6467); a mode-transition redundancy frame (5 ms CELT at
+        # the packet tail, dopus.d:6340+6480-6505) then decodes on the
+        # fresh state so a following CELT packet starts from the same
+        # energy/overlap memory as libopus
+        self._celt.flush()
+        consumed = rd.tell()
+        if consumed + 17 <= len(frame) * 8 and n48 >= 240:
+            redundancy_pos = rd.dec_bit_logp(1)
+            red_size = len(frame) - (consumed + 7) // 8
+            if red_size > 0:
+                from ..utils.tables import celt_tables as _ct  # noqa: F401
+                endband = [13, 17, 17][bw]
+                rd2 = RangeDecoder(frame[len(frame) - red_size :])
+                red = self._celt.decode_frame(rd2, coded, 240, 0, endband)
+                red = red[:, : pcm.shape[1]]
+                w2 = self._celt_w2()
+                if redundancy_pos:
+                    pcm[:120] = red[:120]
+                    pcm[120:240] = pcm[120:240] * w2 + red[120:240] * (1 - w2)
+                else:
+                    pcm[-120:] = red[120:240] * w2 + pcm[-120:] * (1 - w2)
+        return pcm
+
+    @staticmethod
+    def _celt_w2():
+        from ..utils.tables import celt_tables as CT
+
+        return (CT.WINDOW * CT.WINDOW)[:, None]
 
     # -- read / seek -----------------------------------------------------------
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
@@ -477,6 +554,17 @@ class OpusDecoder:
                     break
                 pk = self._reader.next_packet()
                 if pk is None:
+                    # drain the SILK resampler tail so the stream reaches
+                    # its granule-declared length
+                    if self._silk_rs is not None and \
+                            self._pos < self.length_frames:
+                        want = self.length_frames - self._pos
+                        cols = [rs.flush(want) for rs in self._silk_rs]
+                        self._buf = np.stack(cols, 1).astype(np.float32) * \
+                            np.float32(self._gain)
+                        self._buf_start = 0
+                        self._silk_rs = None
+                        continue
                     break
                 pcm = self._decode_packet(pk[0])
                 if self._to_skip:

@@ -1,0 +1,229 @@
+"""SILK decode tests (Opus LP layer; reference dopus.d:3815-5378).
+
+Validation layers mirror the CELT suite:
+ * offline fixtures with libopus range-coder fingerprints (entropy layer
+   bit-exact) and PCM spot values
+ * live oracle sweeps vs libopus at the SILK native rate (8/12/16 kHz),
+   where the synthesis comparison is resampler-free — observed 45-60 dB
+   SNR (limited only by libopus's fixed-point int16 internals)
+ * end-to-end Ogg facade at 48 kHz (the polyphase output path), aligned
+   with libopus's SILK-path delay
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from audio_formats_tpu.models.opus import RangeDecoder, parse_packet
+from audio_formats_tpu.models.silk import SilkDecoder
+
+from golden import opus_oracle, opus_ref
+
+
+def _have_oracle():
+    try:
+        return opus_oracle.get_lib() is not None
+    except Exception:
+        return False
+
+
+needs_oracle = pytest.mark.skipif(not _have_oracle(),
+                                  reason="system libopus unavailable")
+
+# ---------------------------------------------------------------- offline
+
+# Four WB 20 ms mono SILK packets (libopus 13 kbps VOIP, AM tone + noise).
+SILK_PACKETS = [
+    "48839ca46b1d692050011179689fabd7bc0285308061eaa877cf48786d55224c",
+    "48b7c52895d3580800677dc9026f38c239b475d884b51e5a54494ff34f0d399b699fee5d671f691feeacc7f8ab2f358700c0b0e6341f4213",
+    "48b7bf9a6cc3da05330ba16ef98122d6a31814567c28b45a593c1eaf9bbc8ffb576902",
+    "48b7d12a32a80abbbf618d85b957b1044edc14d24d9bc52911a6404deb369326258aadaec8",
+]
+SILK_RANGES = [0x4A6281E, 0x194445D, 0x1CE8638, 0x5678898]
+SILK_SAMPLE_IDX = [50, 333, 700, 999]
+SILK_SAMPLES = [-0.00294011, 0.12073896, 0.08190174, -0.01996817]
+SILK_RMS = 0.10658008
+
+
+def _decode_all(packets):
+    dec = SilkDecoder(output_channels=1)
+    outs = []
+    ranges = []
+    for hexpkt in packets:
+        info = parse_packet(bytes.fromhex(hexpkt))
+        rd = RangeDecoder(info["frames"][0])
+        outs.append(dec.decode_superframe(
+            rd, info["config"] // 4, 2 if info["stereo"] else 1,
+            [10, 20, 40, 60][info["config"] & 3]))
+        ranges.append(rd.rng & 0xFFFFFFFF)
+    return np.concatenate(outs), ranges
+
+
+def test_fixture_entropy_bit_exact():
+    """Range fingerprints after each packet match libopus exactly: gains,
+    NLSF VQ, pitch/LTP, shell-coded excitation all decode bit-for-bit."""
+    _, ranges = _decode_all(SILK_PACKETS)
+    assert ranges == SILK_RANGES
+
+
+def test_fixture_pcm():
+    out, _ = _decode_all(SILK_PACKETS)
+    assert out.shape == (4 * 320, 1)
+    assert abs(float(np.sqrt((out ** 2).mean())) - SILK_RMS) < 1e-6
+    for i, v in zip(SILK_SAMPLE_IDX, SILK_SAMPLES):
+        assert abs(float(out[i, 0]) - v) < 1e-6
+
+
+def test_lsf2lpc_stability():
+    """Every decoded LPC filter must be stable (bounded impulse
+    response) — decode the fixtures and check the filters directly."""
+    from audio_formats_tpu.models.silk import _lsf2lpc
+
+    # synthetic NLSFs spread across the range
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        nlsf = np.sort(rng.integers(100, 32700, 16)).tolist()
+        for order in (10, 16):
+            a = _lsf2lpc(nlsf[:order], order)
+            # impulse response must not blow up
+            h = np.zeros(200)
+            state = np.zeros(order)
+            x = 1.0
+            for n in range(200):
+                y = x + float(np.dot(a, state))
+                state = np.concatenate([[y], state[:-1]])
+                h[n] = y
+                x = 0.0
+            assert np.isfinite(h).all() and np.abs(h[-50:]).max() < 100.0
+
+
+# ------------------------------------------------------------ oracle sweeps
+
+def _native_sweep(bw_ctl, rate, bwi, voiced, channels=1, bitrate=13000):
+    O = opus_oracle
+    rng = np.random.default_rng(8)
+    N = 960
+    t = np.arange(N * 10) / 48000.0
+    if voiced:
+        base = 6000 * np.sin(2 * np.pi * 220 * t) * \
+            (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) + \
+            800 * rng.standard_normal(t.size)
+    else:
+        base = 2500 * rng.standard_normal(t.size)
+    if channels == 2:
+        sig = np.stack([base, 5000 * np.sin(2 * np.pi * 300 * t) +
+                        700 * rng.standard_normal(t.size)], 1)
+    else:
+        sig = base[:, None]
+    sig = np.clip(sig, -32000, 32000).astype(np.int16)
+    enc = O.OracleEncoder(48000, channels, bitrate=bitrate,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE, bandwidth=bw_ctl)
+    dec = O.OracleDecoder(rate, channels)
+    mine = SilkDecoder(output_channels=channels)
+    refs = []
+    outs = []
+    for n in range(10):
+        pkt = enc.encode(sig[n * N : (n + 1) * N])
+        info = parse_packet(pkt)
+        assert info["config"] < 12  # SILK-only
+        ref = dec.decode(pkt)
+        fr = ctypes.c_uint32(0)
+        dec._lib.opus_decoder_ctl(ctypes.c_void_p(dec._dec), 4031,
+                                  ctypes.byref(fr))
+        rd = RangeDecoder(info["frames"][0])
+        outs.append(mine.decode_superframe(
+            rd, info["config"] // 4, 2 if info["stereo"] else 1,
+            [10, 20, 40, 60][info["config"] & 3]))
+        assert (rd.rng & 0xFFFFFFFF) == fr.value  # entropy bit-exact
+        refs.append(ref)
+    ref = np.concatenate(refs)
+    out = np.concatenate(outs)
+    # libopus's SILK path delay at the native rate (measured), minus this
+    # decoder's intrinsic delay; one native sample less on the unmix path
+    best = -1e9
+    for d in range(0, 16):
+        err = out[: len(out) - d or None] - ref[d:]
+        snr = 10 * np.log10((ref[d:] ** 2).mean() /
+                            max(1e-15, (err[100:] ** 2).mean()))
+        best = max(best, snr)
+    return best
+
+
+@needs_oracle
+@pytest.mark.parametrize("bw_ctl,rate,bwi", [
+    (opus_oracle.OPUS_BANDWIDTH_NARROWBAND, 8000, 0),
+    (opus_oracle.OPUS_BANDWIDTH_MEDIUMBAND, 12000, 1),
+    (opus_oracle.OPUS_BANDWIDTH_WIDEBAND, 16000, 2),
+])
+@pytest.mark.parametrize("voiced", [True, False])
+def test_oracle_native_rate(bw_ctl, rate, bwi, voiced):
+    snr = _native_sweep(bw_ctl, rate, bwi, voiced)
+    assert snr > 40.0, snr
+
+
+@needs_oracle
+def test_oracle_stereo_native():
+    snr = _native_sweep(opus_oracle.OPUS_BANDWIDTH_WIDEBAND, 16000, 2,
+                        True, channels=2, bitrate=24000)
+    assert snr > 40.0, snr
+
+
+@needs_oracle
+def test_ogg_silk_facade_48k():
+    """Full path: Ogg demux -> SILK decode -> polyphase x3 to 48 kHz,
+    compared against libopus decoding the same packets at 48 kHz."""
+    import audio_formats_tpu as af
+
+    O = opus_oracle
+    rng = np.random.default_rng(8)
+    N = 960
+    t = np.arange(N * 10) / 48000.0
+    sig = (6000 * np.sin(2 * np.pi * 220 * t) *
+           (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+           800 * rng.standard_normal(t.size)).astype(np.int16)[:, None]
+    enc = O.OracleEncoder(48000, 1, bitrate=13000,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE,
+                          bandwidth=O.OPUS_BANDWIDTH_WIDEBAND)
+    pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N) for n in range(10)]
+    dec48 = O.OracleDecoder(48000, 1)
+    g = 10.0 ** (-1024 / 5120.0)
+    ref = np.concatenate([dec48.decode(p) for p, _ in pkts]) * g
+    data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
+    st = af.AudioStream()
+    st.open_from_memory(data)
+    n = st.get_length_in_frames()
+    assert n == 9600
+    out = st.read_samples_float(n)
+    m = min(len(out), len(ref))
+    err = out[300 : m - 300] - ref[300 : m - 300]
+    snr = 10 * np.log10((ref[300 : m - 300] ** 2).mean() /
+                        (err ** 2).mean())
+    # aligned at zero shift; level limited by resampler differences
+    # (this decoder: linear-phase polyphase sinc; libopus: IIR/FIR hybrid)
+    assert snr > 18.0, snr
+    # sample-accurate seek from the page anchor
+    st.seek_position(3000)
+    chunk = st.read_samples_float(500)
+    assert np.allclose(chunk, out[3000:3500], atol=1e-6)
+
+
+def test_silk_offline_facade():
+    """Offline: fixture packets through the Ogg facade (no libopus)."""
+    import audio_formats_tpu as af
+
+    pkts = [(bytes.fromhex(h), 960) for h in SILK_PACKETS]
+    data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
+    st = af.AudioStream()
+    st.open_from_memory(data)
+    n = st.get_length_in_frames()
+    assert n == 4 * 960
+    out = st.read_samples_float(n)
+    assert out.shape == (n, 1)
+    assert np.isfinite(out).all()
+    g = 10.0 ** (-1024 / 5120.0)
+    # the 48k output is the fixture PCM upsampled x3 (+gain): compare RMS
+    rms = float(np.sqrt((out[200:] ** 2).mean())) / g
+    assert abs(rms - SILK_RMS) < 0.02
