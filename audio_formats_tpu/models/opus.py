@@ -18,11 +18,12 @@ Parity target: dopus.d.  Implemented this round:
 CELT-only streams (music; configs 16-31) decode fully via models/celt.py.
 SILK-only streams (speech; configs 0-11) decode fully via models/silk.py
 with polyphase upsampling to 48 kHz (ops/resample.py), aligned to the
-libopus decoder's SILK-path delay.  NOT yet implemented: hybrid mode
-(configs 12-15; SILK WB + CELT >=band 17 with redundancy crossfades,
-dopus.d:6402-6505), LBRR redundancy frames, and multistream mappings.
-Unsupported packets set the stream error state with a clear message
-rather than producing wrong samples.
+libopus decoder's SILK-path delay.  Hybrid streams (configs 12-15)
+decode SILK WB + the CELT layer from band 17 on the shared range
+decoder, including mode-transition redundancy crossfades.  NOT yet
+implemented: LBRR redundancy frames and multistream channel mappings;
+such packets set the stream error state with a clear message rather
+than producing wrong samples.
 """
 
 from __future__ import annotations
@@ -78,10 +79,16 @@ class RangeDecoder:
         return 0
 
     def _read_byte_from_end(self) -> int:
-        if self.end_offs < self.storage:
+        bound = getattr(self, "end_bound", self.storage)
+        if self.end_offs < bound:
             self.end_offs += 1
-            return self.buf[self.storage - self.end_offs]
+            return self.buf[bound - self.end_offs]
         return 0
+
+    def rebound_end(self, new_size: int) -> None:
+        """Shrink the raw-bit (tail) region, e.g. when a redundancy frame
+        occupies the end of a hybrid packet (opus_raw_init dopus.d:6269)."""
+        self.end_bound = new_size
 
     def _normalize(self) -> None:
         while self.rng <= self.CODE_BOT:
@@ -468,7 +475,7 @@ class OpusDecoder:
                     pcm = pcm * np.float32(self._gain)
                 out.append(pcm.astype(np.float32))
                 continue
-            if pk["mode"] == "silk":
+            if pk["mode"] in ("silk", "hybrid"):
                 pcm = self._decode_silk_frame(pk, frame)
                 if self._gain != 1.0:
                     pcm = pcm * np.float32(self._gain)
@@ -490,8 +497,14 @@ class OpusDecoder:
         from ..ops.resample import PolyphaseUpsampler
         from .silk import SilkDecoder
 
-        bw = pk["config"] // 4  # 0 NB, 1 MB, 2 WB
-        dur_ms = [10, 20, 40, 60][pk["config"] & 3]
+        hybrid = pk["mode"] == "hybrid"
+        if hybrid:
+            # hybrid: SILK always runs wideband; 10/20 ms only
+            bw = 2
+            dur_ms = pk["frame_size"] // 48
+        else:
+            bw = pk["config"] // 4  # 0 NB, 1 MB, 2 WB
+            dur_ms = [10, 20, 40, 60][pk["config"] & 3]
         coded = 2 if pk["stereo"] else 1
         if self._silk is None:
             self._silk = SilkDecoder(output_channels=self.channels)
@@ -513,29 +526,71 @@ class OpusDecoder:
         n48 = min(c.shape[0] for c in cols)
         pcm = np.stack([c[:n48] for c in cols], 1)
 
-        # the CELT layer is flushed while SILK-only packets play
+        if hybrid:
+            # redundancy flag + size (dopus.d:6400-6420), then the CELT
+            # layer (bands 17+) continues on the SAME range decoder with
+            # the raw-bit region excluding any redundancy tail
+            size = len(frame)
+            redundancy = 0
+            redundancy_pos = 0
+            red_size = 0
+            if rd.tell() + 37 <= size * 8:
+                redundancy = rd.dec_bit_logp(12)
+            if redundancy:
+                redundancy_pos = rd.dec_bit_logp(1)
+                red_size = rd.dec_uint(256) + 2
+                size -= red_size
+                if size < 0:
+                    raise AudioFormatError("Opus: bad redundancy size")
+                rd.rebound_end(size)
+                if redundancy_pos:
+                    self._celt.flush()
+                    self._decode_redundancy(frame[size:], coded, bw,
+                                            pcm, at_start=True)
+            endband = 19 if pk["config"] < 14 else 21
+            celt_pcm = self._celt.decode_frame(
+                rd, coded, pk["frame_size"], 17, endband)
+            m = min(pcm.shape[0], celt_pcm.shape[0])
+            pcm[:m] += celt_pcm[:m]
+            if redundancy and not redundancy_pos:
+                self._celt.flush()
+                self._decode_redundancy(frame[size:], coded, bw,
+                                        pcm, at_start=False)
+            return pcm
+
+        # SILK-only: the CELT layer is flushed while SILK packets play
         # (dopus.d:6467); a mode-transition redundancy frame (5 ms CELT at
         # the packet tail, dopus.d:6340+6480-6505) then decodes on the
         # fresh state so a following CELT packet starts from the same
         # energy/overlap memory as libopus
         self._celt.flush()
         consumed = rd.tell()
-        if consumed + 17 <= len(frame) * 8 and n48 >= 240:
+        if consumed + 17 <= len(frame) * 8 and pcm.shape[0] >= 240:
             redundancy_pos = rd.dec_bit_logp(1)
             red_size = len(frame) - (consumed + 7) // 8
             if red_size > 0:
-                from ..utils.tables import celt_tables as _ct  # noqa: F401
-                endband = [13, 17, 17][bw]
-                rd2 = RangeDecoder(frame[len(frame) - red_size :])
-                red = self._celt.decode_frame(rd2, coded, 240, 0, endband)
-                red = red[:, : pcm.shape[1]]
-                w2 = self._celt_w2()
-                if redundancy_pos:
-                    pcm[:120] = red[:120]
-                    pcm[120:240] = pcm[120:240] * w2 + red[120:240] * (1 - w2)
-                else:
-                    pcm[-120:] = red[120:240] * w2 + pcm[-120:] * (1 - w2)
+                self._decode_redundancy(frame[len(frame) - red_size :],
+                                        coded, bw, pcm,
+                                        at_start=bool(redundancy_pos))
         return pcm
+
+    def _decode_redundancy(self, data: bytes, coded: int, bw: int,
+                           pcm: np.ndarray, at_start: bool) -> None:
+        """Decode a 5 ms CELT redundancy frame and crossfade it with the
+        main output (opus_decode_redundancy dopus.d:6340, fades
+        dopus.d:6480-6505).  SILK MB redundancy uses the WB CELT layout."""
+        if len(data) < 1 or pcm.shape[0] < 240:
+            return
+        endband = [13, 17, 17, 19, 21][min(bw, 4)]
+        rd2 = RangeDecoder(data)
+        red = self._celt.decode_frame(rd2, coded, 240, 0, endband)
+        red = red[:, : pcm.shape[1]]
+        w2 = self._celt_w2()
+        if at_start:
+            pcm[:120] = red[:120]
+            pcm[120:240] = pcm[120:240] * w2 + red[120:240] * (1 - w2)
+        else:
+            pcm[-120:] = red[120:240] * w2 + pcm[-120:] * (1 - w2)
 
     @staticmethod
     def _celt_w2():

@@ -227,3 +227,87 @@ def test_silk_offline_facade():
     # the 48k output is the fixture PCM upsampled x3 (+gain): compare RMS
     rms = float(np.sqrt((out[200:] ** 2).mean())) / g
     assert abs(rms - SILK_RMS) < 0.02
+
+
+# ---------------------------------------------------------------- hybrid
+
+@needs_oracle
+@pytest.mark.parametrize("bw_ctl,channels,bitrate", [
+    (opus_oracle.OPUS_BANDWIDTH_FULLBAND, 1, 36000),
+    (opus_oracle.OPUS_BANDWIDTH_SUPERWIDEBAND, 2, 52000),
+])
+def test_hybrid_facade(bw_ctl, channels, bitrate):
+    """Hybrid packets (SILK WB + CELT bands 17+) through the facade."""
+    import audio_formats_tpu as af
+
+    O = opus_oracle
+    rng = np.random.default_rng(10)
+    N = 960
+    t = np.arange(N * 8) / 48000.0
+    base = (6000 * np.sin(2 * np.pi * 220 * t) *
+            (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+            2000 * np.sin(2 * np.pi * 5000 * t) +
+            600 * rng.standard_normal(t.size))
+    if channels == 2:
+        sig = np.stack([base, 5000 * np.sin(2 * np.pi * 330 * t)], 1)
+    else:
+        sig = base[:, None]
+    sig = np.clip(sig, -32000, 32000).astype(np.int16)
+    enc = O.OracleEncoder(48000, channels, bitrate=bitrate,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE, bandwidth=bw_ctl)
+    pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N) for n in range(8)]
+    cfgs = {parse_packet(p)["config"] for p, _ in pkts}
+    assert cfgs <= set(range(12, 16)), cfgs  # hybrid configs only
+    dec48 = O.OracleDecoder(48000, channels)
+    g = 10.0 ** (-1024 / 5120.0)
+    ref = np.concatenate([dec48.decode(p) for p, _ in pkts]) * g
+    data = opus_ref.build_ogg_opus(pkts, channels=channels, preskip=0)
+    st = af.AudioStream()
+    st.open_from_memory(data)
+    out = st.read_samples_float(st.get_length_in_frames())
+    m = min(len(out), len(ref))
+    err = out[300 : m - 300] - ref[300 : m - 300]
+    snr = 10 * np.log10((ref[300 : m - 300] ** 2).mean() / (err ** 2).mean())
+    assert snr > 18.0, snr
+
+
+@needs_oracle
+def test_mode_switch_tour():
+    """SILK -> hybrid -> CELT in one stream stays in sync; post-switch
+    CELT packets must match a continuing libopus decode closely."""
+    import audio_formats_tpu as af
+
+    O = opus_oracle
+    rng = np.random.default_rng(11)
+    N = 960
+    t = np.arange(N * 4) / 48000.0
+    sig = (6000 * np.sin(2 * np.pi * 220 * t) *
+           (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+           600 * rng.standard_normal(t.size)).astype(np.int16)[:, None]
+    packs = []
+    for bw, br in ((O.OPUS_BANDWIDTH_WIDEBAND, 13000),
+                   (O.OPUS_BANDWIDTH_FULLBAND, 36000)):
+        enc = O.OracleEncoder(48000, 1, bitrate=br,
+                              application=O.OPUS_APPLICATION_VOIP,
+                              signal=O.OPUS_SIGNAL_VOICE, bandwidth=bw)
+        packs += [(enc.encode(sig[n * N : (n + 1) * N]), N)
+                  for n in range(4)]
+    encc = O.OracleEncoder(48000, 1, bitrate=96000,
+                           signal=O.OPUS_SIGNAL_MUSIC,
+                           bandwidth=O.OPUS_BANDWIDTH_FULLBAND)
+    packs += [(encc.encode(sig[n * N : (n + 1) * N]), N) for n in range(4)]
+    dec = O.OracleDecoder(48000, 1)
+    g = 10.0 ** (-1024 / 5120.0)
+    ref = np.concatenate([dec.decode(p) for p, _ in packs]) * g
+    st = af.AudioStream()
+    st.open_from_memory(opus_ref.build_ogg_opus(packs, channels=1,
+                                                preskip=0))
+    out = st.read_samples_float(st.get_length_in_frames())
+    assert not st.is_error()
+    assert np.isfinite(out).all()
+    # the last CELT packet (transition long settled) must match closely
+    seg = slice(11 * 960 + 100, 12 * 960 - 50)
+    err = out[seg] - ref[seg]
+    snr = 10 * np.log10((ref[seg] ** 2).mean() / (err ** 2).mean())
+    assert snr > 25.0, snr
