@@ -99,8 +99,13 @@ def main():
     mp3_streams, mp3_audio = make_mp3_batch(n_mp3, secs)
     flac_streams, flac_audio = make_flac_batch(n_flac, secs)
 
-    # warmup (compile)
-    BatchDecoder(mp3_streams[:2] + flac_streams[:2]).decode_all()
+    # warmup (compile): use SHORT streams at the SAME batch widths so the
+    # XLA programs for the real batch-size buckets are built outside the
+    # timed region
+    warm_mp3, _ = make_mp3_batch(n_mp3, 0.6)
+    warm_flac, _ = make_flac_batch(n_flac, 1.2)
+    BatchDecoder(warm_mp3).decode_all()
+    BatchDecoder(warm_flac).decode_all()
 
     t0 = time.perf_counter()
     dec = BatchDecoder(mp3_streams)
