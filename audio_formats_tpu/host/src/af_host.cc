@@ -717,4 +717,346 @@ int af_mp3_granules_scf_huff(
   return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Full MP3 window parse: header walk + side info + reservoir + scalefactors
+// + Huffman + stereo-mix/reorder/window tensor assembly for up to W frames
+// of ONE stream in a single call (replaces ~30 Python/ctypes round trips
+// per frame in the lockstep batch scheduler).
+// ---------------------------------------------------------------------------
+
+static const int kHz[3] = {44100, 48000, 32000};
+static const int kHalfRate[2][3][15] = {
+    {{0, 4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 72, 80},
+     {0, 4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 72, 80},
+     {0, 16, 24, 28, 32, 40, 48, 56, 64, 72, 80, 88, 96, 112, 128}},
+    {{0, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160},
+     {0, 16, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192},
+     {0, 16, 32, 48, 64, 80, 96, 112, 128, 144, 160, 176, 192, 208, 224}}};
+
+static inline int hdr_valid(const uint8_t* h) {
+  return h[0] == 0xFF &&
+         ((h[1] & 0xF0) == 0xF0 || (h[1] & 0xFE) == 0xE2) &&
+         (((h[1] >> 1) & 3) != 0) && ((h[2] >> 4) != 15) &&
+         (((h[2] >> 2) & 3) != 3);
+}
+
+static inline int hdr_compare(const uint8_t* h1, const uint8_t* h2) {
+  return hdr_valid(h2) && (((h1[1] ^ h2[1]) & 0xFE) == 0) &&
+         (((h1[2] ^ h2[2]) & 0x0C) == 0) &&
+         ((((h1[2] & 0xF0) == 0) ? 1 : 0) == (((h2[2] & 0xF0) == 0) ? 1 : 0));
+}
+
+static inline int hdr_sample_rate(const uint8_t* h) {
+  int hz = kHz[(h[2] >> 2) & 3];
+  if (!(h[1] & 0x8)) hz >>= 1;
+  if (!(h[1] & 0x10)) hz >>= 1;
+  return hz;
+}
+
+static inline int hdr_frame_samples(const uint8_t* h) {
+  if ((h[1] & 6) == 6) return 384;
+  return 1152 >> (((h[1] & 14) == 2) ? 1 : 0);
+}
+
+static inline int hdr_frame_bytes(const uint8_t* h) {
+  int kbps =
+      2 * kHalfRate[(h[1] & 0x8) ? 1 : 0][((h[1] >> 1) & 3) - 1][h[2] >> 4];
+  int fb = (int)((int64_t)hdr_frame_samples(h) * kbps * 125 /
+                 hdr_sample_rate(h));
+  if ((h[1] & 6) == 6) fb &= ~3;
+  return fb;
+}
+
+static inline int hdr_padding(const uint8_t* h) {
+  if (h[2] & 0x2) return ((h[1] & 6) == 6) ? 4 : 1;
+  return 0;
+}
+
+// intensity pan gains (minimp3.d:930-952)
+static void mp3_pan_gains(int ipos, int mpeg1, int mpeg2_sh, float* kl,
+                          float* kr) {
+  static const float pan[14] = {
+      0.0f, 1.0f, 0.21132487f, 0.78867513f, 0.36602540f, 0.63397460f,
+      0.5f, 0.5f, 0.63397460f, 0.36602540f, 0.78867513f, 0.21132487f,
+      1.0f, 0.0f};
+  if (mpeg1) {
+    *kl = pan[2 * ipos];
+    *kr = pan[2 * ipos + 1];
+    return;
+  }
+  float k = (float)exp2(-((double)(((ipos + 1) >> 1) << mpeg2_sh)) / 4.0);
+  if (ipos & 1) {
+    *kl = k;
+    *kr = 1.0f;
+  } else {
+    *kl = 1.0f;
+    *kr = k;
+  }
+}
+
+// per-coefficient stereo mix (a,b,c,d) vectors (mirrors models/mp3.py
+// _stereo_mix; minimp3.d L3_intensity_stereo/L3_midside_stereo semantics)
+static void mp3_stereo_mix(const uint8_t* h, const GrInfo* gch,
+                           const GrInfo* gr_pair, const int32_t* q_right,
+                           const int32_t* ist_pos_right, float* mix
+                           /* [4*576] */) {
+  for (int i = 0; i < 576; i++) {
+    mix[i] = 1.0f;
+    mix[576 + i] = 0.0f;
+    mix[1152 + i] = 0.0f;
+    mix[1728 + i] = 1.0f;
+  }
+  int mpeg1 = h[1] & 0x8;
+  int i_stereo = h[3] & 0x10;
+  int ms_flag = h[3] & 0x20;
+  int is_ms = (h[3] & 0xE0) == 0x60;
+  if (i_stereo) {
+    const uint8_t* tab = gch->sfbtab;
+    uint8_t sfb[48];
+    memset(sfb, 0, sizeof(sfb));
+    memcpy(sfb, tab, gch->n_short_sfb ? 40 : 23);
+    int n_sfb = gch->n_long_sfb + gch->n_short_sfb;
+    int max_blocks = gch->n_short_sfb ? 3 : 1;
+    int max_band[3] = {-1, -1, -1};
+    int p = 0;
+    for (int i = 0; i < n_sfb; i++) {
+      int w = sfb[i];
+      int any = 0;
+      for (int j = 0; j < w; j++) any |= (q_right[p + j] != 0);
+      if (any) max_band[i % 3] = i;
+      p += w;
+    }
+    if (gch->n_long_sfb) {
+      int m = max_band[0];
+      if (max_band[1] > m) m = max_band[1];
+      if (max_band[2] > m) m = max_band[2];
+      max_band[0] = max_band[1] = max_band[2] = m;
+    }
+    int32_t ist[40];
+    memcpy(ist, ist_pos_right, 40 * sizeof(int32_t));
+    int default_pos = mpeg1 ? 3 : 0;
+    for (int i = 0; i < max_blocks; i++) {
+      int itop = n_sfb - max_blocks + i;
+      int prev = itop - max_blocks;
+      ist[itop] = (max_band[i] >= prev) ? default_pos : ist[prev];
+    }
+    int max_pos = mpeg1 ? 7 : 64;
+    int mpeg2_sh = gr_pair->scalefac_compress & 1;
+    float s = ms_flag ? 1.41421356f : 1.0f;
+    p = 0;
+    for (int i = 0; sfb[i]; i++) {
+      int w = sfb[i];
+      int ipos = ist[i];
+      if (i > max_band[i % 3] && ipos < max_pos) {
+        float kl, kr;
+        mp3_pan_gains(ipos, mpeg1 ? 1 : 0, mpeg2_sh, &kl, &kr);
+        for (int j = 0; j < w && p + j < 576; j++) {
+          mix[p + j] = kl * s;
+          mix[576 + p + j] = 0.0f;
+          mix[1152 + p + j] = kr * s;
+          mix[1728 + p + j] = 0.0f;
+        }
+      } else if (ms_flag) {
+        for (int j = 0; j < w && p + j < 576; j++) {
+          mix[p + j] = 1.0f;
+          mix[576 + p + j] = 1.0f;
+          mix[1152 + p + j] = 1.0f;
+          mix[1728 + p + j] = -1.0f;
+        }
+      }
+      p += w;
+    }
+  } else if (is_ms) {
+    for (int i = 0; i < 576; i++) {
+      mix[i] = 1.0f;
+      mix[576 + i] = 1.0f;
+      mix[1152 + i] = 1.0f;
+      mix[1728 + i] = -1.0f;
+    }
+  }
+}
+
+// short-block reorder permutation (models/mp3.py _reorder_perm_full;
+// minimp3.d:984-1000): new[i] = old[perm[i]]
+static void mp3_reorder_perm(const GrInfo* gr, int n_long_bands,
+                             int32_t* perm /* [576] */) {
+  for (int i = 0; i < 576; i++) perm[i] = i;
+  if (!gr->n_short_sfb) return;
+  int src = n_long_bands * 18;
+  int dst = src;
+  uint8_t sfb[48];
+  memset(sfb, 0, sizeof(sfb));
+  memcpy(sfb, gr->sfbtab, 40);
+  int i = gr->n_long_sfb;
+  while (sfb[i]) {
+    int len = sfb[i];
+    for (int j = 0; j < len; j++) {
+      if (dst + 3 > 576 || src + 2 * len + j >= 576) return;
+      perm[dst] = src + j;
+      perm[dst + 1] = src + len + j;
+      perm[dst + 2] = src + 2 * len + j;
+      dst += 3;
+    }
+    src += 3 * len;
+    i += 3;
+  }
+}
+
+enum { WIN_NORMAL = 0, WIN_START = 1, WIN_SHORT = 2, WIN_STOP = 3 };
+
+// Parse up to max_frames frames of one stream starting at byte `off`.
+// Writes window tensors at frame slots [0, n).  Returns the number of
+// frames CONSUMED (>= number decoded; silent frames consume but emit
+// flags=0), or 0 at EOF/stream mismatch.  State in/out: reservoir buffer
+// (511 bytes) + length, ist_pos [2*40].
+int af_mp3_parse_window(
+    const uint8_t* data, int64_t nbytes, int64_t off, const uint8_t* hdr0,
+    int32_t max_frames,
+    uint8_t* reserv_buf /* [511] */, int32_t* reserv_len,
+    int32_t* ist_pos /* [2*40] */,
+    float* xq_out /* [W, ngr, nch, 576]: sign(q)*|q|^(4/3)*gain, the
+                      requantized spectrum (device dequant fused here) */,
+    float* mix_out /* [W, ngr, 4, 576] */,
+    int32_t* perm_out /* [W, ngr, nch, 576] */,
+    int32_t* aa_out /* [W, ngr, nch] */,
+    int32_t* wt_out /* [W, ngr, nch, 32] */,
+    uint8_t* flags /* [W]: bit0 = has output, bit1 = has short blocks */,
+    int64_t* new_off) {
+  int mpeg1 = hdr0[1] & 0x8;
+  int nch = ((hdr0[3] & 0xC0) == 0xC0) ? 1 : 2;
+  int ngr = mpeg1 ? 2 : 1;
+  int sr_idx_my =
+      (((hdr0[2] >> 2) & 3) + (((hdr0[1] >> 3) & 1) + ((hdr0[1] >> 4) & 1)) * 3);
+  int n_long_bands_base = (sr_idx_my == 2) ? 4 : 2;  // mixed<<(idx==2)
+  uint8_t maindata[4608];
+  int32_t q_i[576];
+  float gains_l[576];
+  float scf[40];
+  // |q|^(4/3) lookup for small magnitudes (covers virtually all samples)
+  static float pow43[256];
+  static int pow43_init = 0;
+  if (!pow43_init) {
+    for (int i = 0; i < 256; i++) pow43[i] = (float)pow((double)i, 4.0 / 3.0);
+    pow43_init = 1;
+  }
+  int w = 0;
+  for (; w < max_frames; w++) {
+    flags[w] = 0;
+    if (off + 4 > nbytes) break;
+    const uint8_t* h = data + off;
+    if (!hdr_compare(hdr0, h)) break;
+    int fb = hdr_frame_bytes(h) + hdr_padding(h);
+    if (fb <= 4 || off + fb > nbytes) break;
+    Mp3Bits bs = {data + off + 4, 0, (fb - 4) * 8};
+    if (!(h[1] & 1)) mp3_get(&bs, 16);
+    GrInfo grs[4];
+    int main_data_begin = mp3_side_info(&bs, grs, h);
+    if (main_data_begin < 0) {
+      // corrupt side info: reset reservoir/scalefactor state, consume frame
+      *reserv_len = 0;
+      memset(ist_pos, 0, 80 * sizeof(int32_t));
+      off += fb;
+      continue;
+    }
+    int side_bytes = (int)(bs.pos / 8);
+    const uint8_t* frame_main = data + off + 4 + side_bytes;
+    int frame_main_len = fb - 4 - side_bytes;
+    int have = *reserv_len < main_data_begin ? *reserv_len : main_data_begin;
+    int md_len = have + frame_main_len;
+    if (md_len > (int)sizeof(maindata)) { break; }
+    if (have)
+      memcpy(maindata, reserv_buf + *reserv_len - have, have);
+    memcpy(maindata + have, frame_main, frame_main_len);
+    int success = (*reserv_len >= main_data_begin);
+
+    int64_t br_pos = 0;
+    if (success) {
+      int frame_short = 0;
+      for (int g = 0; g < ngr; g++) {
+        int32_t ist_snapshot[40];
+        for (int ch = 0; ch < nch; ch++) {
+          GrInfo* gr = &grs[g * nch + ch];
+          BitReader br = {maindata, (int64_t)md_len * 8, br_pos};
+          int64_t limit = br_pos + gr->part_23_length;
+          mp3_scalefactors(h, ist_pos + ch * 40, &br, gr, ch, scf);
+          int32_t ts[3] = {gr->table_select[0], gr->table_select[1],
+                           gr->table_select[2]};
+          int32_t rc[3] = {gr->region_count[0], gr->region_count[1],
+                           gr->region_count[2]};
+          uint8_t sfb48[48];
+          memset(sfb48, 0, sizeof(sfb48));
+          memcpy(sfb48, gr->sfbtab, gr->n_short_sfb ? 40 : 23);
+          float* qd =
+              xq_out + (((int64_t)w * ngr + g) * nch + ch) * 576;
+          int64_t end = af_mp3_huffman(maindata, md_len, br.pos, limit, ts,
+                                       rc, sfb48, scf, gr->big_values,
+                                       gr->count1_table, q_i, gains_l);
+          if (end < 0) {
+            success = 0;
+            break;
+          }
+          for (int i = 0; i < 576; i++) {
+            int v = q_i[i];
+            int m = v < 0 ? -v : v;
+            float p = (m < 256) ? pow43[m] : (float)pow((double)m, 4.0 / 3.0);
+            qd[i] = (v < 0 ? -p : p) * gains_l[i];
+          }
+          br_pos = limit;
+          // assembly: aa bands / reorder perm / window types
+          int n_long_bands =
+              gr->mixed_block_flag ? n_long_bands_base : 0;
+          int32_t* pd =
+              perm_out + (((int64_t)w * ngr + g) * nch + ch) * 576;
+          int32_t* wd = wt_out + (((int64_t)w * ngr + g) * nch + ch) * 32;
+          if (gr->n_short_sfb) {
+            flags[w] |= 2;
+            frame_short = 1;
+            aa_out[((int64_t)w * ngr + g) * nch + ch] = n_long_bands - 1;
+            mp3_reorder_perm(gr, n_long_bands, pd);
+            for (int i = 0; i < 32; i++)
+              wd[i] = (i < n_long_bands) ? WIN_NORMAL : WIN_SHORT;
+          } else {
+            aa_out[((int64_t)w * ngr + g) * nch + ch] = 31;
+            for (int i = 0; i < 576; i++) pd[i] = i;
+            int wt = WIN_NORMAL;
+            if (gr->block_type == 3) wt = WIN_STOP;
+            else if (gr->block_type == 1) wt = WIN_START;
+            for (int i = 0; i < 32; i++) wd[i] = wt;
+          }
+        }
+        if (!success) break;
+        memcpy(ist_snapshot, ist_pos + (nch - 1) * 40, 40 * sizeof(int32_t));
+        // stereo mix for this granule
+        float* md = mix_out + (((int64_t)w * ngr + g) * 4) * 576;
+        if (nch == 2) {
+          mp3_stereo_mix(h, &grs[g * nch], &grs[g * nch + 1], q_i,
+                         ist_snapshot, md);
+        } else {
+          for (int i = 0; i < 576; i++) {
+            md[i] = 1.0f;
+            md[576 + i] = 0.0f;
+            md[1152 + i] = 0.0f;
+            md[1728 + i] = 1.0f;
+          }
+        }
+      }
+      if (success) flags[w] |= 1;
+    }
+    // reservoir save (L3_save_reservoir)
+    int pos_bytes = success ? (int)((br_pos + 7) / 8) : 0;
+    int remains = md_len - pos_bytes;
+    if (remains > 511) {
+      pos_bytes += remains - 511;
+      remains = 511;
+    }
+    if (remains < 0) remains = 0;
+    memmove(reserv_buf, maindata + pos_bytes, remains);
+    *reserv_len = remains;
+    off += fb;
+  }
+  *new_off = off;
+  return w;
+}
+
 }  // extern "C"

@@ -159,3 +159,14 @@ flac_post_stereo = jax.jit(_post_stereo_core)
 #: Batched variant: leading stream axis on every argument
 #: (samples [S, C, B], chan_assignment [S], wasted [S, C], out_shift [S]).
 flac_post_stereo_batch = jax.jit(jax.vmap(_post_stereo_core))
+
+
+@jax.jit
+def flac_post_stereo_batch_s16(samples, chan_assignment, wasted, out_shift):
+    """Batch stereo decorrelation emitting int16: for lanes whose source is
+    <= 16 bits the left-justified int32 output is exactly sample << 16, so
+    the device can ship half the bytes over the host link losslessly
+    (s16 == s32 >> 16)."""
+    out32 = jax.vmap(_post_stereo_core)(samples, chan_assignment, wasted,
+                                        out_shift)
+    return (out32 >> 16).astype(jnp.int16)

@@ -112,9 +112,10 @@ _SIGN = np.ones((32, 18), dtype=np.float32)
 _SIGN[1::2, 1::2] = -1.0
 
 
-@functools.partial(jax.jit, static_argnames=("nch", "ngr", "use_perm"))
+@functools.partial(jax.jit, static_argnames=("nch", "ngr", "use_perm", "dequant", "use_mix"))
 def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
-                  nch: int, ngr: int, gr_active=None, use_perm: bool = True):
+                  nch: int, ngr: int, gr_active=None, use_perm: bool = True,
+                  dequant: bool = True, use_mix: bool = True):
     """Decode the DSP half of one MP3 frame for a batch of streams.
 
     q:       [B, ngr, nch, 576] f32 — signed quantized Huffman values
@@ -145,18 +146,28 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
         # placeholder: the reorder gather is compiled out; avoid shipping a
         # [B, ngr, nch, 576] identity tensor to the device every window
         perm = jnp.zeros((1, ngr, 1, 1), jnp.int32)
+    if not dequant:
+        # the host stage shipped sign(q)*|q|^(4/3)*gain already: scale is a
+        # placeholder and never uploaded at full size
+        scale = jnp.zeros((1, ngr, 1, 1), jnp.float32)
+    if not use_mix:
+        # identity stereo mix (mono windows): compiled out
+        mix = jnp.zeros((1, ngr, 1, 1), jnp.float32)
 
     def granule_step(carry, xs):
         overlap, shist = carry
         q_g, scale_g, mix_g, perm_g, aa_g, wt_g, act_g = xs
-        # 1. requantize
-        xg = (
-            jnp.sign(q_g)
-            * jnp.power(jnp.abs(q_g), jnp.float32(4.0 / 3.0))
-            * scale_g
-        )  # [B, nch, 576]
+        # 1. requantize (fused on host when dequant=False)
+        if dequant:
+            xg = (
+                jnp.sign(q_g)
+                * jnp.power(jnp.abs(q_g), jnp.float32(4.0 / 3.0))
+                * scale_g
+            )  # [B, nch, 576]
+        else:
+            xg = q_g
         # 2. stereo mix
-        if nch == 2:
+        if nch == 2 and use_mix:
             l, r = xg[:, 0], xg[:, 1]
             a, b, c, d = (mix_g[:, i] for i in range(4))
             xg = jnp.stack([a * l + b * r, c * l + d * r], axis=1)

@@ -136,6 +136,123 @@ class BatchDecoder:
 
     # ------------------------------------------------- batched MP3 lockstep
     def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int):
+        from ..host import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None and all(d._layer == 3 for d in decs):
+            return self._decode_mp3_group_native(decs, nch, ngr, lib)
+        return self._decode_mp3_group_py(decs, nch, ngr)
+
+    def _decode_mp3_group_native(self, decs, nch: int, ngr: int, lib):
+        """Window-at-a-time native host stage: ONE C call per
+        (stream, window) does header walk, side info, reservoir splice,
+        scalefactors, Huffman, and stereo/reorder/window tensor assembly
+        (af_host.cc:af_mp3_parse_window)."""
+        from ..host import native as _native
+
+        B = len(decs)
+        Bp = max(8, 1 << (B - 1).bit_length())
+        W = MP3_WINDOW_FRAMES
+        G = W * ngr
+        overlap = np.zeros((Bp, nch, 32, 18), dtype=np.float32)
+        shist = np.zeros((Bp, nch, 16, 32), dtype=np.float32)
+        outputs = [[] for _ in range(B)]
+        active = np.ones(B, dtype=bool)
+        # per-lane host state mirrors: reservoir + intensity positions
+        states = []
+        for d in decs:
+            rb = np.zeros(511, np.uint8)
+            rl = np.zeros(1, np.int32)
+            cur = d._reserv_buf
+            if cur:
+                rb[: len(cur)] = np.frombuffer(cur, np.uint8)
+                rl[0] = min(d._reserv, len(cur))
+            states.append((rb, rl, d._ist_pos))
+
+        pending = []
+        while active.any():
+            xq = np.zeros((Bp, G, nch, 576), np.float32)
+            mix = np.zeros((Bp, G, 4, 576), np.float32) if nch == 2 else \
+                np.zeros((1, G, 1, 1), np.float32)
+            if nch == 2:
+                mix[:, :, 0] = 1.0
+                mix[:, :, 3] = 1.0
+            mix_c = mix if nch == 2 else \
+                np.zeros((G, 4, 576), np.float32)  # scratch for the C call
+            perm = np.zeros((Bp, G, nch, 576), np.int32)
+            aa = np.full((Bp, G, nch), 31, np.int32)
+            wt = np.zeros((Bp, G, nch, 32), np.int32)
+            gr_act = np.zeros((Bp, G), dtype=bool)
+            flags = np.zeros(W, np.uint8)
+            has_short = False
+
+            for bi, d in enumerate(decs):
+                if not active[bi]:
+                    continue
+                if d._offset >= len(d._view) - 4 or (
+                    d._total_samples
+                    and d._cur_sample >= d._total_samples
+                ):
+                    active[bi] = False
+                    continue
+                n, new_off = _native.mp3_parse_window(
+                    lib, d._view, d._offset, d._hdr0, W, ngr, nch,
+                    states[bi], xq[bi],
+                    mix[bi] if nch == 2 else mix_c,
+                    perm[bi], aa[bi], wt[bi], flags,
+                )
+                d._offset = new_off
+                if n == 0:
+                    active[bi] = False
+                    continue
+                got = flags[:n]
+                fr_act = (got & 1).astype(bool)
+                gr_act[bi, : n * ngr] = np.repeat(fr_act, ngr)
+                if (got & 2).any():
+                    has_short = True
+                d._cur_sample += int(fr_act.sum()) * ngr * 576 * nch
+                if n < W:
+                    active[bi] = False
+            if not gr_act.any():
+                break
+            perm_arg = perm if has_short else np.zeros((1, G, 1, 1),
+                                                       np.int32)
+            scale_ph = np.zeros((1, G, 1, 1), np.float32)
+            pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
+                xq, scale_ph, mix, perm_arg, aa, wt, overlap, shist,
+                nch=nch, ngr=G, gr_active=gr_act, use_perm=has_short,
+                dequant=False, use_mix=(nch == 2),
+            )
+            try:
+                pcm.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((pcm, gr_act))
+
+        for pcm_dev, gr_act in pending:
+            pcm = np.asarray(pcm_dev)
+            for bi in range(B):
+                sel = gr_act[bi]
+                if not sel.any():
+                    continue
+                outputs[bi].append(
+                    pcm[bi][sel].transpose(0, 2, 1).reshape(-1, nch)
+                )
+        result = []
+        for bi, d in enumerate(decs):
+            if outputs[bi]:
+                pcm = np.concatenate(outputs[bi])
+            else:
+                pcm = np.zeros((0, nch), np.float32)
+            skip = d._start_delay // nch
+            pcm = pcm[skip:]
+            if d._total_samples:
+                pcm = pcm[: d._total_samples // nch]
+            result.append(pcm)
+        return result
+
+    def _decode_mp3_group_py(self, decs: List[Mp3Decoder], nch: int,
+                             ngr: int):
         B = len(decs)
         # pad the batch axis to power-of-two buckets: XLA specializes on B,
         # so buckets keep the compile cache hot across batch sizes
@@ -280,8 +397,12 @@ class BatchDecoder:
                 if not progress:
                     break
                 continue
-            # bucket the lane count and block length to keep compiles cached
-            S = max(8, 1 << (len(lanes) - 1).bit_length())
+            # bucket the lane count (multiples of 128 past 128: keeps the
+            # compile cache small while cutting transfer padding vs pow2)
+            # and block length to keep compiles cached
+            n_l = len(lanes)
+            S = max(8, 1 << (n_l - 1).bit_length()) if n_l <= 128 \
+                else -(-n_l // 128) * 128
             max_bs = -(-max_bs // 1024) * 1024
             residual = np.zeros((S * nch, max_bs), np.int32)
             coeffs = np.zeros((S * nch, 32), np.int32)
@@ -307,9 +428,14 @@ class BatchDecoder:
             samples = lpc_ops.flac_lpc_scan(
                 residual, coeffs, order, shift, exact
             ).reshape(S, nch, max_bs)
-            out32 = lpc_ops.flac_post_stereo_batch(
+            # <=16-bit lanes (out_shift >= 16): ship int16 losslessly to
+            # halve device->host bytes on the tunnel-limited link
+            use_s16 = all(decs[bi].bits_per_sample <= 16 for bi, _ in lanes)
+            post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
+                else lpc_ops.flac_post_stereo_batch
+            out32 = post(
                 samples, assigns, wasteds, out_shifts
-            )  # [S, nch, max_bs] device array
+            )  # [S, nch, max_bs] device array (int16 when use_s16)
             try:
                 out32.copy_to_host_async()
             except AttributeError:
@@ -322,9 +448,13 @@ class BatchDecoder:
             pending.append((out32, slots))
 
         for out32_dev, slots in pending:
-            out32 = np.asarray(out32_dev)
-            for slot, si, bs in slots:
-                slot[0] = out32[si, :, :bs].T
+            arr = np.asarray(out32_dev)
+            if arr.dtype == np.int16:
+                for slot, si, bs in slots:
+                    slot[0] = arr[si, :, :bs].T.astype(np.int32) << 16
+            else:
+                for slot, si, bs in slots:
+                    slot[0] = arr[si, :, :bs].T
 
         result = []
         for bi, d in enumerate(decs):
