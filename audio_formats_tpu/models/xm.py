@@ -1031,36 +1031,143 @@ class XmDecoder:
                 + u * t
         return u
 
+    def _chan_segment(self, ch: _Chan, m: int):
+        """Vectorized per-channel mix for m samples within one tick: returns
+        the channel's mono contribution [m] and advances position/loop/
+        frame-count state exactly as the per-sample reference loop
+        (xm_next_of_sample, libxm semantics) would."""
+        fc0 = ch.frame_count
+        idxs = np.arange(m)
+        active = not (ch.instrument is None or ch.sample is None or
+                      ch.sample_position < 0)
+        if not active:
+            ch.frame_count += m
+            return None
+        smp = ch.sample
+        n = len(smp.data)
+        if n == 0:
+            ch.frame_count += m
+            return None
+        step = ch.step
+        p0 = ch.sample_position
+        if smp.loop_type == 0:
+            pos = p0 + step * idxs
+            valid = pos < n
+            gather = np.minimum(pos.astype(np.int64), n - 1)
+            u = np.where(valid, smp.data[np.clip(gather, 0, n - 1)], 0.0)
+            pend = p0 + step * m
+            ch.sample_position = -1.0 if pend >= n else pend
+        elif smp.loop_type == 1:
+            L = smp.loop_length
+            if L <= 0:
+                return self._chan_segment_scalar(ch, m)
+            pos = p0 + step * idxs
+            wrapped = pos >= smp.loop_end
+            pos = np.where(
+                wrapped,
+                smp.loop_start + np.mod(pos - smp.loop_start, L), pos)
+            u = smp.data[np.clip(pos.astype(np.int64), 0, n - 1)].astype(
+                np.float64)
+            pend = p0 + step * m
+            while pend >= smp.loop_end:
+                pend -= L
+            ch.sample_position = pend
+        else:  # ping-pong: triangle mapping of the unfolded phase
+            L = smp.loop_end - smp.loop_start
+            if L <= 0 or smp.loop_end > n or step > L or \
+                    (not ch.ping and p0 < smp.loop_start):
+                return self._chan_segment_scalar(ch, m)
+            # phase < L is the pre-reflection (ascending) region and stays
+            # LINEAR — including negative phase when the note starts below
+            # loop_start (the reference only reflects at the loop edges)
+            phi0 = (p0 - smp.loop_start) if ch.ping else \
+                (2 * L - (p0 - smp.loop_start))
+            phi = phi0 + step * idxs
+            mm = np.mod(phi - L, 2 * L)
+            pos = np.where(
+                phi < L, smp.loop_start + phi,
+                smp.loop_start + np.where(mm < L, L - mm, mm - L))
+            u = smp.data[np.clip(pos.astype(np.int64), 0, n - 1)].astype(
+                np.float64)
+            phe = phi0 + step * m
+            if phe < L:
+                ch.ping = True
+                ch.sample_position = smp.loop_start + phe
+            else:
+                me = float(np.mod(phe - L, 2 * L))
+                if me < L:
+                    ch.ping = False
+                    ch.sample_position = smp.loop_start + (L - me)
+                else:
+                    ch.ping = True
+                    ch.sample_position = smp.loop_start + (me - L)
+        if fc0 < RAMP_POINTS:
+            k = min(m, RAMP_POINTS - fc0)
+            t = (fc0 + idxs[:k]) / RAMP_POINTS
+            eops = np.asarray(ch.end_of_previous_sample, np.float64)
+            u = np.asarray(u, np.float64)
+            u[:k] = eops[fc0 : fc0 + k] * (1 - t) + u[:k] * t
+        ch.frame_count += m
+        return u
+
+    def _chan_segment_scalar(self, ch: _Chan, m: int):
+        vals = np.empty(m)
+        for i in range(m):
+            vals[i] = self._next_of_sample(ch)
+            ch.frame_count += 1
+        return vals
+
+    @staticmethod
+    def _ramp_volumes(av, tv, r, m):
+        """Closed-form per-sample volume ramp: returns [m] volumes as used
+        for samples 0..m-1 plus the final state (mirrors the reference's
+        clamped approach by +-r per sample)."""
+        idxs = np.arange(m)
+        if av > tv:
+            v = np.maximum(tv, av - r * idxs)
+            end = max(tv, av - r * m)
+        elif av < tv:
+            v = np.minimum(tv, av + r * idxs)
+            end = min(tv, av + r * m)
+        else:
+            v = np.full(m, av)
+            end = av
+        return v, end
+
     def _generate(self, numsamples: int) -> np.ndarray:
         out = np.zeros((numsamples, 2), np.float32)
         self.generated_samples += numsamples
-        for i in range(numsamples):
+        g = self.global_volume * self.amplification
+        i = 0
+        while i < numsamples:
             if self.remaining_samples_in_tick <= 0:
                 self._tick()
-            self.remaining_samples_in_tick -= 1
+                g = self.global_volume * self.amplification
+            m = min(numsamples - i, int(self.remaining_samples_in_tick))
+            if m <= 0:
+                m = 1
+            self.remaining_samples_in_tick -= m
             if self.max_loop_count > 0 and \
                     self.loop_count >= self.max_loop_count:
+                i += m
                 continue
-            left = right = 0.0
+            left = np.zeros(m)
+            right = np.zeros(m)
             for ch in self.chans:
-                if ch.instrument is None or ch.sample is None or \
-                        ch.sample_position < 0:
-                    pass
-                else:
-                    fval = self._next_of_sample(ch)
-                    left += fval * ch.actual_volume[0]
-                    right += fval * ch.actual_volume[1]
-                ch.frame_count += 1
-                for k in range(2):
-                    av, tv = ch.actual_volume[k], ch.target_volume[k]
-                    if av > tv:
-                        av = max(tv, av - self.volume_ramp)
-                    elif av < tv:
-                        av = min(tv, av + self.volume_ramp)
-                    ch.actual_volume[k] = av
-            g = self.global_volume * self.amplification
-            out[i, 0] = left * g
-            out[i, 1] = right * g
+                av0, av1 = ch.actual_volume[0], ch.actual_volume[1]
+                tv0, tv1 = ch.target_volume[0], ch.target_volume[1]
+                u = self._chan_segment(ch, m)
+                v0, e0 = self._ramp_volumes(av0, tv0, self.volume_ramp, m)
+                v1, e1 = self._ramp_volumes(av1, tv1, self.volume_ramp, m)
+                ch.actual_volume[0] = e0
+                ch.actual_volume[1] = e1
+                if u is None:
+                    continue
+                left += u * v0
+                right += u * v1
+            out[i : i + m, 0] = left * g
+            out[i : i + m, 1] = right * g
+            i += m
         return out
 
     # ------------------------------------------------------------------ API

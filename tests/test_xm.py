@@ -147,3 +147,38 @@ def test_16bit_sample_and_amiga_frequencies():
 def test_not_an_xm_rejected():
     s = AudioStream().open_from_memory(b"Extended Nodule: " + b"\0" * 100)
     assert s.is_error()
+
+
+def test_vectorized_mixer_matches_scalar():
+    """The vectorized per-segment mixer must reproduce the per-sample
+    reference loop exactly for every loop type (incl. ping-pong phase
+    reflection and notes starting below loop_start)."""
+    import audio_formats_tpu.models.xm as xmmod
+
+    wave = (np.sin(2 * np.pi * np.arange(64) / 64) * 120).astype(np.int8)
+    K = [getattr(xmmod, n) for n in dir(xmmod)
+         if hasattr(getattr(xmmod, n), "_chan_segment")][0]
+    for loop_type, ls, ll, note in ((0, 0, 64, 52), (1, 8, 48, 60),
+                                    (2, 8, 48, 52), (2, 20, 10, 45)):
+        instr = {"samples": [{"data": wave, "volume": 64, "finetune": 0,
+                              "loop_type": loop_type, "loop_start": ls,
+                              "loop_len": ll, "panning": 100,
+                              "relative_note": 0, "bits": 8}],
+                 "sample_of_notes": [0] * 96, "vol_env": None,
+                 "fadeout": 512}
+        rows = [[(note, 1, 0, 0, 0)]] + [[(0, 0, 0, 0, 0)]
+                                         for _ in range(15)]
+        data = xm_ref.build_xm([rows], [0], [instr], channels=1)
+        s1 = AudioStream()
+        s1.open_from_memory(data)
+        v = s1.read_samples_float(20000)
+        orig = K._chan_segment
+        try:
+            K._chan_segment = \
+                lambda self, ch, m: self._chan_segment_scalar(ch, m)
+            s2 = AudioStream()
+            s2.open_from_memory(data)
+            ref = s2.read_samples_float(20000)
+        finally:
+            K._chan_segment = orig
+        assert np.array_equal(v, ref), loop_type
