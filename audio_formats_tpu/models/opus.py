@@ -277,10 +277,27 @@ for _c in range(32):
         _CONFIG_FRAME_SIZES.append(120 << (_c & 3))
 
 
-def parse_packet(data: bytes):
-    """Split an Opus packet into frames (RFC 6716 §3.2).
+def _lace16(body, off):
+    """Read a 1/2-byte Opus frame length (xiph_lacing_16bit)."""
+    if off >= len(body):
+        return None, off
+    n = body[off]
+    off += 1
+    if n >= 252:
+        if off >= len(body):
+            return None, off
+        n = body[off] * 4 + n
+        off += 1
+    return n, off
 
-    Returns dict(config, stereo, frame_size, frames=[bytes...]) or None.
+
+def parse_packet(data: bytes, self_delimited: bool = False):
+    """Split an Opus packet into frames (RFC 6716 §3.2; appendix B framing
+    when ``self_delimited`` — used for all but the last substream of a
+    multistream packet).
+
+    Returns dict(config, stereo, frame_size, frames=[bytes...],
+    pkt_size=consumed bytes) or None.
     """
     if len(data) < 1:
         return None
@@ -290,27 +307,43 @@ def parse_packet(data: bytes):
     code = toc & 3
     frame_size = _CONFIG_FRAME_SIZES[config]
     body = data[1:]
+    pkt_size = len(data)
     frames: List[bytes] = []
     if code == 0:
-        frames = [body]
-    elif code == 1:
-        if len(body) & 1:
-            return None
-        half = len(body) // 2
-        frames = [body[:half], body[half:]]
-    elif code == 2:
-        if not body:
-            return None
-        n1 = body[0]
-        off = 1
-        if n1 >= 252:
-            if len(body) < 2:
+        if self_delimited:
+            n, off = _lace16(body, 0)
+            if n is None or off + n > len(body):
                 return None
-            n1 = body[1] * 4 + n1
-            off = 2
-        if off + n1 > len(body):
+            frames = [body[off : off + n]]
+            pkt_size = 1 + off + n
+        else:
+            frames = [body]
+    elif code == 1:
+        if self_delimited:
+            n, off = _lace16(body, 0)
+            if n is None or off + 2 * n > len(body):
+                return None
+            frames = [body[off : off + n], body[off + n : off + 2 * n]]
+            pkt_size = 1 + off + 2 * n
+        else:
+            if len(body) & 1:
+                return None
+            half = len(body) // 2
+            frames = [body[:half], body[half:]]
+    elif code == 2:
+        n1, off = _lace16(body, 0)
+        if n1 is None:
             return None
-        frames = [body[off : off + n1], body[off + n1 :]]
+        if self_delimited:
+            n2, off = _lace16(body, off)
+            if n2 is None or off + n1 + n2 > len(body):
+                return None
+            frames = [body[off : off + n1], body[off + n1 : off + n1 + n2]]
+            pkt_size = 1 + off + n1 + n2
+        else:
+            if off + n1 > len(body):
+                return None
+            frames = [body[off : off + n1], body[off + n1 :]]
     else:  # code 3
         if not body:
             return None
@@ -331,29 +364,38 @@ def parse_packet(data: bytes):
                 padding += p if p < 255 else 254
                 if p != 255:
                     break
-        payload_end = len(body) - padding
         if vbr:
             sizes = []
             for _ in range(nframes - 1):
-                if off >= payload_end:
+                n, off = _lace16(body, off)
+                if n is None:
                     return None
-                n = body[off]
-                off += 1
-                if n >= 252:
-                    if off >= payload_end:
-                        return None
-                    n = body[off] * 4 + n
-                    off += 1
                 sizes.append(n)
-            rest = payload_end - off - sum(sizes)
-            if rest < 0:
-                return None
-            sizes.append(rest)
+            if self_delimited:
+                last, off = _lace16(body, off)
+                if last is None:
+                    return None
+                sizes.append(last)
+                pkt_size = 1 + off + sum(sizes) + padding
+            else:
+                rest = len(body) - padding - off - sum(sizes)
+                if rest < 0:
+                    return None
+                sizes.append(rest)
         else:
-            total = payload_end - off
-            if total % nframes:
-                return None
-            sizes = [total // nframes] * nframes
+            if self_delimited:
+                per, off = _lace16(body, off)
+                if per is None:
+                    return None
+                sizes = [per] * nframes
+                pkt_size = 1 + off + per * nframes + padding
+            else:
+                total = len(body) - padding - off
+                if total % nframes:
+                    return None
+                sizes = [total // nframes] * nframes
+        if off + sum(sizes) > len(body):
+            return None
         for n in sizes:
             frames.append(body[off : off + n])
             off += n
@@ -364,97 +406,27 @@ def parse_packet(data: bytes):
         "stereo": stereo,
         "frame_size": frame_size,
         "frames": frames,
+        "pkt_size": pkt_size,
         "mode": ("silk" if config < 12 else
                  "hybrid" if config < 16 else "celt"),
     }
 
 
-# ---------------------------------------------------------------------------
-# Decoder (container complete; coded-audio decode lands next round)
-# ---------------------------------------------------------------------------
+class OpusStreamDecoder:
+    """Decoder state for ONE elementary Opus stream (a multistream packet
+    carries several; mapping family 0 has exactly one).  Mirrors
+    OpusStreamContext (dopus.d:731)."""
 
-def probe(src: ByteSource):
-    view = src.view()
-    page = ogg.parse_page(view, 0)
-    if page is None:
-        return None
-    body = view[page.body_offset : page.body_offset + page.body_size]
-    if len(body) < 19 or bytes(body[:8]) != b"OpusHead":
-        return None
-    try:
-        return OpusDecoder(src)
-    except AudioFormatError:
-        return None
-
-
-class OpusDecoder:
-    format = AudioFileFormat.opus
-    sample_rate = 48000  # Opus always decodes at 48 kHz (dopus.d:7954)
-
-    def __init__(self, src: ByteSource):
-        self._src = src
-        self._view = src.view()
-        self._parse_headers()
-        total = ogg.last_granule(self._view, self._serial)
-        if total < self.preskip:
-            raise AudioFormatError("Opus: invalid granule positions")
-        self.length_frames = int(total) - self.preskip
-        self._page_index = [
-            (off, g) for off, g in ogg.page_offsets(self._view, self._serial)
-            if g >= 0
-        ]
-        self._start_stream()
-
-    def _parse_headers(self) -> None:
-        reader = ogg.OggPacketReader(self._view)
-        pk = reader.next_packet()
-        if pk is None or len(pk[0]) < 19 or pk[0][:8] != b"OpusHead":
-            raise AudioFormatError("Opus: missing OpusHead")
-        head = pk[0]
-        page0 = ogg.parse_page(self._view, 0)
-        self._serial = page0.serial
-        version = head[8]
-        if version & 0xF0:
-            raise AudioFormatError("Opus: unsupported version")
-        self.channels = head[9]
-        self.preskip = struct.unpack_from("<H", head, 10)[0]
-        self.input_sample_rate = struct.unpack_from("<I", head, 12)[0]
-        self.output_gain_q8 = struct.unpack_from("<h", head, 16)[0]
-        self.channel_mapping = head[18]
-        if self.channels == 0 or self.channels > 2 or self.channel_mapping != 0:
-            # multistream mappings: next round
-            raise AudioFormatError("Opus: unsupported channel mapping")
-        pk = reader.next_packet()
-        if pk is None or pk[0][:8] != b"OpusTags":
-            raise AudioFormatError("Opus: missing OpusTags")
-        self.r128_track_gain_q8 = _parse_r128_gain(pk[0])
-        self._data_start = reader._pos
-
-    def _start_stream(self) -> None:
+    def __init__(self, output_channels: int):
         from .celt import CeltDecoder
 
-        self._reader = ogg.OggPacketReader(self._view, self._serial,
-                                           self._data_start)
-        self._pos = 0  # position in output samples (post-preskip)
-        self._to_skip = self.preskip
-        self._buf = np.zeros((0, self.channels), np.float32)
-        self._buf_start = 0
-        self._celt = CeltDecoder(output_channels=self.channels)
+        self.channels = output_channels
+        self._celt = CeltDecoder(output_channels=output_channels)
         self._silk = None
         self._silk_rs = None
         self._silk_bw = None
-        # combined playback gain: OpusHead output gain + R128 track gain
-        # (dopus.d:1312-1316), applied as a scalar on decoded floats
-        gain_i = max(-32768, min(32767,
-                                 self.output_gain_q8 +
-                                 self.r128_track_gain_q8))
-        self._gain = 10.0 ** (gain_i / (20.0 * 256.0)) if gain_i else 1.0
 
-    # -- frame decode ---------------------------------------------------------
-    def _decode_packet(self, data: bytes) -> np.ndarray:
-        pk = parse_packet(data)
-        if pk is None:
-            raise AudioFormatError("Opus: corrupt packet")
+    def decode_packet(self, pk) -> np.ndarray:
         out = []
         for frame in pk["frames"]:
             n = pk["frame_size"]
@@ -471,14 +443,10 @@ class OpusDecoder:
                 if self._silk is not None:
                     self._silk.flush()  # mode switch (dopus.d:6396)
                 pcm = self._celt.decode_frame(rd, coded, n, 0, endband)
-                if self._gain != 1.0:
-                    pcm = pcm * np.float32(self._gain)
                 out.append(pcm.astype(np.float32))
                 continue
             if pk["mode"] in ("silk", "hybrid"):
                 pcm = self._decode_silk_frame(pk, frame)
-                if self._gain != 1.0:
-                    pcm = pcm * np.float32(self._gain)
                 out.append(pcm.astype(np.float32))
                 continue
             raise AudioFormatError(
@@ -598,6 +566,154 @@ class OpusDecoder:
 
         return (CT.WINDOW * CT.WINDOW)[:, None]
 
+
+# ---------------------------------------------------------------------------
+# Decoder (container complete; coded-audio decode lands next round)
+# ---------------------------------------------------------------------------
+
+def probe(src: ByteSource):
+    view = src.view()
+    page = ogg.parse_page(view, 0)
+    if page is None:
+        return None
+    body = view[page.body_offset : page.body_offset + page.body_size]
+    if len(body) < 19 or bytes(body[:8]) != b"OpusHead":
+        return None
+    try:
+        return OpusDecoder(src)
+    except AudioFormatError:
+        return None
+
+
+class OpusDecoder:
+    format = AudioFileFormat.opus
+    sample_rate = 48000  # Opus always decodes at 48 kHz (dopus.d:7954)
+
+    def __init__(self, src: ByteSource):
+        self._src = src
+        self._view = src.view()
+        self._parse_headers()
+        total = ogg.last_granule(self._view, self._serial)
+        if total < self.preskip:
+            raise AudioFormatError("Opus: invalid granule positions")
+        self.length_frames = int(total) - self.preskip
+        self._page_index = [
+            (off, g) for off, g in ogg.page_offsets(self._view, self._serial)
+            if g >= 0
+        ]
+        self._start_stream()
+
+    def _parse_headers(self) -> None:
+        reader = ogg.OggPacketReader(self._view)
+        pk = reader.next_packet()
+        if pk is None or len(pk[0]) < 19 or pk[0][:8] != b"OpusHead":
+            raise AudioFormatError("Opus: missing OpusHead")
+        head = pk[0]
+        page0 = ogg.parse_page(self._view, 0)
+        self._serial = page0.serial
+        version = head[8]
+        if version & 0xF0:
+            raise AudioFormatError("Opus: unsupported version")
+        self.channels = head[9]
+        self.preskip = struct.unpack_from("<H", head, 10)[0]
+        self.input_sample_rate = struct.unpack_from("<I", head, 12)[0]
+        self.output_gain_q8 = struct.unpack_from("<h", head, 16)[0]
+        self.channel_mapping = head[18]
+        if self.channels == 0:
+            raise AudioFormatError("Opus: invalid channel count")
+        if self.channel_mapping == 0:
+            if self.channels > 2:
+                raise AudioFormatError("Opus: unsupported channel mapping")
+            self.n_streams = 1
+            self.n_coupled = self.channels - 1
+            self.channel_map = list(range(self.channels))
+        elif self.channel_mapping in (1, 2, 255):
+            # multistream surround/ambisonic/custom (RFC 7845 §5.1.1;
+            # dopus.d:1328-1361)
+            if len(head) < 21 + self.channels:
+                raise AudioFormatError("Opus: truncated channel mapping")
+            if self.channel_mapping == 1 and self.channels > 8:
+                raise AudioFormatError("Opus: mapping 1 supports <=8 ch")
+            self.n_streams = head[19]
+            self.n_coupled = head[20]
+            if (not self.n_streams or self.n_coupled > self.n_streams or
+                    self.n_streams + self.n_coupled > 255):
+                raise AudioFormatError("Opus: invalid stream counts")
+            self.channel_map = list(head[21 : 21 + self.channels])
+            for idx in self.channel_map:
+                if idx != 255 and idx >= self.n_streams + self.n_coupled:
+                    raise AudioFormatError("Opus: invalid channel map")
+        else:
+            raise AudioFormatError("Opus: unsupported channel mapping")
+        pk = reader.next_packet()
+        if pk is None or pk[0][:8] != b"OpusTags":
+            raise AudioFormatError("Opus: missing OpusTags")
+        self.r128_track_gain_q8 = _parse_r128_gain(pk[0])
+        self._data_start = reader._pos
+
+    def _start_stream(self) -> None:
+        self._reader = ogg.OggPacketReader(self._view, self._serial,
+                                           self._data_start)
+        self._pos = 0  # position in output samples (post-preskip)
+        self._to_skip = self.preskip
+        self._buf = np.zeros((0, self.channels), np.float32)
+        self._buf_start = 0
+        if self.channel_mapping == 0:
+            self._streams = [OpusStreamDecoder(self.channels)]
+        else:
+            self._streams = [
+                OpusStreamDecoder(2 if i < self.n_coupled else 1)
+                for i in range(self.n_streams)
+            ]
+        # combined playback gain: OpusHead output gain + R128 track gain
+        # (dopus.d:1312-1316), applied as a scalar on decoded floats
+        gain_i = max(-32768, min(32767,
+                                 self.output_gain_q8 +
+                                 self.r128_track_gain_q8))
+        self._gain = 10.0 ** (gain_i / (20.0 * 256.0)) if gain_i else 1.0
+
+    # -- frame decode ---------------------------------------------------------
+    def _decode_packet(self, data: bytes) -> np.ndarray:
+        if self.channel_mapping == 0:
+            pk = parse_packet(data)
+            if pk is None:
+                raise AudioFormatError("Opus: corrupt packet")
+            pcm = self._streams[0].decode_packet(pk)
+            if self._gain != 1.0:
+                pcm = pcm * np.float32(self._gain)
+            return pcm.astype(np.float32)
+        # multistream (mapping families 1/2/255, dopus.d:6587-6712): the
+        # packet concatenates one sub-packet per elementary stream, all but
+        # the last with self-delimited framing
+        buf = data
+        outs = []
+        coded = None
+        for si in range(self.n_streams):
+            pk = parse_packet(buf, self_delimited=(si != self.n_streams - 1))
+            if pk is None:
+                raise AudioFormatError("Opus: corrupt multistream packet")
+            n = pk["frame_size"] * len(pk["frames"])
+            if coded is None:
+                coded = n
+            elif n != coded:
+                raise AudioFormatError(
+                    "Opus: mismatching substream durations")
+            outs.append(self._streams[si].decode_packet(pk))
+            buf = buf[pk["pkt_size"]:]
+        m = min(o.shape[0] for o in outs)
+        pcm = np.zeros((m, self.channels), np.float32)
+        for ch in range(self.channels):
+            idx = self.channel_map[ch]
+            if idx == 255:
+                continue
+            if idx < 2 * self.n_coupled:
+                pcm[:, ch] = outs[idx // 2][:m, idx & 1]
+            else:
+                pcm[:, ch] = outs[idx - self.n_coupled][:m, 0]
+        if self._gain != 1.0:
+            pcm = pcm * np.float32(self._gain)
+        return pcm
+
     # -- read / seek -----------------------------------------------------------
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
         chunks = []
@@ -609,16 +725,24 @@ class OpusDecoder:
                     break
                 pk = self._reader.next_packet()
                 if pk is None:
-                    # drain the SILK resampler tail so the stream reaches
+                    # drain the SILK resampler tails so the stream reaches
                     # its granule-declared length
-                    if self._silk_rs is not None and \
-                            self._pos < self.length_frames:
-                        want = self.length_frames - self._pos
-                        cols = [rs.flush(want) for rs in self._silk_rs]
-                        self._buf = np.stack(cols, 1).astype(np.float32) * \
+                    drained = None
+                    for sd in self._streams:
+                        if sd._silk_rs is not None and \
+                                self._pos < self.length_frames:
+                            want = self.length_frames - self._pos
+                            cols = [rs.flush(want) for rs in sd._silk_rs]
+                            drained = np.stack(cols, 1).astype(np.float32)
+                            sd._silk_rs = None
+                            break
+                    if drained is not None:
+                        if drained.shape[1] < self.channels:
+                            drained = np.repeat(drained, self.channels,
+                                                axis=1)[:, : self.channels]
+                        self._buf = drained[:, : self.channels] * \
                             np.float32(self._gain)
                         self._buf_start = 0
-                        self._silk_rs = None
                         continue
                     break
                 pcm = self._decode_packet(pk[0])

@@ -311,3 +311,99 @@ def test_mode_switch_tour():
     err = out[seg] - ref[seg]
     snr = 10 * np.log10((ref[seg] ** 2).mean() / (err ** 2).mean())
     assert snr > 25.0, snr
+
+
+# ------------------------------------------------------------- multistream
+
+@needs_oracle
+def test_multistream_surround_51():
+    """Mapping family 1, 5.1 surround: 4 elementary streams (2 coupled),
+    self-delimited sub-packet framing, vorbis channel order."""
+    import struct
+
+    import audio_formats_tpu as af
+    from audio_formats_tpu.io import ogg as aogg
+
+    O = opus_oracle
+    lib = O.get_lib()
+    lib.opus_multistream_encoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_encoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_encode.restype = ctypes.c_int32
+    lib.opus_multistream_encode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32]
+    lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_decoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_decode_float.restype = ctypes.c_int
+    lib.opus_multistream_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+
+    CH, streams, coupled = 6, 4, 2
+    mapping = (ctypes.c_ubyte * CH)(0, 4, 1, 2, 3, 5)
+    err = ctypes.c_int(0)
+    enc = lib.opus_multistream_encoder_create(
+        48000, CH, streams, coupled, mapping, 2049, ctypes.byref(err))
+    assert err.value == 0
+    lib.opus_multistream_encoder_ctl(ctypes.c_void_p(enc), 4002, 256000)
+    rng = np.random.default_rng(3)
+    N, npkt = 960, 6
+    t = np.arange(N * npkt) / 48000.0
+    sig = np.stack(
+        [np.clip(6000 * np.sin(2 * np.pi * (200 + 100 * c) * t) +
+                 400 * rng.standard_normal(t.size), -32000, 32000)
+         for c in range(CH)], 1).astype(np.int16)
+    pkts = []
+    for n in range(npkt):
+        block = np.ascontiguousarray(sig[n * N : (n + 1) * N])
+        out = np.zeros(8000, np.uint8)
+        ln = lib.opus_multistream_encode(
+            ctypes.c_void_p(enc),
+            block.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), N,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+        assert ln > 0
+        pkts.append((bytes(out[:ln]), N))
+    dec = lib.opus_multistream_decoder_create(
+        48000, CH, streams, coupled, mapping, ctypes.byref(err))
+    refs = []
+    for p, _ in pkts:
+        buf = (ctypes.c_uint8 * len(p)).from_buffer_copy(p)
+        o = np.zeros(5760 * CH, np.float32)
+        n = lib.opus_multistream_decode_float(
+            ctypes.c_void_p(dec),
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), len(p),
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 5760, 0)
+        refs.append(o[: n * CH].reshape(n, CH))
+    ref = np.concatenate(refs)
+
+    head = (b"OpusHead" + bytes([1, CH]) + struct.pack("<H", 312) +
+            struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([1]) +
+            bytes([streams, coupled]) + bytes(mapping))
+    vendor = b"af-tpu"
+    tags = (b"OpusTags" + struct.pack("<I", len(vendor)) + vendor +
+            struct.pack("<I", 0))
+    serial = 99
+    pages = [aogg.build_page([head], serial, 0, 0, bos=True),
+             aogg.build_page([tags], serial, 1, 0)]
+    g = 0
+    seq = 2
+    for i, (p, n) in enumerate(pkts):
+        g += n
+        pages.append(aogg.build_page([p], serial, seq, g,
+                                     eos=(i == len(pkts) - 1)))
+        seq += 1
+    st = af.AudioStream()
+    st.open_from_memory(b"".join(pages))
+    assert st.get_num_channels() == CH
+    out = st.read_samples_float(st.get_length_in_frames())
+    refc = ref[312:]
+    m = min(len(out), len(refc))
+    errv = out[300 : m - 300] - refc[300 : m - 300]
+    snr = 10 * np.log10((refc[300 : m - 300] ** 2).mean() /
+                        (errv ** 2).mean())
+    assert snr > 60.0, snr
