@@ -82,7 +82,9 @@ class BatchDecoder:
         mp3_groups = {}
         flac_groups = {}
         for i, d in enumerate(self.decoders):
-            if isinstance(d, Mp3Decoder):
+            if isinstance(d, Mp3Decoder) and d._layer == 3:
+                # Layers I/II use the per-stream path (different frame
+                # structure; rare in practice)
                 mp3_groups.setdefault((d.channels, d._mpeg1), []).append(i)
             elif isinstance(d, FlacDecoder) and d.bits_per_sample <= 16:
                 flac_groups.setdefault(d.channels, []).append(i)
@@ -139,7 +141,7 @@ class BatchDecoder:
         from ..host import native as _native
 
         lib = _native.get_lib()
-        if lib is not None and all(d._layer == 3 for d in decs):
+        if lib is not None:
             return self._decode_mp3_group_native(decs, nch, ngr, lib)
         return self._decode_mp3_group_py(decs, nch, ngr)
 

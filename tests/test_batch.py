@@ -83,3 +83,19 @@ def test_mixed_formats_and_error_isolation(rng):
     assert out[0].shape == ref0.shape
     assert np.max(np.abs(out[0] - ref0)) / (np.max(np.abs(ref0)) + 1e-9) < 1e-6
     assert dec.stats["decoded_seconds"] > 0
+
+
+def test_batch_layer2_uses_streaming_path(rng):
+    """Layer I/II streams must bypass the Layer III lockstep group and
+    still decode correctly through BatchDecoder."""
+    from golden import mp3_ref
+
+    gq = rng.integers(0, 16, size=(3, 3, 30, 12)).tolist()
+    scfs = rng.integers(0, 60, size=(3, 30)).tolist()
+    data, _ = mp3_ref.build_mp3_l2(gq, scfs, ba=4)
+    s = AudioStream()
+    s.open_from_memory(data)
+    ref = s.read_samples_float(10 ** 6)
+    out = np.asarray(BatchDecoder([data]).decode_all()[0])
+    assert out.shape == ref.shape
+    assert np.allclose(out, ref, rtol=1e-6, atol=1e-7)
