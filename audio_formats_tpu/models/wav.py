@@ -117,9 +117,13 @@ class WavDecoder:
                 found_data = True
                 data_offset = src.tell()
                 data_size = ck_size
-                src.seek(ck_size + (ck_size & 1), relative=True)
+                # skip (with RIFF pad-byte tolerance) but never past EOF —
+                # a final odd-sized chunk legally ends the file unpadded
+                src.seek(min(ck_size + (ck_size & 1), src.remaining()),
+                         relative=True)
             else:
-                src.seek(ck_size + (ck_size & 1), relative=True)
+                src.seek(min(ck_size + (ck_size & 1), src.remaining()),
+                         relative=True)
 
         if not (found_fmt and found_data):
             raise AudioFormatError("Expected 'fmt ' and 'data' chunks.")

@@ -333,3 +333,21 @@ def test_open_with_callbacks(rng):
     out = s.read_samples_float(64)
     ref = wav_ref.decode_ints_to_f32(ints, 16).reshape(64, 1)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_odd_sized_final_data_chunk():
+    """A WAV whose final data chunk has an odd byte size and no pad byte
+    (legal; e.g. 24-bit mono with an odd frame count) must decode."""
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(2001) / 44100))[:, None]
+    enc = AudioStream().open_to_buffer(
+        AudioFileFormat.wav, 44100.0, 1,
+        EncodingOptions(sample_format=AudioSampleFormat.s24))
+    enc.write_samples_float(x.astype(np.float32))
+    data = enc.finalize_and_get_encoded_result()
+    assert (len(data) & 1) == 1  # odd total: 2001*3 data bytes
+    s = AudioStream()
+    s.open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    y = s.read_samples_float(3000)
+    assert y.shape == (2001, 1)
+    assert np.abs(y - x).max() < 2e-4
