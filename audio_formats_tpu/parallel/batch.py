@@ -44,6 +44,23 @@ def _open_source(item) -> ByteSource:
     return FileSource(item)
 
 
+def _shard_batch(mesh, *arrays):
+    """Place window tensors with the leading batch axis sharded over the
+    mesh's 'data' axis (pure stream data-parallelism; the jitted DSP then
+    runs SPMD and XLA inserts any collectives).  No-op without a mesh."""
+    if mesh is None:
+        return arrays
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = []
+    for a in arrays:
+        spec = P("data") if a.ndim and a.shape[0] % mesh.shape["data"] == 0 \
+            else P()
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
 class BatchDecoder:
     """Decode a batch of streams; formats may be mixed (grouped internally).
 
@@ -57,7 +74,7 @@ class BatchDecoder:
     def __init__(self, items: Sequence, mesh=None):
         self.decoders: List[Optional[object]] = []
         self.errors: List[Optional[str]] = []
-        self._mesh = mesh
+        self._mesh = mesh  # jax.sharding.Mesh: batch axis shards on 'data'
         for item in items:
             try:
                 src = _open_source(item)
@@ -220,9 +237,13 @@ class BatchDecoder:
             perm_arg = perm if has_short else np.zeros((1, G, 1, 1),
                                                        np.int32)
             scale_ph = np.zeros((1, G, 1, 1), np.float32)
+            (xq_d, mix_d, perm_d, aa_d, wt_d, overlap, shist,
+             gr_act_d) = _shard_batch(
+                self._mesh, xq, mix, perm_arg, aa, wt, overlap, shist,
+                gr_act)
             pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
-                xq, scale_ph, mix, perm_arg, aa, wt, overlap, shist,
-                nch=nch, ngr=G, gr_active=gr_act, use_perm=has_short,
+                xq_d, scale_ph, mix_d, perm_d, aa_d, wt_d, overlap, shist,
+                nch=nch, ngr=G, gr_active=gr_act_d, use_perm=has_short,
                 dequant=False, use_mix=(nch == 2),
             )
             try:
@@ -427,6 +448,10 @@ class BatchDecoder:
             # chain LPC -> stereo decorrelation on device (no host round
             # trip between the two stages), then fetch asynchronously so the
             # tunnel transfer overlaps the next window's host entropy stage
+            (residual, coeffs, order, shift, exact, assigns, wasteds,
+             out_shifts) = _shard_batch(
+                self._mesh, residual, coeffs, order, shift, exact,
+                assigns, wasteds, out_shifts)
             samples = lpc_ops.flac_lpc_scan(
                 residual, coeffs, order, shift, exact
             ).reshape(S, nch, max_bs)

@@ -1,0 +1,51 @@
+"""Data-parallel BatchDecoder over a device mesh (SURVEY.md §2.4): the
+batch axis shards across the mesh 'data' axis; results must equal the
+unsharded decode.  Runs on the 8 virtual CPU devices from conftest."""
+
+import numpy as np
+import jax
+
+from audio_formats_tpu.parallel import BatchDecoder
+from audio_formats_tpu.parallel.mesh import make_mesh
+
+from golden import flac_ref, mp3_ref
+
+
+def _mp3_streams(rng, n):
+    frames = []
+    for i in range(8):
+        q = np.zeros(576, np.int64)
+        q[rng.choice(300, 40, replace=False)] = rng.integers(-20, 21, 40)
+        q2 = np.zeros(576, np.int64)
+        q2[rng.choice(300, 40, replace=False)] = rng.integers(-20, 21, 40)
+        frames.append([[{"q": q}], [{"q": q2}]])
+    return [mp3_ref.build_mp3(frames, channels=1)] * n
+
+
+def test_mesh_sharded_mp3_matches_unsharded(rng):
+    streams = _mp3_streams(rng, 8)
+    base = BatchDecoder(streams).decode_all()
+    mesh = make_mesh(8, data=8, model=1,
+                     devices=jax.devices("cpu"))
+    sharded = BatchDecoder(streams, mesh=mesh).decode_all()
+    for a, b in zip(base, sharded):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        peak = np.abs(a).max() + 1e-30
+        # SPMD partitioning reassociates float reductions: compare
+        # relative to peak
+        assert np.abs(a - b).max() / peak < 1e-5
+
+
+def test_mesh_sharded_flac_matches_unsharded(rng):
+    x = np.clip(
+        np.round(9000 * np.sin(2 * np.pi * 330 * np.arange(4096 * 6)[:, None]
+                               / 44100.0)), -32768, 32767).astype(np.int64)
+    data = flac_ref.build_flac(x, 44100, 16, block_size=4096,
+                               modes=["lpc8"])
+    streams = [data] * 8
+    base = BatchDecoder(streams).decode_all()
+    mesh = make_mesh(8, data=8, model=1, devices=jax.devices("cpu"))
+    sharded = BatchDecoder(streams, mesh=mesh).decode_all()
+    for a, b in zip(base, sharded):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
