@@ -94,6 +94,7 @@ def get_lib():
         i64p_ = ctypes.POINTER(ctypes.c_int64)
         lib.af_mp3_parse_window.argtypes = [
             i8p, ctypes.c_int64, ctypes.c_int64, i8p, ctypes.c_int32,
+            ctypes.c_int32,
             i8p, i32p, i32p,
             f32p, f32p, i32p, i32p, i32p, i8p, i64p_,
         ]
@@ -261,7 +262,8 @@ def mp3_granules_scf_huff(lib, hdr4: bytes, maindata: bytes,
 
 
 def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,
-                     nch: int, state, xq, mix, perm, aa, wt, flags):
+                     nch: int, state, xq, mix, perm, aa, wt, flags,
+                     free_format_bytes: int = 0):
     """Parse up to W frames of one stream into window tensors (one C call).
 
     ``state`` is (reserv_buf u8[511], reserv_len i32[1], ist_pos i32[2,40]);
@@ -275,7 +277,7 @@ def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,
     ptr, nbytes, _keep = _buf_ptr(view)
     new_off = ctypes.c_int64(off)
     n = lib.af_mp3_parse_window(
-        ptr, nbytes, off, _u8ptr(hdr0), W,
+        ptr, nbytes, off, _u8ptr(hdr0), W, free_format_bytes,
         reserv_buf.ctypes.data_as(_I8P),
         reserv_len.ctypes.data_as(_I32P),
         ist_pos.ctypes.data_as(_I32P),

@@ -759,13 +759,13 @@ static inline int hdr_frame_samples(const uint8_t* h) {
   return 1152 >> (((h[1] & 14) == 2) ? 1 : 0);
 }
 
-static inline int hdr_frame_bytes(const uint8_t* h) {
+static inline int hdr_frame_bytes(const uint8_t* h, int free_format) {
   int kbps =
       2 * kHalfRate[(h[1] & 0x8) ? 1 : 0][((h[1] >> 1) & 3) - 1][h[2] >> 4];
   int fb = (int)((int64_t)hdr_frame_samples(h) * kbps * 125 /
                  hdr_sample_rate(h));
   if ((h[1] & 6) == 6) fb &= ~3;
-  return fb;
+  return fb ? fb : free_format;
 }
 
 static inline int hdr_padding(const uint8_t* h) {
@@ -912,7 +912,7 @@ enum { WIN_NORMAL = 0, WIN_START = 1, WIN_SHORT = 2, WIN_STOP = 3 };
 // (511 bytes) + length, ist_pos [2*40].
 int af_mp3_parse_window(
     const uint8_t* data, int64_t nbytes, int64_t off, const uint8_t* hdr0,
-    int32_t max_frames,
+    int32_t max_frames, int32_t free_format_bytes,
     uint8_t* reserv_buf /* [511] */, int32_t* reserv_len,
     int32_t* ist_pos /* [2*40] */,
     float* xq_out /* [W, ngr, nch, 576]: sign(q)*|q|^(4/3)*gain, the
@@ -946,7 +946,7 @@ int af_mp3_parse_window(
     if (off + 4 > nbytes) break;
     const uint8_t* h = data + off;
     if (!hdr_compare(hdr0, h)) break;
-    int fb = hdr_frame_bytes(h) + hdr_padding(h);
+    int fb = hdr_frame_bytes(h, free_format_bytes) + hdr_padding(h);
     if (fb <= 4 || off + fb > nbytes) break;
     Mp3Bits bs = {data + off + 4, 0, (fb - 4) * 8};
     if (!(h[1] & 1)) mp3_get(&bs, 16);

@@ -53,6 +53,7 @@ def _native_lib():
 
 HDR_SIZE = 4
 MAX_BITRESERVOIR_BYTES = 511
+MAX_FREE_FORMAT_FRAME_SIZE = 2304
 SHORT_BLOCK_TYPE = 2
 STOP_BLOCK_TYPE = 3
 MAX_FRAME_SYNC_MATCHES = 10
@@ -698,6 +699,7 @@ class Mp3Decoder:
         start = _skip_id3v2(view)
         size = _strip_tail_tags(view)
         self._view = view[start:size]
+        self._free_format_bytes = 0
         self._index_and_detect()
         self._reset_decoder_state()
         self._offset = self._start_offset
@@ -723,7 +725,7 @@ class Mp3Decoder:
 
         self._start_delay = 0
         self._detected_samples = 0
-        frame_size = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
+        frame_size = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
         ret, frames, delay, padding = (
             _check_vbr_tag(view, pos, frame_size)
             if self._layer == 3 else (0, 0, 0, 0)
@@ -759,7 +761,7 @@ class Mp3Decoder:
                 h = view[p : p + 4]
                 if not _hdr_compare(self._hdr0, h):
                     break
-            fb = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
+            fb = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
             if fb <= 0 or p + fb > n:
                 break
             offsets.append(p)
@@ -792,9 +794,25 @@ class Mp3Decoder:
             h = view[i : i + 4]
             if not _hdr_valid(h):
                 continue
-            fb = _hdr_frame_bytes(h, 0)
+            fb = _hdr_frame_bytes(h, self._free_format_bytes)
             if not fb:
-                continue  # free-format unsupported (rare); keep scanning
+                # free format: deduce the constant frame size from the
+                # distance to the next two matching headers
+                # (mp3d_find_frame, minimp3.d:1458-1471)
+                for k in range(HDR_SIZE, MAX_FREE_FORMAT_FRAME_SIZE):
+                    if i + 2 * k >= n - HDR_SIZE:
+                        break
+                    if _hdr_compare(h, view[i + k : i + k + 4]):
+                        cand = k - _hdr_padding(h)
+                        nextfb = cand + _hdr_padding(view[i + k : i + k + 4])
+                        if (i + k + nextfb + HDR_SIZE <= n and
+                                _hdr_compare(h, view[i + k + nextfb :
+                                                     i + k + nextfb + 4])):
+                            fb = cand
+                            self._free_format_bytes = cand
+                            break
+            if not fb:
+                continue
             # require a run of matching frames (mp3d_match_frame)
             k = i
             match = 0
@@ -856,7 +874,7 @@ class Mp3Decoder:
         h = view[off : off + 4]
         if not _hdr_compare(self._hdr0, h):
             return None, 0
-        fb = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
+        fb = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
         if off + fb > len(view):
             return None, 0
         bs = _Bits(view[off + 4 : off + fb])
@@ -1006,7 +1024,7 @@ class Mp3Decoder:
         h = view[off : off + 4]
         if not _hdr_compare(self._hdr0, h):
             return None, 0
-        fb = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
+        fb = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
         if off + fb > len(view):
             return None, 0
         bs = _Bits(view[off + 4 : off + fb])
@@ -1143,7 +1161,7 @@ class Mp3Decoder:
         while i and to_fill:
             off = int(self._index_offsets[i - 1])
             h = self._view[off : off + 4]
-            fb = _hdr_frame_bytes(h, 0) + _hdr_padding(h)
+            fb = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
             bs = _Bits(self._view[off + 4 : off + fb])
             if not (h[1] & 1):
                 bs.get(16)

@@ -219,6 +219,7 @@ class BatchDecoder:
                     states[bi], xq[bi],
                     mix[bi] if nch == 2 else mix_c,
                     perm[bi], aa[bi], wt[bi], flags,
+                    free_format_bytes=d._free_format_bytes,
                 )
                 d._offset = new_off
                 if n == 0:

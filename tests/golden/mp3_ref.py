@@ -169,7 +169,8 @@ def encode_granule_data(bw: _BW, q: np.ndarray, block_type: int = 0):
 
 def build_mp3(granules, channels: int, global_gain: int = 214,
               bitrate_idx: int = 14, xing: bool = False,
-              xing_delay: int = 0, xing_padding: int = 0) -> bytes:
+              xing_delay: int = 0, xing_padding: int = 0,
+              free_format_bytes: int = 0) -> bytes:
     """granules: list of per-frame lists [ngr][nch] of dicts
     {"q": int[576], "block_type": 0|2}.  44.1 kHz MPEG-1 Layer III."""
     frames = bytearray()
@@ -184,6 +185,10 @@ def build_mp3(granules, channels: int, global_gain: int = 214,
 
     kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][bitrate_idx]
     frame_bytes = 1152 * kbps * 125 // 44100
+    if bitrate_idx == 0:
+        # free format: constant frame size chosen by the caller
+        assert free_format_bytes > 0
+        frame_bytes = free_format_bytes
 
     def side_info_and_data(frame_granules):
         side = _BW()

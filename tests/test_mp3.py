@@ -250,3 +250,33 @@ def test_layer1_decode(rng):
     ref = mp3_ref.synth_expected(S)
     scale = np.max(np.abs(ref)) + 1e-12
     assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_free_format_stream(rng):
+    """Free-format MP3 (bitrate index 0): the frame size is deduced from
+    the distance between consistent sync headers (mp3d_find_frame,
+    minimp3.d:1450-1484) and must decode identically to the same content
+    at a fixed bitrate."""
+    frames = []
+    for _ in range(8):
+        q = np.zeros(576, np.int64)
+        q[rng.choice(300, 30, replace=False)] = rng.integers(-15, 16, 30)
+        q2 = np.zeros(576, np.int64)
+        q2[rng.choice(300, 30, replace=False)] = rng.integers(-15, 16, 30)
+        frames.append([[{"q": q}], [{"q": q2}]])
+    fb = 1152 * 128 * 125 // 44100
+    data_n = mp3_ref.build_mp3(frames, channels=1, bitrate_idx=9)
+    data_f = mp3_ref.build_mp3(frames, channels=1, bitrate_idx=0,
+                               free_format_bytes=fb)
+    sn = _open(data_n)
+    ref = sn.read_samples_float(10 ** 6)
+    sf = _open(data_f)
+    out = sf.read_samples_float(10 ** 6)
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
+    # batch path
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    o2 = np.asarray(BatchDecoder([data_f]).decode_all()[0])
+    peak = np.abs(out).max()
+    assert np.abs(o2 - out).max() / peak < 1e-6
