@@ -1152,6 +1152,17 @@ class CeltDecoder:
                      startband, endband):
         """Decode one CELT frame; returns [frame_size, output_channels]
         float PCM in [-1, 1) (ff_celt_decode_frame, dopus.d:3568)."""
+        params = self.decode_frame_symbols(rd, coded_channels, frame_size,
+                                           startband, endband)
+        return self.synthesize(params)
+
+    def decode_frame_symbols(self, rd, coded_channels, frame_size,
+                             startband, endband):
+        """Host entropy/parameter stage only: range decode + band shapes +
+        denormalized spectrum; synthesis state (overlap buffer, postfilter,
+        deemphasis) is untouched.  Returns the params dict consumed by
+        synthesize() (host) or the batched device path (ops/celt_dsp.py +
+        apply_raw())."""
         s = self
         s.flushed = False
         s.coded_channels = coded_channels
@@ -1223,39 +1234,9 @@ class CeltDecoder:
             s.energy[:] = ENERGY_SILENCE
             s.coeffs[:] = 0.0
 
-        out = np.zeros((frame_size, s.output_channels), np.float32)
-        for ch in range(s.output_channels):
-            buf = s.buf[ch]
-            coeffs = s.coeffs[ch].astype(np.float64)
-            for j in range(s.blocks):
-                dst = 1024 + j * s.blocksize
-                half = imdct_half(coeffs[j :: s.blocks][: s.blocksize],
-                                  s.blocksize, imdct_scale)
-                buf[dst + OVERLAP // 2 : dst + OVERLAP // 2 +
-                    s.blocksize] = half
-                # vector_fmul_window over the first OVERLAP samples
-                u = np.arange(OVERLAP // 2)
-                w = CT.WINDOW
-                b0 = buf[dst + u].copy()
-                b1 = buf[dst + OVERLAP - 1 - u].copy()
-                buf[dst + u] = b0 * w[OVERLAP - 1 - u] - b1 * w[u]
-                buf[dst + OVERLAP - 1 - u] = b0 * w[u] + b1 * w[OVERLAP - 1 - u]
-            self._postfilter(ch, frame_size)
-            m = s.deemph_coeff[ch]
-            sig = buf[1024 - frame_size : 1024].copy()
-            # deemphasis: one-pole recurrence (device version uses an
-            # associative scan; ops/celt_dsp.py)
-            acc = np.empty(frame_size)
-            for j in range(frame_size):
-                tmp = sig[j] + m
-                m = tmp * DEEMPH_COEFF
-                acc[j] = tmp
-            s.deemph_coeff[ch] = m
-            out[:, ch] = (acc / 32768.0).astype(np.float32)
-
+        # ---- state roll (independent of synthesis) ----
         if coded_channels == 1:
             s.energy[1] = s.energy[0]
-
         for ch in range(2):
             if not transient:
                 s.prev_energy[ch][1] = s.prev_energy[ch][0].copy()
@@ -1267,6 +1248,69 @@ class CeltDecoder:
             s.energy[ch][: s.startband] = 0.0
             s.prev_energy[ch][0][s.endband :] = ENERGY_SILENCE
             s.energy[ch][s.endband :] = 0.0
-
         s.seed = rd.rng & 0xFFFFFFFF
+        return {
+            "coeffs": s.coeffs,
+            "frame_size": frame_size,
+            "blocks": s.blocks,
+            "blocksize": s.blocksize,
+            "imdct_scale": imdct_scale,
+        }
+
+    def synthesize(self, params):
+        """Host synthesis: per-block IMDCT + windowed OLA + postfilter +
+        deemphasis (the single-stream facade path)."""
+        s = self
+        frame_size = params["frame_size"]
+        blocks = params["blocks"]
+        blocksize = params["blocksize"]
+        imdct_scale = params["imdct_scale"]
+        out = np.zeros((frame_size, s.output_channels), np.float32)
+        for ch in range(s.output_channels):
+            buf = s.buf[ch]
+            coeffs = params["coeffs"][ch].astype(np.float64)
+            for j in range(blocks):
+                dst = 1024 + j * blocksize
+                half = imdct_half(coeffs[j :: blocks][: blocksize],
+                                  blocksize, imdct_scale)
+                buf[dst + OVERLAP // 2 : dst + OVERLAP // 2 +
+                    blocksize] = half
+                u = np.arange(OVERLAP // 2)
+                w = CT.WINDOW
+                b0 = buf[dst + u].copy()
+                b1 = buf[dst + OVERLAP - 1 - u].copy()
+                buf[dst + u] = b0 * w[OVERLAP - 1 - u] - b1 * w[u]
+                buf[dst + OVERLAP - 1 - u] = (b0 * w[u] +
+                                              b1 * w[OVERLAP - 1 - u])
+            out[:, ch] = self._finish_channel(ch, frame_size)
         return out
+
+    def apply_raw(self, raw, tails, frame_size):
+        """Batched-path completion: insert device-produced pre-postfilter
+        samples (ops/celt_dsp.celt_imdct_ola) into the overlap buffer, then
+        postfilter + deemphasis exactly as the host path."""
+        s = self
+        out = np.zeros((frame_size, s.output_channels), np.float32)
+        for ch in range(s.output_channels):
+            buf = s.buf[ch]
+            buf[1024 : 1024 + frame_size] = raw[:, ch]
+            buf[1024 + frame_size : 1024 + frame_size + OVERLAP // 2] = \
+                tails[:, ch]
+            out[:, ch] = self._finish_channel(ch, frame_size)
+        return out
+
+    def _finish_channel(self, ch, frame_size):
+        s = self
+        buf = s.buf[ch]
+        self._postfilter(ch, frame_size)
+        m = s.deemph_coeff[ch]
+        sig = buf[1024 - frame_size : 1024].copy()
+        acc = np.empty(frame_size)
+        for j in range(frame_size):
+            tmp = sig[j] + m
+            m = tmp * DEEMPH_COEFF
+            acc[j] = tmp
+        s.deemph_coeff[ch] = m
+        return (acc / 32768.0).astype(np.float32)
+
+

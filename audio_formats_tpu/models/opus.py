@@ -768,6 +768,19 @@ class OpusDecoder:
     def tell(self) -> int:
         return self._pos
 
+    def _collect_packets(self):
+        """All audio packets (for the lockstep batch scheduler's
+        pre-scan); leaves the streaming reader untouched."""
+        reader = ogg.OggPacketReader(self._view, self._serial,
+                                     self._data_start)
+        pkts = []
+        while True:
+            pk = reader.next_packet()
+            if pk is None:
+                break
+            pkts.append(pk[0])
+        return pkts
+
     def seek(self, frame: int) -> bool:
         """Page-anchor bisection + decode-and-discard for sample accuracy
         (OggStream.seekPCM dopus.d:7458 + stream.d:1177-1188)."""

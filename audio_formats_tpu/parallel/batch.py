@@ -29,6 +29,7 @@ from ..errors import AudioFormatError
 from ..io.source import ByteSource, FileSource, MemorySource
 from ..models.flac import FlacDecoder
 from ..models.mp3 import Mp3Decoder
+from ..models.opus import OpusDecoder, parse_packet as _opus_parse
 from ..ops import lpc as lpc_ops
 from ..ops import mp3_dsp
 
@@ -98,6 +99,7 @@ class BatchDecoder:
 
         mp3_groups = {}
         flac_groups = {}
+        opus_groups = {}
         for i, d in enumerate(self.decoders):
             if isinstance(d, Mp3Decoder) and d._layer == 3:
                 # Layers I/II use the per-stream path (different frame
@@ -105,6 +107,8 @@ class BatchDecoder:
                 mp3_groups.setdefault((d.channels, d._mpeg1), []).append(i)
             elif isinstance(d, FlacDecoder) and d.bits_per_sample <= 16:
                 flac_groups.setdefault(d.channels, []).append(i)
+            elif isinstance(d, OpusDecoder) and self._opus_eligible(d):
+                opus_groups.setdefault(d.channels, []).append(i)
 
         # cap lockstep group width: past ~64 streams the per-window tensor
         # assembly/transfer dominates over batching gains on a single chip
@@ -123,6 +127,14 @@ class BatchDecoder:
                 chunk = lanes[c : c + GROUP]
                 res = self._decode_flac_group(
                     [self.decoders[i] for i in chunk], nch
+                )
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
+        for nch, lanes in opus_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                chunk = lanes[c : c + GROUP]
+                res = self._decode_opus_group(
+                    [self.decoders[i] for i in chunk]
                 )
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
@@ -497,5 +509,109 @@ class BatchDecoder:
             pcm = (s32.astype(np.float64) * (1.0 / 2147483647.0)).astype(
                 np.float32
             )
+            result.append(pcm)
+        return result
+
+    # ------------------------------------------------- batched Opus lockstep
+    @staticmethod
+    def _opus_eligible(d) -> bool:
+        """Lockstep-eligible: mapping-0 stream whose packets are all
+        CELT-only with one frame size (music streams; the common case).
+        Mixed-mode/multistream lanes use the per-stream path."""
+        if getattr(d, "channel_mapping", 1) != 0:
+            return False
+        try:
+            pkts = d._collect_packets()
+        except Exception:
+            return False
+        if not pkts:
+            return False
+        fs = None
+        for data in pkts:
+            pk = _opus_parse(data)
+            if pk is None or pk["mode"] != "celt":
+                return False
+            if fs is None:
+                fs = pk["frame_size"]
+            elif pk["frame_size"] != fs:
+                return False
+        d._lockstep_packets = pkts
+        return True
+
+    def _decode_opus_group(self, decs):
+        """CELT lockstep: the host symbol stage runs per frame per lane,
+        then ONE device call per (blocks, blocksize) bucket does the
+        IMDCT + windowed OLA for every lane (ops/celt_dsp.celt_imdct_ola);
+        the pitch postfilter + deemphasis finish on the host
+        (data-dependent IIR)."""
+        from ..models.opus import RangeDecoder
+        from ..models.celt import OVERLAP
+        from ..ops import celt_dsp
+
+        B = len(decs)
+        # flatten every lane's packets into frame lists
+        lane_frames = []
+        for d in decs:
+            frames = []
+            for data in d._lockstep_packets:
+                pk = _opus_parse(data)
+                for fr in pk["frames"]:
+                    frames.append((fr, pk))
+            lane_frames.append(frames)
+        n_steps = max(len(f) for f in lane_frames)
+        outputs = [[] for _ in range(B)]
+        for step in range(n_steps):
+            buckets = {}
+            for bi, d in enumerate(decs):
+                if step >= len(lane_frames[bi]):
+                    continue
+                fr, pk = lane_frames[bi][step]
+                cd = d._streams[0]._celt
+                n = pk["frame_size"]
+                if len(fr) == 0:
+                    outputs[bi].append(
+                        np.zeros((n, d.channels), np.float32))
+                    continue
+                endband = [13, 17, 19, 21][(pk["config"] - 16) >> 2]
+                rd = RangeDecoder(fr)
+                params = cd.decode_frame_symbols(
+                    rd, 2 if pk["stereo"] else 1, n, 0, endband)
+                buckets.setdefault(
+                    (params["blocks"], params["blocksize"]), []
+                ).append((bi, d, cd, params, n))
+            for (blocks, bs), items in buckets.items():
+                frame = blocks * bs
+                co = np.stack([
+                    p["coeffs"][c, :frame]
+                    for (_, d, cd, p, _) in items
+                    for c in range(cd.output_channels)
+                ]).astype(np.float32)
+                tails = np.stack([
+                    cd.buf[c][1024 : 1024 + OVERLAP // 2]
+                    for (_, d, cd, p, _) in items
+                    for c in range(cd.output_channels)
+                ]).astype(np.float32)
+                raw, newtail = celt_dsp.celt_imdct_ola(
+                    co, tails, blocks, bs,
+                    scale=items[0][3]["imdct_scale"])
+                raw = np.asarray(raw)
+                newtail = np.asarray(newtail)
+                row = 0
+                for (bi, d, cd, p, n) in items:
+                    k = cd.output_channels
+                    pcm = cd.apply_raw(raw[row : row + k].T,
+                                       newtail[row : row + k].T, n)
+                    row += k
+                    g = np.float32(d._gain)
+                    outputs[bi].append(
+                        (pcm * g if d._gain != 1.0 else pcm
+                         ).astype(np.float32))
+        result = []
+        for bi, d in enumerate(decs):
+            pcm = np.concatenate(outputs[bi]) if outputs[bi] else \
+                np.zeros((0, d.channels), np.float32)
+            pcm = pcm[d.preskip :]
+            if d.length_frames:
+                pcm = pcm[: d.length_frames]
             result.append(pcm)
         return result

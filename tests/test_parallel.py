@@ -49,3 +49,37 @@ def test_mesh_sharded_flac_matches_unsharded(rng):
     sharded = BatchDecoder(streams, mesh=mesh).decode_all()
     for a, b in zip(base, sharded):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_opus_celt_lockstep_matches_facade():
+    """CELT-only Opus lanes decode through the batched device synthesis
+    (ops/celt_dsp.celt_imdct_ola) and must match the per-stream facade."""
+    import pytest
+
+    from golden import opus_oracle, opus_ref
+    from audio_formats_tpu import AudioStream
+
+    try:
+        if opus_oracle.get_lib() is None:
+            pytest.skip("libopus unavailable")
+    except Exception:
+        pytest.skip("libopus unavailable")
+    O = opus_oracle
+    rng = np.random.default_rng(3)
+    N, npkt = 960, 8
+    t = np.arange(N * npkt) / 48000.0
+    sig = np.clip(7000 * np.sin(2 * np.pi * 440 * t) +
+                  1200 * rng.standard_normal(t.size),
+                  -32000, 32000).astype(np.int16)[:, None]
+    enc = O.OracleEncoder(48000, 1, bitrate=96000,
+                          signal=O.OPUS_SIGNAL_MUSIC,
+                          bandwidth=O.OPUS_BANDWIDTH_FULLBAND)
+    pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N) for n in range(npkt)]
+    data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=312)
+    st = AudioStream()
+    st.open_from_memory(data)
+    ref = st.read_samples_float(st.get_length_in_frames())
+    outs = BatchDecoder([data] * 4).decode_all()
+    for o in outs:
+        o = np.asarray(o)[: len(ref)]
+        assert np.abs(o - ref).max() < 1e-6
