@@ -81,11 +81,6 @@ def get_lib():
         lib.af_flac_parse_frame.restype = ctypes.c_int
         lib.af_mp3_set_l3_tables.argtypes = [i8p] * 7
         lib.af_mp3_set_l3_tables.restype = ctypes.c_int
-        lib.af_mp3_parse_granules.argtypes = [
-            i8p, i8p, ctypes.c_int64, i8p, ctypes.c_int64,
-            i32p, i32p, f32p, i32p, i32p, i32p,
-        ]
-        lib.af_mp3_parse_granules.restype = ctypes.c_int
         lib.af_mp3_granules_scf_huff.argtypes = [
             i8p, i8p, ctypes.c_int64, i32p, i8p,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p, i32p,
@@ -199,41 +194,6 @@ def flac_parse_frame(lib, data, start_bits: int, streaminfo_bps: int,
         "bps": bps,
         "end_bits": int(meta[3]),
     }
-
-
-def mp3_parse_granules(lib, hdr4: bytes, maindata: bytes, sideinfo,
-                       ist_pos: np.ndarray):
-    """Full Layer III frame parse: side info + scalefactors + Huffman in one
-    native call.  Returns (ngr, nch, q [ngr,nch,576] i32, gains f32,
-    meta [ngr,nch,12] i32, ist_snapshots [ngr,40] i32) or None on corrupt
-    side info.  ``ist_pos`` is the decoder's persistent [2,40] int32 state.
-
-    meta layout per granule-channel: [big_values, block_type,
-    mixed_block_flag, n_long_sfb, n_short_sfb, scalefac_compress, scfsi,
-    0, 0, 0, 0, 0].
-    """
-    q = np.zeros((2, 2, 576), np.int32)
-    gains = np.zeros((2, 2, 576), np.float32)
-    meta = np.zeros((2, 2, 12), np.int32)
-    snaps = np.zeros((2, 40), np.int32)
-    counts = np.zeros(2, np.int32)
-    side = np.frombuffer(bytes(sideinfo), dtype=np.uint8)
-    rc = lib.af_mp3_parse_granules(
-        _u8ptr(hdr4), _u8ptr(maindata), len(maindata),
-        side.ctypes.data_as(_I8P), len(side),
-        ist_pos.ctypes.data_as(_I32P),
-        q.ctypes.data_as(_I32P), gains.ctypes.data_as(_F32P),
-        meta.ctypes.data_as(_I32P),
-        snaps.ctypes.data_as(_I32P),
-        counts.ctypes.data_as(_I32P),
-    )
-    if rc != 0:
-        return None
-    ngr, nch = int(counts[0]), int(counts[1])
-    return (ngr, nch, q.reshape(4, 576)[: ngr * nch].reshape(ngr, nch, 576),
-            gains.reshape(4, 576)[: ngr * nch].reshape(ngr, nch, 576),
-            meta.reshape(4, 12)[: ngr * nch].reshape(ngr, nch, 12),
-            snaps[:ngr])
 
 
 def mp3_granules_scf_huff(lib, hdr4: bytes, maindata: bytes,

@@ -591,66 +591,6 @@ static void mp3_scalefactors(const uint8_t* h, int32_t* ist_pos,
 //   side info is parsed here too, from the frame bytes.
 // Returns 0 ok, -1 bad side info (decoder resets), -2 reservoir underflow
 // handled by caller (this function is only called when restore succeeded).
-int af_mp3_parse_granules(
-    const uint8_t* hdr4, const uint8_t* maindata, int64_t maindata_len,
-    const uint8_t* sideinfo, int64_t sideinfo_len,
-    int32_t* ist_pos /* [2*40] persistent */,
-    int32_t* q_out, float* gain_out,
-    int32_t* gr_meta /* [ngr*nch*12], layout documented in native.py */,
-    int32_t* ist_snapshot /* [ngr*40]: right-channel ist_pos after each
-                             granule (intensity-stereo mixing input) */,
-    int32_t* out_counts /* [2]: ngr, nch */) {
-  GrInfo grs[4];
-  Mp3Bits bs = {sideinfo, 0, sideinfo_len * 8};
-  int main_data_begin = mp3_side_info(&bs, grs, hdr4);
-  if (main_data_begin < 0) return -1;
-  int mpeg1 = hdr4[1] & 0x8;
-  int nch = ((hdr4[3] & 0xC0) == 0xC0) ? 1 : 2;
-  int ngr = mpeg1 ? 2 : 1;
-  out_counts[0] = ngr;
-  out_counts[1] = nch;
-
-  BitReader br = {maindata, maindata_len * 8, 0};
-  float scf[40];
-  for (int g = 0; g < ngr; g++) {
-    for (int ch = 0; ch < nch; ch++) {
-      GrInfo* gr = &grs[g * nch + ch];
-      int64_t limit = br.pos + gr->part_23_length;
-      mp3_scalefactors(hdr4, ist_pos + ch * 40, &br, gr, ch, scf);
-      int32_t* q = q_out + (int64_t)(g * nch + ch) * 576;
-      float* gains = gain_out + (int64_t)(g * nch + ch) * 576;
-      int32_t ts[3] = {gr->table_select[0], gr->table_select[1],
-                       gr->table_select[2]};
-      int32_t rc[3] = {gr->region_count[0], gr->region_count[1],
-                       gr->region_count[2]};
-      uint8_t sfb[48];
-      memset(sfb, 0, sizeof(sfb));
-      memcpy(sfb, gr->sfbtab, gr->n_short_sfb ? 40 : 23);
-      int64_t end = af_mp3_huffman(maindata, maindata_len, br.pos, limit,
-                                   ts, rc, sfb, scf, gr->big_values,
-                                   gr->count1_table, q, gains);
-      if (end < 0) return -1;
-      br.pos = limit;
-      // export per-granule metadata for device-side window/mix prep
-      int32_t* m = gr_meta + (int64_t)(g * nch + ch) * 12;
-      m[0] = gr->big_values;
-      m[1] = gr->block_type;
-      m[2] = gr->mixed_block_flag;
-      m[3] = gr->n_long_sfb;
-      m[4] = gr->n_short_sfb;
-      m[5] = gr->scalefac_compress;
-      m[6] = gr->scfsi;
-      m[7] = 0;
-      m[8] = 0;
-      m[9] = 0;
-      m[10] = 0;
-      m[11] = 0;
-    }
-    memcpy(ist_snapshot + (int64_t)g * 40, ist_pos + (nch - 1) * 40,
-           40 * sizeof(int32_t));
-  }
-  return 0;
-}
 
 // Lean per-frame entry: Python parses side info (it owns the bit-reservoir
 // bookkeeping) and passes per-granule parameters; this decodes scalefactors
