@@ -29,14 +29,17 @@ def _build() -> bool:
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
+        # -ffp-contract=off: no FMA contraction, so float expressions round
+        # exactly like the numpy reference paths (bit-for-bit A/B tests)
+        flags = ["-O3", "-ffp-contract=off", "-shared", "-fPIC"]
         res = subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-march=native"] + flags + ["-o", _SO, _SRC],
             capture_output=True,
             timeout=120,
         )
         if res.returncode != 0:
             res = subprocess.run(  # retry without -march=native
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++"] + flags + ["-o", _SO, _SRC],
                 capture_output=True,
                 timeout=120,
             )
@@ -115,9 +118,80 @@ def get_lib():
             T.SCF_LONG, T.SCF_SHORT, T.SCF_MIXED, T.SCF_PARTITIONS,
             T.SCFC_DECODE, T.SCF_MOD, T.PREAMP)]
         lib.af_mp3_set_l3_tables(*[a.ctypes.data_as(i8p) for a in _keep])
+
+        _install_celt(lib)
         _lib = lib
         _tables_loaded = True
         return _lib
+
+
+def _install_celt(lib) -> None:
+    """Register + install the CELT symbol-stage tables (af_host.cc:
+    af_celt_set_tables / af_celt_decode_symbols)."""
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    s8p = ctypes.POINTER(ctypes.c_int8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.af_celt_set_tables.argtypes = [
+        i8p, i8p, i8p, u16p, u16p, u16p, u16p,
+        f64p, f64p, f64p, f64p, f64p,
+        i8p, s8p, i8p, i8p, i8p, i16p, i8p, i8p, i8p, i8p, u16p, u64p,
+    ]
+    lib.af_celt_set_tables.restype = ctypes.c_int
+    lib.af_celt_decode_symbols.argtypes = [
+        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        f64p, f64p, i32p, u32p, f32p, i64p, i32p, f64p,
+    ]
+    lib.af_celt_decode_symbols.restype = ctypes.c_int
+    lib.af_celt_finish_channel.argtypes = [
+        f64p, ctypes.c_int32, i32p, f64p, f64p, f32p,
+    ]
+    lib.af_celt_finish_channel.restype = ctypes.c_int
+
+    from ..utils.tables import celt_tables as CT
+
+    def u8(a):
+        return np.ascontiguousarray(np.asarray(a).reshape(-1), np.uint8)
+
+    tapset = np.zeros(5, np.uint16)
+    tapset[:4] = CT.MODEL_TAPSET
+    pvq_u = np.zeros((16, 178), np.uint64)
+    for n, row in CT.PVQ_U_ROWS.items():
+        # entries touched during decode are < 2^32 (the codeword index is
+        # range-coder bounded); saturate the never-read bigint tail
+        pvq_u[n] = np.array([min(v, (1 << 64) - 1) for v in row],
+                            dtype=np.uint64)
+    tabs = [
+        u8(CT.FREQ_BANDS), u8(CT.FREQ_RANGE), u8(CT.LOG_FREQ_RANGE),
+        tapset,
+        np.asarray(CT.MODEL_SPREAD, np.uint16),
+        np.asarray(CT.MODEL_ALLOC_TRIM, np.uint16),
+        np.asarray(CT.MODEL_ENERGY_SMALL, np.uint16),
+        np.asarray(CT.MEAN_ENERGY, np.float64),
+        np.asarray(CT.ALPHA_COEF, np.float64),
+        np.asarray(CT.BETA_COEF, np.float64),
+        np.asarray(CT.WINDOW, np.float64),
+        np.ascontiguousarray(np.asarray(CT.POSTFILTER_TAPS,
+                                        np.float64).reshape(-1)),
+        u8(CT.COARSE_ENERGY_DIST),
+        np.ascontiguousarray(
+            np.asarray(CT.TF_SELECT).reshape(-1), np.int8),
+        u8(CT.STATIC_ALLOC), u8(CT.STATIC_CAPS), u8(CT.CACHE_BITS),
+        np.asarray(CT.CACHE_INDEX, np.int16),
+        u8(CT.LOG2_FRAC), u8(CT.BIT_INTERLEAVE), u8(CT.BIT_DEINTERLEAVE),
+        u8(CT.HADAMARD_ORDERY),
+        np.asarray(CT.QN_EXP2, np.uint16), pvq_u,
+    ]
+    ptrs = [a.ctypes.data_as(t)
+            for a, t in zip(tabs, lib.af_celt_set_tables.argtypes)]
+    lib.af_celt_set_tables(*ptrs)
 
 
 _I8P = ctypes.POINTER(ctypes.c_uint8)
@@ -219,6 +293,54 @@ def mp3_granules_scf_huff(lib, hdr4: bytes, maindata: bytes,
     if rc != 0:
         return None
     return q, gains, snaps
+
+
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+def celt_decode_symbols(lib, data, ec_state: np.ndarray, coded_channels: int,
+                        frame_size: int, startband: int, endband: int,
+                        output_channels: int, energy: np.ndarray,
+                        prev_energy: np.ndarray, collapse: np.ndarray,
+                        seed: int):
+    """Native mirror of CeltDecoder.decode_frame_symbols' entropy +
+    denormalize stage.  ec_state (int64[9]) and the state arrays are
+    updated in place; returns (coeffs [2,960] f32, out_ints, out_doubles,
+    seed) or None on a frame the C path rejects."""
+    # no zeroing needed: the C stage memsets/overwrites every output
+    coeffs = np.empty((2, 960), np.float32)
+    out_i = np.zeros(8, np.int32)
+    out_d = np.zeros(4, np.float64)
+    seed_c = ctypes.c_uint32(seed)
+    ptr, nbytes, _keep = _buf_ptr(data)
+    rc = lib.af_celt_decode_symbols(
+        ptr, nbytes, coded_channels, frame_size, startband, endband,
+        output_channels,
+        energy.ctypes.data_as(_F64P), prev_energy.ctypes.data_as(_F64P),
+        collapse.ctypes.data_as(_I32P), ctypes.byref(seed_c),
+        coeffs.ctypes.data_as(_F32P), ec_state.ctypes.data_as(_I64P),
+        out_i.ctypes.data_as(_I32P), out_d.ctypes.data_as(_F64P),
+    )
+    if rc != 0:
+        return None
+    return coeffs, out_i, out_d, seed_c.value
+
+
+def celt_finish_channel(lib, buf: np.ndarray, frame_size: int,
+                        periods: np.ndarray, gains: np.ndarray,
+                        deemph: float):
+    """Native mirror of CeltDecoder._finish_channel (postfilter + buffer
+    shift + deemphasis).  periods (int32[3]) and gains (f64[9]) are
+    [old, cur, new] and updated in place; returns (pcm f32[frame_size],
+    new deemph memory)."""
+    out = np.empty(frame_size, np.float32)
+    m = ctypes.c_double(deemph)
+    lib.af_celt_finish_channel(
+        buf.ctypes.data_as(_F64P), frame_size,
+        periods.ctypes.data_as(_I32P), gains.ctypes.data_as(_F64P),
+        ctypes.byref(m), out.ctypes.data_as(_F32P),
+    )
+    return out, m.value
 
 
 def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,

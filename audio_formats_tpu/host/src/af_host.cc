@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <cstdlib>
 #include <cmath>
 
@@ -997,6 +998,1502 @@ int af_mp3_parse_window(
   }
   *new_off = off;
   return w;
+}
+
+
+// ---------------------------------------------------------------------------
+// Opus range decoder (RFC 6716 section 4.1) — exact mirror of
+// models/opus.py:RangeDecoder (ec_dec), validated against libopus range
+// fingerprints by tests/test_opus_celt.py.
+// ---------------------------------------------------------------------------
+
+typedef struct {
+  const uint8_t* buf;
+  int32_t storage;
+  int32_t offs, end_offs;
+  int32_t end_bound;  // raw-bit tail boundary (RangeDecoder.rebound_end)
+  uint32_t end_window;
+  int32_t nend_bits;
+  int32_t nbits_total;
+  uint32_t rng, val, ext, rem;
+} EcDec;
+
+static inline uint32_t ec_read_byte(EcDec* d) {
+  return d->offs < d->storage ? d->buf[d->offs++] : 0;
+}
+
+static inline uint32_t ec_read_byte_from_end(EcDec* d) {
+  if (d->end_offs < d->end_bound) {
+    d->end_offs++;
+    return d->buf[d->end_bound - d->end_offs];
+  }
+  return 0;
+}
+
+static void ec_normalize(EcDec* d) {
+  while (d->rng <= (1u << 23)) {
+    d->nbits_total += 8;
+    d->rng <<= 8;
+    uint32_t sym = d->rem;
+    d->rem = ec_read_byte(d);
+    sym = ((sym << 8) | d->rem) >> 1;
+    d->val = ((d->val << 8) + (0xFFu & ~sym)) & ((1u << 31) - 1);
+  }
+}
+
+static void ec_init(EcDec* d, const uint8_t* buf, int32_t len) {
+  d->buf = buf;
+  d->storage = len;
+  d->offs = 0;
+  d->end_offs = 0;
+  d->end_bound = len;
+  d->end_window = 0;
+  d->nend_bits = 0;
+  d->nbits_total = 33 - 24;
+  d->rng = 1u << 7;
+  d->rem = ec_read_byte(d);
+  d->val = d->rng - 1 - (d->rem >> 1);
+  d->ext = 0;
+  ec_normalize(d);
+}
+
+static inline uint32_t ec_decode(EcDec* d, uint32_t ft) {
+  d->ext = d->rng / ft;
+  uint32_t s = d->val / d->ext;
+  return ft - 1 - (s < ft - 1 ? s : ft - 1);
+}
+
+static inline uint32_t ec_decode_bin(EcDec* d, int bits) {
+  d->ext = d->rng >> bits;
+  uint32_t s = d->val / d->ext;
+  uint32_t m = (1u << bits) - 1;
+  return m - (s < m ? s : m);
+}
+
+static inline void ec_update(EcDec* d, uint32_t fl, uint32_t fh,
+                             uint32_t ft) {
+  uint32_t s = d->ext * (ft - fh);
+  d->val -= s;
+  d->rng = fl > 0 ? d->ext * (fh - fl) : d->rng - s;
+  ec_normalize(d);
+}
+
+static inline int ec_dec_bit_logp(EcDec* d, int logp) {
+  uint32_t r = d->rng;
+  uint32_t v = d->val;
+  uint32_t s = r >> logp;
+  int ret = v < s;
+  if (!ret) d->val = v - s;
+  d->rng = ret ? s : r - s;
+  ec_normalize(d);
+  return ret;
+}
+
+// ff-style cdf model: model[0] = ft, model[1..] cumulative highs
+static inline int ec_dec_cdf(EcDec* d, const uint16_t* model) {
+  uint32_t total = model[0];
+  uint32_t fs = ec_decode(d, total);
+  int k = 0;
+  while (model[1 + k] <= fs) k++;
+  ec_update(d, k ? model[k] : 0, model[1 + k], total);
+  return k;
+}
+
+static inline uint32_t ec_dec_bits(EcDec* d, int bits) {
+  uint32_t window = d->end_window;
+  int avail = d->nend_bits;
+  while (avail < bits) {
+    window |= ec_read_byte_from_end(d) << avail;
+    avail += 8;
+  }
+  uint32_t ret = window & ((1u << bits) - 1);
+  window >>= bits;
+  avail -= bits;
+  d->end_window = window;
+  d->nend_bits = avail;
+  d->nbits_total += bits;
+  return ret;
+}
+
+static inline int ec_ilog(uint32_t v) {
+  int n = 0;
+  while (v) {
+    n++;
+    v >>= 1;
+  }
+  return n;
+}
+
+static uint32_t ec_dec_uint(EcDec* d, uint32_t ft) {
+  ft--;
+  int ftb = ec_ilog(ft);
+  if (ftb > 8) {
+    ftb -= 8;
+    uint32_t ft1 = (ft >> ftb) + 1;
+    uint32_t t = ec_decode(d, ft1);
+    ec_update(d, t, t + 1, ft1);
+    t = (t << ftb) | ec_dec_bits(d, ftb);
+    return t <= ft ? t : ft;
+  }
+  ft++;
+  uint32_t t = ec_decode(d, ft);
+  ec_update(d, t, t + 1, ft);
+  return t;
+}
+
+static inline int ec_tell(const EcDec* d) {
+  return d->nbits_total - ec_ilog(d->rng);
+}
+
+static int ec_tell_frac(const EcDec* d) {
+  uint32_t nbits = d->nbits_total << 3;
+  int l = ec_ilog(d->rng);
+  uint32_t r = d->rng >> (l - 16);
+  for (int i = 0; i < 3; i++) {
+    r = (r * r) >> 15;
+    int b = r >> 16;
+    l = (l << 1) | b;
+    r >>= b;
+  }
+  return nbits - l;
+}
+
+static int ec_dec_laplace(EcDec* d, uint32_t fs, int decay) {
+  int value = 0;
+  uint32_t low = 0;
+  uint32_t center = ec_decode_bin(d, 15);
+  if (center >= fs) {
+    value++;
+    low = fs;
+    fs = 1 + (((32768 - 32 - fs) * (uint32_t)(16384 - decay)) >> 15);
+    while (fs > 1 && center >= low + 2 * fs) {
+      value++;
+      fs *= 2;
+      low += fs;
+      fs = (((fs - 2) * (uint32_t)decay) >> 15) + 1;
+    }
+    if (fs <= 1) {
+      int distance = (center - low) >> 1;
+      value += distance;
+      low += 2 * distance;
+    }
+    if (center < low + fs) value = -value;
+    else low += fs;
+  }
+  uint32_t high = low + fs < 32768 ? low + fs : 32768;
+  ec_update(d, low, high, 32768);
+  return value;
+}
+
+static int ec_dec_step(EcDec* d, int k0) {
+  uint32_t total = (k0 + 1) * 3 + k0;
+  uint32_t fs = ec_decode(d, total);
+  int k = fs < (uint32_t)((k0 + 1) * 3) ? (int)(fs / 3)
+                                        : (int)fs - (k0 + 1) * 2;
+  if (k <= k0) ec_update(d, 3 * k, 3 * (k + 1), total);
+  else ec_update(d, (k - 1 - k0) + 3 * (k0 + 1),
+                 (k - k0) + 3 * (k0 + 1), total);
+  return k;
+}
+
+static uint32_t isqrt_u32(uint32_t v) {
+  uint32_t r = (uint32_t)sqrt((double)v);
+  while (r * r > v) r--;
+  while ((r + 1) * (r + 1) <= v) r++;
+  return r;
+}
+
+static int ec_dec_tri(EcDec* d, int qn) {
+  uint32_t total = ((qn >> 1) + 1) * ((qn >> 1) + 1);
+  uint32_t center = ec_decode(d, total);
+  uint32_t k, low, fs;
+  if (center < total >> 1) {
+    k = (isqrt_u32(8 * center + 1) - 1) >> 1;
+    low = k * (k + 1) >> 1;
+    fs = k + 1;
+  } else {
+    k = (2 * (qn + 1) - isqrt_u32(8 * (total - center - 1) + 1)) >> 1;
+    low = total - ((qn + 1 - k) * (qn + 2 - k) >> 1);
+    fs = qn + 1 - k;
+  }
+  ec_update(d, low, low + fs, total);
+  return (int)k;
+}
+
+
+// ---------------------------------------------------------------------------
+// CELT symbol stage in C (mirror of models/celt.py, which is validated
+// bit-exactly against libopus).  Python passes the static tables once and
+// calls af_celt_decode_symbols per frame; synthesis stays in
+// Python/device (ops/celt_dsp.py).
+// ---------------------------------------------------------------------------
+
+#define CELT_MAX_BANDS 21
+
+static uint8_t cg_freq_bands[22], cg_freq_range[21], cg_log_freq_range[21];
+static uint16_t cg_model_tapset[8], cg_model_spread[8],
+    cg_model_alloc_trim[16], cg_model_energy_small[8];
+static double cg_mean_energy[25], cg_alpha[4], cg_beta[4], cg_window[120],
+    cg_pf_taps[9];
+static uint8_t cg_coarse_dist[4 * 2 * 42];
+static int8_t cg_tf_select[4 * 2 * 2 * 2];
+static uint8_t cg_static_alloc[11 * 21], cg_static_caps[4 * 2 * 21];
+static uint8_t cg_cache_bits[392];
+static int16_t cg_cache_index[105];
+static uint8_t cg_log2_frac[24], cg_bit_ilv[16], cg_bit_dilv[16],
+    cg_hadamard[30];
+static uint16_t cg_qn_exp2[8];
+static uint64_t cg_pvq_u[16 * 178];
+
+int af_celt_set_tables(const uint8_t* freq_bands, const uint8_t* freq_range,
+                       const uint8_t* log_freq_range,
+                       const uint16_t* model_tapset,
+                       const uint16_t* model_spread,
+                       const uint16_t* model_alloc_trim,
+                       const uint16_t* model_energy_small,
+                       const double* mean_energy, const double* alpha,
+                       const double* beta, const double* window,
+                       const double* pf_taps, const uint8_t* coarse_dist,
+                       const int8_t* tf_select, const uint8_t* static_alloc,
+                       const uint8_t* static_caps, const uint8_t* cache_bits,
+                       const int16_t* cache_index, const uint8_t* log2_frac,
+                       const uint8_t* bit_ilv, const uint8_t* bit_dilv,
+                       const uint8_t* hadamard, const uint16_t* qn_exp2,
+                       const uint64_t* pvq_u) {
+  memcpy(cg_freq_bands, freq_bands, 22);
+  memcpy(cg_freq_range, freq_range, 21);
+  memcpy(cg_log_freq_range, log_freq_range, 21);
+  memcpy(cg_model_tapset, model_tapset, 5 * 2);
+  memcpy(cg_model_spread, model_spread, 5 * 2);
+  memcpy(cg_model_alloc_trim, model_alloc_trim, 12 * 2);
+  memcpy(cg_model_energy_small, model_energy_small, 4 * 2);
+  memcpy(cg_mean_energy, mean_energy, 25 * 8);
+  memcpy(cg_alpha, alpha, 4 * 8);
+  memcpy(cg_beta, beta, 4 * 8);
+  memcpy(cg_window, window, 120 * 8);
+  memcpy(cg_pf_taps, pf_taps, 9 * 8);
+  memcpy(cg_coarse_dist, coarse_dist, 4 * 2 * 42);
+  memcpy(cg_tf_select, tf_select, 32);
+  memcpy(cg_static_alloc, static_alloc, 11 * 21);
+  memcpy(cg_static_caps, static_caps, 4 * 2 * 21);
+  memcpy(cg_cache_bits, cache_bits, 392);
+  memcpy(cg_cache_index, cache_index, 105 * 2);
+  memcpy(cg_log2_frac, log2_frac, 24);
+  memcpy(cg_bit_ilv, bit_ilv, 16);
+  memcpy(cg_bit_dilv, bit_dilv, 16);
+  memcpy(cg_hadamard, hadamard, 30);
+  memcpy(cg_qn_exp2, qn_exp2, 8 * 2);
+  memcpy(cg_pvq_u, pvq_u, 16 * 178 * 8);
+  return 0;
+}
+
+static inline uint64_t pvq_u_at(int n, int k) {
+  int a = n < k ? n : k;
+  int b = n < k ? k : n;
+  return cg_pvq_u[a * 178 + b];
+}
+static inline uint64_t pvq_v_at(int n, int k) {
+  return pvq_u_at(n, k) + pvq_u_at(n, k + 1);
+}
+
+static inline int celt_cos_c(int x) {
+  x = (x * x + 4096) >> 13;
+  int t2 = ((-626 * x) + 16384) >> 15;
+  int t1 = ((x * (8277 + t2)) + 16384) >> 15;
+  int t0 = ((x * (-7651 + t1)) + 16384) >> 15;
+  return 1 + (32767 - x) + t0;
+}
+
+static inline int celt_log2tan_c(int isin, int icos) {
+  int lc = ec_ilog((uint32_t)icos);
+  int ls = ec_ilog((uint32_t)isin);
+  icos <<= 15 - lc;
+  isin <<= 15 - ls;
+  int a = ((isin * -2597) + 16384) >> 15;
+  int b = ((isin * (a + 7932)) + 16384) >> 15;
+  int c = ((icos * -2597) + 16384) >> 15;
+  int e = ((icos * (c + 7932)) + 16384) >> 15;
+  return ((ls - lc) << 11) + b - e;
+}
+
+static inline int cdiv_c(int a, int b) { return a / b; }
+
+typedef struct {
+  // persistent
+  double* energy;        // [2*21]
+  double* prev_energy;   // [2*2*21]
+  int32_t* collapse;     // [2*21]
+  uint32_t* seed;
+  // per-frame
+  int coded_channels, startband, endband, framebits, duration;
+  int blocks, blocksize;
+  int spread, intensitystereo, dualstereo, codedbands, anticollapse_bit;
+  int remaining, remaining2;
+  int tf_change[CELT_MAX_BANDS];
+  int pulses[CELT_MAX_BANDS];
+  int fine_bits[CELT_MAX_BANDS], fine_priority[CELT_MAX_BANDS];
+  float* coeffs;         // [2*960]
+} CeltC;
+
+static uint32_t celt_rng_c(CeltC* s) {
+  *s->seed = 1664525u * (*s->seed) + 1013904223u;
+  return *s->seed;
+}
+
+static void celt_coarse_c(CeltC* s, EcDec* d) {
+  double alpha, beta;
+  const uint8_t* model;
+  if (ec_tell(d) + 3 <= s->framebits && ec_dec_bit_logp(d, 3)) {
+    alpha = 0.0;
+    beta = 1.0 - 4915.0 / 32768.0;
+    model = cg_coarse_dist + (s->duration * 2 + 1) * 42;
+  } else {
+    alpha = cg_alpha[s->duration];
+    beta = 1.0 - cg_beta[s->duration];
+    model = cg_coarse_dist + (s->duration * 2) * 42;
+  }
+  double prev[2] = {0.0, 0.0};
+  for (int i = 0; i < CELT_MAX_BANDS; i++) {
+    for (int ch = 0; ch < s->coded_channels; ch++) {
+      if (i < s->startband || i >= s->endband) {
+        s->energy[ch * 21 + i] = 0.0;
+        continue;
+      }
+      int avail = s->framebits - ec_tell(d);
+      double value;
+      if (avail >= 15) {
+        int k = (i < 20 ? i : 20) << 1;
+        value = ec_dec_laplace(d, (uint32_t)model[k] << 7, model[k + 1] << 6);
+      } else if (avail >= 2) {
+        int x = ec_dec_cdf(d, cg_model_energy_small);
+        value = (double)((x >> 1) ^ -(x & 1));
+      } else if (avail >= 1) {
+        value = -(double)ec_dec_bit_logp(d, 1);
+      } else {
+        value = -1.0;
+      }
+      double e = s->energy[ch * 21 + i];
+      e = (e > -9.0 ? e : -9.0) * alpha + prev[ch] + value;
+      s->energy[ch * 21 + i] = e;
+      prev[ch] += beta * value;
+    }
+  }
+}
+
+static void celt_tf_c(CeltC* s, EcDec* d, int transient) {
+  int diff = 0, tf_changed = 0, tf_sel = 0;
+  int bits = transient ? 2 : 4;
+  int consumed = ec_tell(d);
+  int tf_select_bit =
+      (s->duration != 0 && consumed + bits + 1 <= s->framebits);
+  for (int i = s->startband; i < s->endband; i++) {
+    if (consumed + bits + tf_select_bit <= s->framebits) {
+      diff ^= ec_dec_bit_logp(d, bits);
+      consumed = ec_tell(d);
+      tf_changed |= diff;
+    }
+    s->tf_change[i] = diff;
+    bits = transient ? 4 : 5;
+  }
+  const int8_t* tfs = cg_tf_select + (s->duration * 2 + transient) * 4;
+  if (tf_select_bit && tfs[0 + tf_changed] != tfs[2 + tf_changed])
+    tf_sel = ec_dec_bit_logp(d, 1);
+  for (int i = s->startband; i < s->endband; i++)
+    s->tf_change[i] = tfs[tf_sel * 2 + s->tf_change[i]];
+}
+
+static void celt_alloc_c(CeltC* s, EcDec* d) {
+  int CH = s->coded_channels;
+  int cap[CELT_MAX_BANDS], boost[CELT_MAX_BANDS], threshold[CELT_MAX_BANDS];
+  int bits1[CELT_MAX_BANDS], bits2[CELT_MAX_BANDS],
+      trim_offset[CELT_MAX_BANDS];
+  int skip_startband = s->startband;
+  int dynalloc = 6, alloctrim = 5, extrabits = 0;
+  int skip_bit = 0, is_bit = 0, ds_bit = 0;
+  int consumed = ec_tell(d);
+  s->spread = 2;
+  if (consumed + 4 <= s->framebits) s->spread = ec_dec_cdf(d, cg_model_spread);
+  for (int i = 0; i < CELT_MAX_BANDS; i++)
+    cap[i] = (cg_static_caps[(s->duration * 2 + (CH - 1)) * 21 + i] + 64) *
+                 cg_freq_range[i]
+             << (CH - 1) << s->duration >> 2;
+  int totalbits = s->framebits << 3;
+  consumed = ec_tell_frac(d);
+  for (int i = s->startband; i < s->endband; i++) {
+    int quanta = cg_freq_range[i] << (CH - 1) << s->duration;
+    int q8 = quanta << 3;
+    int q6 = 6 << 3;
+    quanta = q8 < (q6 > quanta ? q6 : quanta) ? q8 : (q6 > quanta ? q6 : quanta);
+    boost[i] = 0;
+    int band_dynalloc = dynalloc;
+    while (consumed + (band_dynalloc << 3) < totalbits && boost[i] < cap[i]) {
+      int add = ec_dec_bit_logp(d, band_dynalloc);
+      consumed = ec_tell_frac(d);
+      if (!add) break;
+      boost[i] += quanta;
+      totalbits -= quanta;
+      band_dynalloc = 1;
+    }
+    if (boost[i]) dynalloc = dynalloc - 1 > 2 ? dynalloc - 1 : 2;
+  }
+  if (consumed + (6 << 3) <= totalbits)
+    alloctrim = ec_dec_cdf(d, cg_model_alloc_trim);
+  totalbits = (s->framebits << 3) - ec_tell_frac(d) - 1;
+  s->anticollapse_bit = 0;
+  if (s->blocks > 1 && s->duration >= 2 &&
+      totalbits >= ((s->duration + 2) << 3))
+    s->anticollapse_bit = 1 << 3;
+  totalbits -= s->anticollapse_bit;
+  if (totalbits >= 1 << 3) skip_bit = 1 << 3;
+  totalbits -= skip_bit;
+  if (CH == 2) {
+    is_bit = cg_log2_frac[s->endband - s->startband];
+    if (is_bit <= totalbits) {
+      totalbits -= is_bit;
+      if (totalbits >= 1 << 3) {
+        ds_bit = 1 << 3;
+        totalbits -= 1 << 3;
+      }
+    } else {
+      is_bit = 0;
+    }
+  }
+  for (int i = s->startband; i < s->endband; i++) {
+    int trim = alloctrim - 5 - s->duration;
+    int band = cg_freq_range[i] * (s->endband - i - 1);
+    int duration7 = s->duration + 3;
+    int scale = duration7 + CH - 1;
+    int th = 3 * cg_freq_range[i] << duration7 >> 4;
+    threshold[i] = th > (CH << 3) ? th : (CH << 3);
+    trim_offset[i] = trim * (band << scale) >> 6;
+    if (cg_freq_range[i] << s->duration == 1) trim_offset[i] -= CH << 3;
+  }
+  int low = 1, high = 11 - 1;
+  while (low <= high) {
+    int center = (low + high) >> 1;
+    int done = 0, total = 0;
+    for (int i = s->endband - 1; i >= s->startband; i--) {
+      int bandbits = cg_freq_range[i] * cg_static_alloc[center * 21 + i]
+                     << (CH - 1) << s->duration >> 2;
+      if (bandbits) {
+        bandbits += trim_offset[i];
+        if (bandbits < 0) bandbits = 0;
+      }
+      bandbits += boost[i];
+      if (bandbits >= threshold[i] || done) {
+        done = 1;
+        total += bandbits < cap[i] ? bandbits : cap[i];
+      } else if (bandbits >= CH << 3) {
+        total += CH << 3;
+      }
+    }
+    if (total > totalbits) high = center - 1;
+    else low = center + 1;
+  }
+  high = low--;
+  for (int i = s->startband; i < s->endband; i++) {
+    int b1 = cg_freq_range[i] * cg_static_alloc[low * 21 + i] << (CH - 1)
+             << s->duration >> 2;
+    int b2 = high >= 11 ? cap[i]
+                        : cg_freq_range[i] * cg_static_alloc[high * 21 + i]
+                              << (CH - 1) << s->duration >> 2;
+    if (b1) {
+      b1 += trim_offset[i];
+      if (b1 < 0) b1 = 0;
+    }
+    if (b2) {
+      b2 += trim_offset[i];
+      if (b2 < 0) b2 = 0;
+    }
+    if (low) b1 += boost[i];
+    b2 += boost[i];
+    if (boost[i]) skip_startband = i;
+    b2 -= b1;
+    if (b2 < 0) b2 = 0;
+    bits1[i] = b1;
+    bits2[i] = b2;
+  }
+  low = 0;
+  high = 1 << 6;
+  for (int it = 0; it < 6; it++) {
+    int center = (low + high) >> 1;
+    int done = 0, total = 0;
+    for (int j = s->endband - 1; j >= s->startband; j--) {
+      int bandbits = bits1[j] + (center * bits2[j] >> 6);
+      if (bandbits >= threshold[j] || done) {
+        done = 1;
+        total += bandbits < cap[j] ? bandbits : cap[j];
+      } else if (bandbits >= CH << 3) {
+        total += CH << 3;
+      }
+    }
+    if (total > totalbits) high = center;
+    else low = center;
+  }
+  int done = 0, total = 0;
+  for (int i = s->endband - 1; i >= s->startband; i--) {
+    int bandbits = bits1[i] + (low * bits2[i] >> 6);
+    if (bandbits >= threshold[i] || done) done = 1;
+    else bandbits = bandbits >= CH << 3 ? CH << 3 : 0;
+    bandbits = bandbits < cap[i] ? bandbits : cap[i];
+    s->pulses[i] = bandbits;
+    total += bandbits;
+  }
+  for (s->codedbands = s->endband;; s->codedbands--) {
+    int j = s->codedbands - 1;
+    if (j == skip_startband) {
+      totalbits += skip_bit;
+      break;
+    }
+    int remaining = totalbits - total;
+    int denom = cg_freq_bands[j + 1] - cg_freq_bands[s->startband];
+    int bandbits = remaining / denom;
+    remaining -= bandbits * denom;
+    int extra = remaining - (cg_freq_bands[j] - cg_freq_bands[s->startband]);
+    int allocation =
+        s->pulses[j] + bandbits * cg_freq_range[j] + (extra > 0 ? extra : 0);
+    int th = threshold[j] > ((CH + 1) << 3) ? threshold[j] : ((CH + 1) << 3);
+    if (allocation >= th) {
+      if (ec_dec_bit_logp(d, 1)) break;
+      total += 1 << 3;
+      allocation -= 1 << 3;
+    }
+    total -= s->pulses[j];
+    if (is_bit) {
+      total -= is_bit;
+      is_bit = cg_log2_frac[j - s->startband];
+      total += is_bit;
+    }
+    s->pulses[j] = allocation >= CH << 3 ? CH << 3 : 0;
+    total += s->pulses[j];
+  }
+  s->intensitystereo = 0;
+  s->dualstereo = 0;
+  if (is_bit)
+    s->intensitystereo =
+        s->startband + ec_dec_uint(d, s->codedbands + 1 - s->startband);
+  if (s->intensitystereo <= s->startband) totalbits += ds_bit;
+  else if (ds_bit) s->dualstereo = ec_dec_bit_logp(d, 1);
+  int remaining = totalbits - total;
+  int denom = cg_freq_bands[s->codedbands] - cg_freq_bands[s->startband];
+  int bandbits = remaining / denom;
+  remaining -= bandbits * denom;
+  for (int i = s->startband; i < s->codedbands; i++) {
+    int bts = remaining < cg_freq_range[i] ? remaining : cg_freq_range[i];
+    s->pulses[i] += bts + bandbits * cg_freq_range[i];
+    remaining -= bts;
+  }
+  for (int i = s->startband; i < s->codedbands; i++) {
+    int N = cg_freq_range[i] << s->duration;
+    int prev_extra = extrabits;
+    s->pulses[i] += extrabits;
+    if (N > 1) {
+      extrabits = s->pulses[i] - cap[i];
+      if (extrabits < 0) extrabits = 0;
+      s->pulses[i] -= extrabits;
+      int dof = N * CH + (CH == 2 && N > 2 && !s->dualstereo &&
+                          i < s->intensitystereo);
+      int temp = dof * (cg_log_freq_range[i] + (s->duration << 3));
+      int offset = (temp >> 1) - dof * 21;
+      if (N == 2) offset += dof << 1;
+      if (s->pulses[i] + offset < 2 * (dof << 3)) offset += temp >> 2;
+      else if (s->pulses[i] + offset < 3 * (dof << 3)) offset += temp >> 3;
+      int fine_bits = (s->pulses[i] + offset + (dof << 2)) / (dof << 3);
+      int max_bits = (s->pulses[i] >> 3) >> (CH - 1);
+      max_bits = max_bits < 8 ? max_bits : 8;
+      if (max_bits < 0) max_bits = 0;
+      int fb = fine_bits < 0 ? 0 : (fine_bits > max_bits ? max_bits
+                                                         : fine_bits);
+      s->fine_bits[i] = fb;
+      s->fine_priority[i] = fb * (dof << 3) >= s->pulses[i] + offset;
+      s->pulses[i] -= fb << (CH - 1) << 3;
+    } else {
+      extrabits = s->pulses[i] - (CH << 3);
+      if (extrabits < 0) extrabits = 0;
+      s->pulses[i] -= extrabits;
+      s->fine_bits[i] = 0;
+      s->fine_priority[i] = 1;
+    }
+    if (extrabits > 0) {
+      int fineextra = extrabits >> (CH + 2);
+      int room = 8 - s->fine_bits[i];
+      if (fineextra > room) fineextra = room;
+      s->fine_bits[i] += fineextra;
+      fineextra <<= CH + 2;
+      s->fine_priority[i] = fineextra >= extrabits - prev_extra;
+      extrabits -= fineextra;
+    }
+  }
+  s->remaining = extrabits;
+  for (int i = s->codedbands; i < s->endband; i++) {
+    s->fine_bits[i] = s->pulses[i] >> (CH - 1) >> 3;
+    s->pulses[i] = 0;
+    s->fine_priority[i] = s->fine_bits[i] < 1;
+  }
+}
+
+
+// --------------------------------------------------------------- PVQ/bands
+
+static void cwrsi_c(int N, int K, uint64_t i, int* y, uint64_t* norm_out) {
+  uint64_t norm = 0;
+  int pos = 0;
+  while (N > 2) {
+    if (K >= N) {
+      uint64_t p = pvq_u_at(N, K + 1);
+      int sgn = i >= p;
+      if (sgn) i -= p;
+      int k0 = K;
+      uint64_t q = pvq_u_at(N, N);
+      if (q > i) {
+        K = N;
+        do {
+          K--;
+          p = pvq_u_at(K, N);
+        } while (p > i);
+      } else {
+        p = pvq_u_at(N, K);
+        while (p > i) {
+          K--;
+          p = pvq_u_at(N, K);
+        }
+      }
+      i -= p;
+      int val = sgn ? -(k0 - K) : (k0 - K);
+      norm += (int64_t)val * val;
+      y[pos++] = val;
+    } else {
+      uint64_t p = pvq_u_at(K, N);
+      uint64_t q = pvq_u_at(K + 1, N);
+      if (p <= i && i < q) {
+        i -= p;
+        y[pos++] = 0;
+      } else {
+        int sgn = i >= q;
+        if (sgn) i -= q;
+        int k0 = K;
+        do {
+          K--;
+          p = pvq_u_at(K, N);
+        } while (p > i);
+        i -= p;
+        int val = sgn ? -(k0 - K) : (k0 - K);
+        norm += (int64_t)val * val;
+        y[pos++] = val;
+      }
+    }
+    N--;
+  }
+  // N == 2
+  {
+    uint64_t p = 2 * (uint64_t)K + 1;
+    int sgn = i >= p;
+    if (sgn) i -= p;
+    int k0 = K;
+    K = (int)((i + 1) / 2);
+    if (K) i -= 2 * (uint64_t)K - 1;
+    int val = sgn ? -(k0 - K) : (k0 - K);
+    norm += (int64_t)val * val;
+    y[pos++] = val;
+  }
+  // N == 1
+  {
+    int64_t s = -(int64_t)i;
+    int val = s == 0 ? K : (int)(((int64_t)K + s) ^ s);
+    norm += (int64_t)val * val;
+    y[pos] = val;
+  }
+  *norm_out = norm;
+}
+
+static void exp_rot1_c(float* X, int len, int stride, float c, float s) {
+  for (int i = 0; i < len - stride; i++) {
+    float x1 = X[i], x2 = X[i + stride];
+    X[i + stride] = c * x2 + s * x1;
+    X[i] = c * x1 - s * x2;
+  }
+  for (int i = len - 2 * stride - 1; i >= 0; i--) {
+    float x1 = X[i], x2 = X[i + stride];
+    X[i + stride] = c * x2 + s * x1;
+    X[i] = c * x1 - s * x2;
+  }
+}
+
+static void exp_rot_c(float* X, int len, int stride, int K, int spread) {
+  if (2 * K >= len || spread == 0) return;
+  double gain = (double)len / (len + (20 - 5 * spread) * K);
+  double theta = M_PI * gain * gain / 4;
+  float c = (float)cos(theta), sn = (float)sin(theta);
+  int stride2 = 0;
+  if (len >= stride << 3) {
+    stride2 = 1;
+    while ((stride2 * stride2 + stride2) * stride + (stride >> 2) < len)
+      stride2++;
+  }
+  len /= stride;
+  for (int i = 0; i < stride; i++) {
+    if (stride2) exp_rot1_c(X + i * len, len, stride2, sn, c);
+    exp_rot1_c(X + i * len, len, 1, c, sn);
+  }
+}
+
+static unsigned collapse_mask_c(const int* y, int N, int B) {
+  if (B <= 1) return 1;
+  int N0 = N / B;
+  unsigned m = 0;
+  for (int i = 0; i < B; i++)
+    for (int j = 0; j < N0; j++) m |= (unsigned)(y[i * N0 + j] != 0) << i;
+  return m;
+}
+
+static void renormalize_c(float* X, int N, double gain) {
+  double g = 1e-15;
+  for (int i = 0; i < N; i++) g += (double)X[i] * X[i];
+  float k = (float)(gain / sqrt(g));
+  for (int i = 0; i < N; i++) X[i] *= k;
+}
+
+static void haar1_c(float* X, int N0, int stride) {
+  N0 >>= 1;
+  const float r = (float)0.7071067811865476;
+  for (int i = 0; i < stride; i++)
+    for (int j = 0; j < N0; j++) {
+      float x0 = X[stride * (2 * j) + i];
+      float x1 = X[stride * (2 * j + 1) + i];
+      X[stride * (2 * j) + i] = (x0 + x1) * r;
+      X[stride * (2 * j + 1) + i] = (x0 - x1) * r;
+    }
+}
+
+static void interleave_had_c(float* X, int N0, int stride, int hadamard,
+                             float* tmp) {
+  if (hadamard) {
+    const uint8_t* ordery = cg_hadamard + stride - 2;
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < N0; j++) tmp[j * stride + i] = X[ordery[i] * N0 + j];
+  } else {
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < N0; j++) tmp[j * stride + i] = X[i * N0 + j];
+  }
+  memcpy(X, tmp, sizeof(float) * N0 * stride);
+}
+
+static void deinterleave_had_c(float* X, int N0, int stride, int hadamard,
+                               float* tmp) {
+  if (hadamard) {
+    const uint8_t* ordery = cg_hadamard + stride - 2;
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < N0; j++) tmp[ordery[i] * N0 + j] = X[j * stride + i];
+  } else {
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < N0; j++) tmp[i * N0 + j] = X[j * stride + i];
+  }
+  memcpy(X, tmp, sizeof(float) * N0 * stride);
+}
+
+static int compute_qn_c(int N, int b, int offset, int pulse_cap,
+                        int dualstereo) {
+  int N2 = 2 * N - 1;
+  if (dualstereo && N == 2) N2--;
+  int qb = b - pulse_cap - (4 << 3);
+  int t = (b + N2 * offset) / N2;
+  if (t < qb) qb = t;
+  if (qb > 8 << 3) qb = 8 << 3;
+  if (qb < 4) return 1;
+  return ((cg_qn_exp2[qb & 7] >> (14 - (qb >> 3))) + 1) >> 1 << 1;
+}
+
+static int bits2pulses_c(int offs, int bits) {
+  int low = 0, high = cg_cache_bits[offs];
+  bits--;
+  for (int i = 0; i < 6; i++) {
+    int center = (low + high + 1) >> 1;
+    if (cg_cache_bits[offs + center] >= bits) high = center;
+    else low = center;
+  }
+  int lowv = low == 0 ? -1 : cg_cache_bits[offs + low];
+  return (bits - lowv <= cg_cache_bits[offs + high] - bits) ? low : high;
+}
+
+static inline int pulses2bits_c(int offs, int pulses) {
+  return pulses == 0 ? 0 : cg_cache_bits[offs + pulses] + 1;
+}
+
+static unsigned alg_unquant_c(CeltC* s, EcDec* d, float* X, int N, int K,
+                              int spread, int blocks, double gain) {
+  int y[200];
+  uint64_t norm;
+  uint64_t idx = ec_dec_uint(d, (uint32_t)pvq_v_at(N, K));
+  cwrsi_c(N, K, idx, y, &norm);
+  float g = (float)(gain / sqrt((double)norm));
+  for (int i = 0; i < N; i++) X[i] = (float)((double)y[i] * (double)g);
+  exp_rot_c(X, N, blocks, K, s->spread);
+  return collapse_mask_c(y, N, blocks);
+}
+
+static unsigned celt_band_c(CeltC* s, EcDec* d, int band, float* X, float* Y,
+                            int N, int b, int blocks, float* lowband,
+                            int duration, float* lowband_out, int level,
+                            double gain, float* scratch, unsigned fill) {
+  int N0 = N, B0 = blocks;
+  int N_B = N / blocks, N_B0 = N_B;
+  int dualstereo = Y != NULL;
+  int split = dualstereo;
+  int time_divide = 0, recombine = 0, inv = 0;
+  double mid = 0, side = 0;
+  int longblocks = B0 == 1;
+  unsigned cm = 0;
+  float tmpbuf[200];
+
+  if (N == 1) {
+    float* x = X;
+    for (int t = 0; t <= dualstereo; t++) {
+      int sign = 0;
+      if (s->remaining2 >= 1 << 3) {
+        sign = (int)ec_dec_bits(d, 1);
+        s->remaining2 -= 1 << 3;
+        b -= 1 << 3;
+      }
+      x[0] = sign ? -1.0f : 1.0f;
+      x = Y;
+    }
+    if (lowband_out) lowband_out[0] = X[0];
+    return 1;
+  }
+
+  if (!dualstereo && level == 0) {
+    int tf_change = s->tf_change[band];
+    if (tf_change > 0) recombine = tf_change;
+    if (lowband &&
+        (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
+      memcpy(scratch, lowband, sizeof(float) * N);
+      lowband = scratch;
+    }
+    for (int k = 0; k < recombine; k++) {
+      if (lowband) haar1_c(lowband, N >> k, 1 << k);
+      fill = cg_bit_ilv[fill & 0xF] | cg_bit_ilv[fill >> 4] << 2;
+    }
+    blocks >>= recombine;
+    N_B <<= recombine;
+    while ((N_B & 1) == 0 && s->tf_change[band] + time_divide < 0) {
+      if (lowband) haar1_c(lowband, N_B, blocks);
+      fill |= fill << blocks;
+      blocks <<= 1;
+      N_B >>= 1;
+      time_divide++;
+    }
+    B0 = blocks;
+    N_B0 = N_B;
+    if (B0 > 1 && lowband)
+      deinterleave_had_c(lowband, N_B >> recombine, B0 << recombine,
+                         longblocks, tmpbuf);
+  }
+
+  int cache_off = cg_cache_index[(duration + 1) * CELT_MAX_BANDS + band];
+  if (!dualstereo && duration >= 0 &&
+      b > cg_cache_bits[cache_off + cg_cache_bits[cache_off]] + 12 && N > 2) {
+    N >>= 1;
+    Y = X + N;
+    split = 1;
+    duration -= 1;
+    if (blocks == 1) fill = (fill & 1) | (fill << 1);
+    blocks = (blocks + 1) >> 1;
+  }
+
+  if (split) {
+    int qn, itheta = 0, delta = 0, imid = 0, iside = 0;
+    int pulse_cap = cg_log_freq_range[band] + duration * 8;
+    int offset = (pulse_cap >> 1) - (dualstereo && N == 2 ? 16 : 4);
+    qn = (dualstereo && band >= s->intensitystereo)
+             ? 1
+             : compute_qn_c(N, b, offset, pulse_cap, dualstereo);
+    int tell = ec_tell_frac(d);
+    if (qn != 1) {
+      if (dualstereo && N > 2) itheta = ec_dec_step(d, qn / 2);
+      else if (dualstereo || B0 > 1) itheta = (int)ec_dec_uint(d, qn + 1);
+      else itheta = ec_dec_tri(d, qn);
+      itheta = (int)((int64_t)itheta * 16384 / qn);
+    } else if (dualstereo) {
+      inv = (b > 2 << 3 && s->remaining2 > 2 << 3) ? ec_dec_bit_logp(d, 2)
+                                                   : 0;
+      itheta = 0;
+    }
+    int qalloc = ec_tell_frac(d) - tell;
+    b -= qalloc;
+    unsigned orig_fill = fill;
+    if (itheta == 0) {
+      imid = 32767;
+      iside = 0;
+      fill &= (1u << blocks) - 1;
+      delta = -16384;
+    } else if (itheta == 16384) {
+      imid = 0;
+      iside = 32767;
+      fill &= ((1u << blocks) - 1) << blocks;
+      delta = 16384;
+    } else {
+      imid = celt_cos_c(itheta);
+      iside = celt_cos_c(16384 - itheta);
+      delta = (((N - 1) << 7) * celt_log2tan_c(iside, imid) + 16384) >> 15;
+    }
+    mid = imid / 32768.0;
+    side = iside / 32768.0;
+
+    if (N == 2 && dualstereo) {
+      int mbits = b;
+      int sbits = (itheta != 0 && itheta != 16384) ? 1 << 3 : 0;
+      mbits -= sbits;
+      int c = itheta > 8192;
+      s->remaining2 -= qalloc + sbits;
+      float* x2 = c ? Y : X;
+      float* y2 = c ? X : Y;
+      int sign = 0;
+      if (sbits) sign = (int)ec_dec_bits(d, 1);
+      sign = 1 - 2 * sign;
+      cm = celt_band_c(s, d, band, x2, NULL, N, mbits, blocks, lowband,
+                       duration, lowband_out, level, gain, scratch,
+                       orig_fill);
+      y2[0] = -sign * x2[1];
+      y2[1] = sign * x2[0];
+      X[0] *= (float)mid;
+      X[1] *= (float)mid;
+      Y[0] *= (float)side;
+      Y[1] *= (float)side;
+      float t = X[0];
+      X[0] = t - Y[0];
+      Y[0] = t + Y[0];
+      t = X[1];
+      X[1] = t - Y[1];
+      Y[1] = t + Y[1];
+    } else {
+      float* next_lowband2 = NULL;
+      float* next_lowband_out1 = NULL;
+      int next_level = 0;
+      if (B0 > 1 && !dualstereo && (itheta & 0x3FFF)) {
+        if (itheta > 8192) delta -= delta >> (4 - duration);
+        else {
+          int t = delta + (N << 3 >> (5 - duration));
+          delta = t < 0 ? t : 0;
+        }
+      }
+      int mbits = (b - delta) / 2;
+      if (mbits > b) mbits = b;
+      if (mbits < 0) mbits = 0;
+      int sbits = b - mbits;
+      s->remaining2 -= qalloc;
+      if (lowband && !dualstereo) next_lowband2 = lowband + N;
+      if (dualstereo) next_lowband_out1 = lowband_out;
+      else next_level = level + 1;
+      int rebalance = s->remaining2;
+      if (mbits >= sbits) {
+        cm = celt_band_c(s, d, band, X, NULL, N, mbits, blocks, lowband,
+                         duration, next_lowband_out1, next_level,
+                         dualstereo ? 1.0 : gain * mid, scratch, fill);
+        rebalance = mbits - (rebalance - s->remaining2);
+        if (rebalance > 3 << 3 && itheta != 0) sbits += rebalance - (3 << 3);
+        cm |= celt_band_c(s, d, band, Y, NULL, N, sbits, blocks,
+                          next_lowband2, duration, NULL, next_level,
+                          gain * side, NULL, fill >> blocks)
+              << ((B0 >> 1) & (dualstereo - 1));
+      } else {
+        cm = celt_band_c(s, d, band, Y, NULL, N, sbits, blocks,
+                         next_lowband2, duration, NULL, next_level,
+                         gain * side, NULL, fill >> blocks)
+             << ((B0 >> 1) & (dualstereo - 1));
+        rebalance = sbits - (rebalance - s->remaining2);
+        if (rebalance > 3 << 3 && itheta != 16384)
+          mbits += rebalance - (3 << 3);
+        cm |= celt_band_c(s, d, band, X, NULL, N, mbits, blocks, lowband,
+                          duration, next_lowband_out1, next_level,
+                          dualstereo ? 1.0 : gain * mid, scratch, fill);
+      }
+    }
+  } else {
+    int q = bits2pulses_c(cache_off, b);
+    int curr_bits = pulses2bits_c(cache_off, q);
+    s->remaining2 -= curr_bits;
+    while (s->remaining2 < 0 && q > 0) {
+      s->remaining2 += curr_bits;
+      q--;
+      curr_bits = pulses2bits_c(cache_off, q);
+      s->remaining2 -= curr_bits;
+    }
+    if (q != 0) {
+      int K = q < 8 ? q : (8 + (q & 7)) << ((q >> 3) - 1);
+      cm = alg_unquant_c(s, d, X, N, K, s->spread, blocks, gain);
+    } else {
+      unsigned cm_mask = (1u << blocks) - 1;
+      fill &= cm_mask;
+      if (!fill) {
+        memset(X, 0, sizeof(float) * N);
+      } else {
+        if (!lowband) {
+          for (int j = 0; j < N; j++) {
+            uint32_t r = celt_rng_c(s);
+            X[j] = (float)((int32_t)r >> 20);
+          }
+          cm = cm_mask;
+        } else {
+          for (int j = 0; j < N; j++) {
+            uint32_t r = celt_rng_c(s);
+            // f32 addition (numpy f32 scalar + weak python float)
+            X[j] = lowband[j] + ((r & 0x8000) ? 0.00390625f : -0.00390625f);
+          }
+          cm = fill;
+        }
+        renormalize_c(X, N, gain);
+      }
+    }
+  }
+
+  if (dualstereo) {
+    if (N != 2) {
+      double xp = 0, sidesum = 0;
+      for (int i = 0; i < N; i++) {
+        xp += (double)X[i] * Y[i];
+        sidesum += (double)Y[i] * Y[i];
+      }
+      xp *= mid;
+      double e0 = mid * mid + sidesum - 2 * xp;
+      double e1 = mid * mid + sidesum + 2 * xp;
+      if (e0 < 6e-4 || e1 < 6e-4) {
+        memcpy(Y, X, sizeof(float) * N);
+      } else {
+        double g0 = 1.0 / sqrt(e0), g1 = 1.0 / sqrt(e1);
+        for (int i = 0; i < N; i++) {
+          double v0 = mid * X[i];
+          double v1 = Y[i];
+          X[i] = (float)(g0 * (v0 - v1));
+          Y[i] = (float)(g1 * (v0 + v1));
+        }
+      }
+    }
+    if (inv)
+      for (int j = 0; j < N; j++) Y[j] = -Y[j];
+  } else if (level == 0) {
+    if (B0 > 1)
+      interleave_had_c(X, N_B >> recombine, B0 << recombine, longblocks,
+                       tmpbuf);
+    N_B = N_B0;
+    blocks = B0;
+    for (int k = 0; k < time_divide; k++) {
+      blocks >>= 1;
+      N_B <<= 1;
+      cm |= cm >> blocks;
+      haar1_c(X, N_B, blocks);
+    }
+    for (int k = 0; k < recombine; k++) {
+      cm = cg_bit_dilv[cm];
+      haar1_c(X, N0 >> k, 1 << k);
+    }
+    blocks <<= recombine;
+    if (lowband_out) {
+      // float multiply: numpy's weak-scalar promotion computes
+      // sqrt(N0) * X in f32 (models/celt.py:927)
+      float n = (float)sqrt((double)N0);
+      for (int j = 0; j < N0; j++) lowband_out[j] = n * X[j];
+    }
+    cm &= (1u << blocks) - 1;
+  }
+  return cm;
+}
+
+
+// ------------------------------------------------------------ frame driver
+
+static void celt_fine_c(CeltC* s, EcDec* d) {
+  for (int i = s->startband; i < s->endband; i++) {
+    if (!s->fine_bits[i]) continue;
+    for (int ch = 0; ch < s->coded_channels; ch++) {
+      int q2 = (int)ec_dec_bits(d, s->fine_bits[i]);
+      double offset =
+          (q2 + 0.5) * (1 << (14 - s->fine_bits[i])) / 16384.0 - 0.5;
+      s->energy[ch * 21 + i] += offset;
+    }
+  }
+}
+
+static void celt_final_c(CeltC* s, EcDec* d, int bits_left) {
+  for (int priority = 0; priority < 2; priority++) {
+    for (int i = s->startband;
+         i < s->endband && bits_left >= s->coded_channels; i++) {
+      if (s->fine_priority[i] != priority || s->fine_bits[i] >= 8) continue;
+      for (int ch = 0; ch < s->coded_channels; ch++) {
+        int q2 = (int)ec_dec_bits(d, 1);
+        double offset =
+            (q2 - 0.5) * (1 << (14 - s->fine_bits[i] - 1)) / 16384.0;
+        s->energy[ch * 21 + i] += offset;
+        bits_left--;
+      }
+    }
+  }
+}
+
+static void celt_bands_c(CeltC* s, EcDec* d) {
+  float scratch[8 * 22];
+  static float norm_store[2 * 8 * 100];
+  float* norm = norm_store;
+  float* norm2 = norm_store + 8 * 100;
+  int totalbits = (s->framebits << 3) - s->anticollapse_bit;
+  int update_lowband = 1;
+  int lowband_offset = 0;
+  memset(s->coeffs, 0, sizeof(float) * 2 * 960);
+  for (int i = s->startband; i < s->endband; i++) {
+    int band_offset = cg_freq_bands[i] << s->duration;
+    int band_size = cg_freq_range[i] << s->duration;
+    float* X = s->coeffs + band_offset;
+    float* Y = s->coded_channels == 2 ? s->coeffs + 960 + band_offset : NULL;
+    int consumed = ec_tell_frac(d);
+    if (i != s->startband) s->remaining -= consumed;
+    s->remaining2 = totalbits - consumed - 1;
+    int b = 0;
+    if (i <= s->codedbands - 1) {
+      int div = s->codedbands - i < 3 ? s->codedbands - i : 3;
+      int curr_balance = s->remaining / div;
+      int t = s->remaining2 + 1;
+      if (s->pulses[i] + curr_balance < t) t = s->pulses[i] + curr_balance;
+      b = t < 0 ? 0 : (t > 16383 ? 16383 : t);
+    }
+    if (cg_freq_bands[i] - cg_freq_range[i] >= cg_freq_bands[s->startband] &&
+        (update_lowband || lowband_offset == 0))
+      lowband_offset = i;
+    int effective_lowband = -1;
+    unsigned cm0, cm1;
+    if (lowband_offset != 0 &&
+        (s->spread != 3 || s->blocks > 1 || s->tf_change[i] < 0)) {
+      effective_lowband = cg_freq_bands[s->startband];
+      int t = cg_freq_bands[lowband_offset] - cg_freq_range[i];
+      if (t > effective_lowband) effective_lowband = t;
+      int foldstart = lowband_offset;
+      while (cg_freq_bands[--foldstart] > effective_lowband) {}
+      int foldend = lowband_offset - 1;
+      while (cg_freq_bands[++foldend] < effective_lowband + cg_freq_range[i]) {
+      }
+      cm0 = cm1 = 0;
+      for (int j = foldstart; j < foldend; j++) {
+        cm0 |= (unsigned)s->collapse[j];
+        cm1 |= (unsigned)s->collapse[(s->coded_channels - 1) * 21 + j];
+      }
+    } else {
+      cm0 = cm1 = (1u << s->blocks) - 1;
+    }
+    if (s->dualstereo && i == s->intensitystereo) {
+      s->dualstereo = 0;
+      int j0 = cg_freq_bands[s->startband] << s->duration;
+      for (int j = j0; j < band_offset; j++)
+        norm[j] = (norm[j] + norm2[j]) / 2;
+    }
+    if (s->dualstereo) {
+      cm0 = celt_band_c(
+          s, d, i, X, NULL, band_size, b / 2, s->blocks,
+          effective_lowband != -1 ? norm + (effective_lowband << s->duration)
+                                  : NULL,
+          s->duration, norm + band_offset, 0, 1.0, scratch, cm0);
+      cm1 = celt_band_c(
+          s, d, i, Y, NULL, band_size, b / 2, s->blocks,
+          effective_lowband != -1 ? norm2 + (effective_lowband << s->duration)
+                                  : NULL,
+          s->duration, norm2 + band_offset, 0, 1.0, scratch, cm1);
+    } else {
+      cm0 = celt_band_c(
+          s, d, i, X, Y, band_size, b, s->blocks,
+          effective_lowband != -1 ? norm + (effective_lowband << s->duration)
+                                  : NULL,
+          s->duration, norm + band_offset, 0, 1.0, scratch, cm0 | cm1);
+      cm1 = cm0;
+    }
+    s->collapse[i] = (int32_t)(cm0 & 0xFF);
+    s->collapse[(s->coded_channels - 1) * 21 + i] = (int32_t)(cm1 & 0xFF);
+    s->remaining += s->pulses[i] + consumed;
+    update_lowband = b > band_size << 3;
+  }
+}
+
+static void celt_anticollapse_c(CeltC* s, int ch, float* X) {
+  for (int i = s->startband; i < s->endband; i++) {
+    int renorm = 0;
+    int depth = (1 + s->pulses[i]) / (cg_freq_range[i] << s->duration);
+    double thresh = exp2(-1.0 - 0.125 * depth);
+    double sqrt_1 = 1.0 / sqrt((double)(cg_freq_range[i] << s->duration));
+    int off = cg_freq_bands[i] << s->duration;
+    double prev0 = s->prev_energy[ch * 42 + 0 * 21 + i];
+    double prev1 = s->prev_energy[ch * 42 + 1 * 21 + i];
+    if (s->coded_channels == 1) {
+      double p0b = s->prev_energy[1 * 42 + 0 * 21 + i];
+      double p1b = s->prev_energy[1 * 42 + 1 * 21 + i];
+      if (p0b > prev0) prev0 = p0b;
+      if (p1b > prev1) prev1 = p1b;
+    }
+    double mn = prev0 < prev1 ? prev0 : prev1;
+    double ediff = s->energy[ch * 21 + i] - mn;
+    if (ediff < 0) ediff = 0;
+    double r = exp2(1 - ediff);
+    if (s->duration == 3) r *= 1.4142135623730951;
+    if (r > thresh) r = thresh;
+    r *= sqrt_1;
+    for (int k = 0; k < 1 << s->duration; k++) {
+      if (!(s->collapse[ch * 21 + i] & (1 << k))) {
+        for (int j = 0; j < cg_freq_range[i]; j++) {
+          uint32_t rr = celt_rng_c(s);
+          X[off + (j << s->duration) + k] =
+              (rr & 0x8000) ? (float)r : (float)-r;
+        }
+        renorm = 1;
+      }
+    }
+    if (renorm)
+      renormalize_c(X + off, cg_freq_range[i] << s->duration, 1.0);
+  }
+}
+
+// Full CELT symbol stage for one frame.  State arrays are caller-owned
+// (models/celt.py keeps numpy mirrors).  Outputs the denormalized
+// spectrum and the integer frame parameters; synthesis stays outside.
+// ec_state (in/out, mirrors models/opus.py RangeDecoder so hybrid packets
+// can enter mid-stream and continue in Python afterwards):
+//   [offs, end_offs, end_window, nend_bits, nbits_total, rng, val, rem,
+//    end_bound]
+// out_ints: [blocks, silence, transient, pf_period, tell, pf_flag, ...]
+// out_doubles: [pf_g0, pf_g1, pf_g2, imdct_scale]
+int af_celt_decode_symbols(
+    const uint8_t* data, int32_t len, int32_t coded_channels,
+    int32_t frame_size, int32_t startband, int32_t endband,
+    int32_t output_channels,
+    double* energy /*[2*21]*/, double* prev_energy /*[2*2*21]*/,
+    int32_t* collapse /*[2*21]*/, uint32_t* seed,
+    float* coeffs /*[2*960]*/, int64_t* ec_state /*[9]*/,
+    int32_t* out_ints /*[8]*/, double* out_doubles /*[4]*/) {
+  CeltC st;
+  CeltC* s = &st;
+  s->energy = energy;
+  s->prev_energy = prev_energy;
+  s->collapse = collapse;
+  s->seed = seed;
+  s->coded_channels = coded_channels;
+  s->startband = startband;
+  s->endband = endband;
+  s->framebits = len * 8;
+  s->coeffs = coeffs;
+  int duration = 0;
+  {
+    int t = frame_size / 120;
+    while (t > 1) {
+      t >>= 1;
+      duration++;
+    }
+  }
+  s->duration = duration;
+  if (duration > 3 || frame_size != 120 << duration) return -1;
+  memset(s->tf_change, 0, sizeof(s->tf_change));
+  memset(s->pulses, 0, sizeof(s->pulses));
+  memset(s->fine_bits, 0, sizeof(s->fine_bits));
+  memset(s->fine_priority, 0, sizeof(s->fine_priority));
+  for (int i = 0; i < 42; i++) collapse[i] = 0;
+
+  EcDec dec;
+  dec.buf = data;
+  dec.storage = len;
+  dec.offs = (int32_t)ec_state[0];
+  dec.end_offs = (int32_t)ec_state[1];
+  dec.end_window = (uint32_t)ec_state[2];
+  dec.nend_bits = (int32_t)ec_state[3];
+  dec.nbits_total = (int32_t)ec_state[4];
+  dec.rng = (uint32_t)ec_state[5];
+  dec.val = (uint32_t)ec_state[6];
+  dec.rem = (uint32_t)ec_state[7];
+  dec.end_bound = (int32_t)ec_state[8];
+  dec.ext = 0;
+  EcDec* d = &dec;
+
+  int silence = 0;
+  int consumed = ec_tell(d);
+  if (consumed >= s->framebits) silence = 1;
+  else if (consumed == 1) silence = ec_dec_bit_logp(d, 15);
+  if (silence) {
+    consumed = s->framebits;
+    d->nbits_total += s->framebits - ec_tell(d);
+  }
+
+  // postfilter parse
+  double pf_g[3] = {0, 0, 0};
+  int pf_period = 0;
+  int pf_flag = 0;
+  if (s->startband == 0 && consumed + 16 <= s->framebits) {
+    if (ec_dec_bit_logp(d, 1)) {
+      pf_flag = 1;
+      int octave = (int)ec_dec_uint(d, 6);
+      pf_period = (16 << octave) + (int)ec_dec_bits(d, 4 + octave) - 1;
+      double gain = 0.09375 * ((int)ec_dec_bits(d, 3) + 1);
+      int tapset = (ec_tell(d) + 2 <= s->framebits)
+                       ? ec_dec_cdf(d, cg_model_tapset)
+                       : 0;
+      if (pf_period < 15) pf_period = 15;
+      pf_g[0] = gain * cg_pf_taps[tapset * 3];
+      pf_g[1] = gain * cg_pf_taps[tapset * 3 + 1];
+      pf_g[2] = gain * cg_pf_taps[tapset * 3 + 2];
+    }
+    consumed = ec_tell(d);
+  }
+
+  int transient = 0;
+  if (s->duration != 0 && consumed + 3 <= s->framebits)
+    transient = ec_dec_bit_logp(d, 3);
+  s->blocks = transient ? 1 << s->duration : 1;
+  s->blocksize = frame_size / s->blocks;
+
+  if (coded_channels == 1)
+    for (int i = 0; i < CELT_MAX_BANDS; i++)
+      if (energy[21 + i] > energy[i]) energy[i] = energy[21 + i];
+
+  celt_coarse_c(s, d);
+  celt_tf_c(s, d, transient);
+  celt_alloc_c(s, d);
+  celt_fine_c(s, d);
+  celt_bands_c(s, d);
+
+  int anticollapse = 0;
+  if (s->anticollapse_bit) anticollapse = (int)ec_dec_bits(d, 1);
+  celt_final_c(s, d, s->framebits - ec_tell(d));
+
+  for (int ch = 0; ch < coded_channels; ch++) {
+    if (anticollapse) celt_anticollapse_c(s, ch, coeffs + ch * 960);
+    for (int i = s->startband; i < s->endband; i++) {
+      int off = cg_freq_bands[i] << s->duration;
+      int n = cg_freq_range[i] << s->duration;
+      float norm = (float)exp2(energy[ch * 21 + i] + cg_mean_energy[i]);
+      for (int j = 0; j < n; j++) coeffs[ch * 960 + off + j] *= norm;
+    }
+  }
+
+  double imdct_scale = 1.0;
+  if (output_channels < coded_channels) {
+    for (int j = 0; j < frame_size; j++) coeffs[j] += coeffs[960 + j];
+    imdct_scale = 0.5;
+  } else if (output_channels > coded_channels) {
+    memcpy(coeffs + 960, coeffs, sizeof(float) * frame_size);
+  }
+
+  if (silence) {
+    for (int i = 0; i < 42; i++) energy[i] = -28.0;
+    memset(coeffs, 0, sizeof(float) * 2 * 960);
+  }
+
+  // state roll
+  if (coded_channels == 1)
+    for (int i = 0; i < 21; i++) energy[21 + i] = energy[i];
+  for (int ch = 0; ch < 2; ch++) {
+    if (!transient) {
+      for (int i = 0; i < 21; i++) {
+        prev_energy[ch * 42 + 21 + i] = prev_energy[ch * 42 + i];
+        prev_energy[ch * 42 + i] = energy[ch * 21 + i];
+      }
+    } else {
+      for (int i = 0; i < 21; i++)
+        if (energy[ch * 21 + i] < prev_energy[ch * 42 + i])
+          prev_energy[ch * 42 + i] = energy[ch * 21 + i];
+    }
+    for (int i = 0; i < s->startband; i++) {
+      prev_energy[ch * 42 + i] = -28.0;
+      energy[ch * 21 + i] = 0.0;
+    }
+    for (int i = s->endband; i < 21; i++) {
+      prev_energy[ch * 42 + i] = -28.0;
+      energy[ch * 21 + i] = 0.0;
+    }
+  }
+  *seed = d->rng;
+  ec_state[0] = d->offs;
+  ec_state[1] = d->end_offs;
+  ec_state[2] = d->end_window;
+  ec_state[3] = d->nend_bits;
+  ec_state[4] = d->nbits_total;
+  ec_state[5] = d->rng;
+  ec_state[6] = d->val;
+  ec_state[7] = d->rem;
+  ec_state[8] = d->end_bound;
+  out_ints[0] = s->blocks;
+  out_ints[1] = silence;
+  out_ints[2] = transient;
+  out_ints[3] = pf_period;
+  out_ints[4] = ec_tell(d);
+  out_ints[5] = pf_flag;
+  out_doubles[0] = pf_g[0];
+  out_doubles[1] = pf_g[1];
+  out_doubles[2] = pf_g[2];
+  out_doubles[3] = imdct_scale;
+  return 0;
+}
+
+
+// --------------------------------------------------- CELT synthesis tail
+// Mirrors models/celt.py _postfilter_transition/_postfilter_body/
+// _postfilter/_finish_channel (comb postfilter is genuinely IIR when the
+// period is under the span: rolling registers, double precision).
+
+static void pf_transition_c(double* d, int pos, int T0, int T1,
+                            const double* g_old, const double* g_new) {
+  if (g_new[0] == 0.0 && g_old[0] == 0.0) return;
+  double g00 = g_old[0], g01 = g_old[1], g02 = g_old[2];
+  double g10 = g_new[0], g11 = g_new[1], g12 = g_new[2];
+  double x1 = d[pos - T1 + 1], x2 = d[pos - T1], x3 = d[pos - T1 - 1],
+         x4 = d[pos - T1 - 2];
+  for (int i = 0; i < 120; i++) {
+    double w = cg_window[i] * cg_window[i];
+    double x0 = d[pos + i - T1 + 2];
+    d[pos + i] += (1.0 - w) * g00 * d[pos + i - T0] +
+                  (1.0 - w) * g01 * (d[pos + i - T0 - 1] + d[pos + i - T0 + 1]) +
+                  (1.0 - w) * g02 * (d[pos + i - T0 - 2] + d[pos + i - T0 + 2]) +
+                  w * g10 * x2 + w * g11 * (x1 + x3) + w * g12 * (x0 + x4);
+    x4 = x3;
+    x3 = x2;
+    x2 = x1;
+    x1 = x0;
+  }
+}
+
+static void pf_body_c(double* d, int pos, int T, const double* g,
+                      int length) {
+  if (g[0] == 0.0 || length <= 0) return;
+  double g0 = g[0], g1 = g[1], g2 = g[2];
+  double x4 = d[pos - T - 2], x3 = d[pos - T - 1], x2 = d[pos - T],
+         x1 = d[pos - T + 1];
+  for (int i = 0; i < length; i++) {
+    double x0 = d[pos + i - T + 2];
+    d[pos + i] += g0 * x2 + g1 * (x1 + x3) + g2 * (x0 + x4);
+    x4 = x3;
+    x3 = x2;
+    x2 = x1;
+    x1 = x0;
+  }
+}
+
+// periods: [old, cur, new] (old/cur updated); gains: [old0..2, cur0..2,
+// new0..2] (old/cur updated); deemph: carried pre-multiplied memory.
+int af_celt_finish_channel(double* buf /*[2048]*/, int32_t frame_size,
+                           int32_t* periods /*[3]*/, double* gains /*[9]*/,
+                           double* deemph /*[1]*/, float* out) {
+  int length = frame_size;
+  pf_transition_c(buf, 1024, periods[0], periods[1], gains, gains + 3);
+  periods[0] = periods[1];
+  memcpy(gains, gains + 3, 3 * sizeof(double));
+  periods[1] = periods[2];
+  memcpy(gains + 3, gains + 6, 3 * sizeof(double));
+  if (length > 120) {
+    pf_transition_c(buf, 1024 + 120, periods[0], periods[1], gains,
+                    gains + 3);
+    pf_body_c(buf, 1024 + 240, periods[1], gains + 3, length - 240);
+    periods[0] = periods[1];
+    memcpy(gains, gains + 3, 3 * sizeof(double));
+  }
+  memmove(buf, buf + length, sizeof(double) * (1024 + 60));
+  double m = *deemph;
+  for (int j = 0; j < frame_size; j++) {
+    double tmp = buf[1024 - frame_size + j] + m;
+    m = tmp * 0.85000610;
+    out[j] = (float)(tmp / 32768.0);
+  }
+  *deemph = m;
+  return 0;
 }
 
 }  // extern "C"

@@ -19,6 +19,7 @@ import math
 
 import numpy as np
 
+from ..host import native
 from ..utils.tables import celt_tables as CT
 
 MAX_BANDS = 21
@@ -212,7 +213,11 @@ def _extract_collapse_mask(y, N, B):
 
 
 def _renormalize(X, gain=1.0):
-    g = 1e-15 + float(np.sum(X.astype(np.float64) ** 2))
+    # sequential double accumulation (not np.sum's pairwise order) so the
+    # native mirror (af_host.cc:renormalize_c) is bit-identical
+    g = 1e-15
+    for v in X.tolist():
+        g += v * v
     X *= np.float32(gain / math.sqrt(g))
 
 
@@ -892,8 +897,14 @@ class CeltDecoder:
                 # stereo merge (dopus.d:2699)
                 xf = X[:N].astype(np.float64)
                 yf = Y[:N].astype(np.float64)
-                xp = float(np.dot(xf, yf)) * mid
-                sidesum = float(np.dot(yf, yf))
+                # sequential sums (not BLAS dot) to match renormalize_c's
+                # native mirror rounding exactly
+                xp = 0.0
+                sidesum = 0.0
+                for xv, yv in zip(xf.tolist(), yf.tolist()):
+                    xp += xv * yv
+                    sidesum += yv * yv
+                xp *= mid
                 e0 = mid * mid + sidesum - 2 * xp
                 e1 = mid * mid + sidesum + 2 * xp
                 if e0 < 6e-4 or e1 < 6e-4:
@@ -1163,6 +1174,12 @@ class CeltDecoder:
         deemphasis) is untouched.  Returns the params dict consumed by
         synthesize() (host) or the batched device path (ops/celt_dsp.py +
         apply_raw())."""
+        lib = native.get_lib()
+        if lib is not None:
+            params = self._decode_symbols_native(
+                lib, rd, coded_channels, frame_size, startband, endband)
+            if params is not None:
+                return params
         s = self
         s.flushed = False
         s.coded_channels = coded_channels
@@ -1257,6 +1274,52 @@ class CeltDecoder:
             "imdct_scale": imdct_scale,
         }
 
+    def _decode_symbols_native(self, lib, rd, coded_channels, frame_size,
+                               startband, endband):
+        """C symbol stage (host/src/af_host.cc:af_celt_decode_symbols):
+        same entropy decode + denormalize as the Python body below,
+        operating directly on this decoder's state arrays and syncing the
+        range-decoder state both ways (hybrid packets enter mid-stream and
+        Python continues on the same rd afterwards)."""
+        s = self
+        st = np.array(
+            [rd.offs, rd.end_offs, rd.end_window, rd.nend_bits,
+             rd.nbits_total, rd.rng, rd.val, rd.rem,
+             getattr(rd, "end_bound", rd.storage)], np.int64)
+        collapse = np.zeros((2, MAX_BANDS), np.int32)
+        res = native.celt_decode_symbols(
+            lib, rd.buf, st, coded_channels,
+            frame_size, startband, endband, s.output_channels,
+            s.energy, s.prev_energy, collapse, s.seed)
+        if res is None:
+            return None
+        coeffs, out_i, out_d, seed = res
+        (rd.offs, rd.end_offs, rd.end_window, rd.nend_bits,
+         rd.nbits_total, rd.rng, rd.val, rd.rem) = (int(v) for v in st[:8])
+        s.flushed = False
+        s.coded_channels = coded_channels
+        s.startband = startband
+        s.endband = endband
+        s.framebits = rd.storage * 8
+        s.duration = (frame_size // SHORT_BLOCKSIZE).bit_length() - 1
+        s.blocks = int(out_i[0])
+        s.blocksize = frame_size // s.blocks
+        s.coeffs = coeffs
+        s.collapse_masks[:] = collapse
+        s.seed = seed
+        s.pf_gains_new[:] = 0.0
+        if out_i[5]:
+            for ch in range(2):
+                s.pf_period_new[ch] = int(out_i[3])
+                s.pf_gains_new[ch] = out_d[:3]
+        return {
+            "coeffs": coeffs,
+            "frame_size": frame_size,
+            "blocks": s.blocks,
+            "blocksize": s.blocksize,
+            "imdct_scale": float(out_d[3]),
+        }
+
     def synthesize(self, params):
         """Host synthesis: per-block IMDCT + windowed OLA + postfilter +
         deemphasis (the single-stream facade path)."""
@@ -1301,6 +1364,20 @@ class CeltDecoder:
 
     def _finish_channel(self, ch, frame_size):
         s = self
+        lib = native.get_lib()
+        if lib is not None:
+            periods = np.array([s.pf_period_old[ch], s.pf_period[ch],
+                                s.pf_period_new[ch]], np.int32)
+            gains = np.concatenate([s.pf_gains_old[ch], s.pf_gains[ch],
+                                    s.pf_gains_new[ch]])
+            out, s.deemph_coeff[ch] = native.celt_finish_channel(
+                lib, s.buf[ch], frame_size, periods, gains,
+                s.deemph_coeff[ch])
+            s.pf_period_old[ch] = int(periods[0])
+            s.pf_period[ch] = int(periods[1])
+            s.pf_gains_old[ch] = gains[0:3].copy()
+            s.pf_gains[ch] = gains[3:6].copy()
+            return out
         buf = s.buf[ch]
         self._postfilter(ch, frame_size)
         m = s.deemph_coeff[ch]
