@@ -154,6 +154,21 @@ def _install_celt(lib) -> None:
         f64p, ctypes.c_int32, i32p, f64p, f64p, f32p,
     ]
     lib.af_celt_finish_channel.restype = ctypes.c_int
+    lib.af_silk_synth.argtypes = [
+        f64p, f64p, f64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        f64p, f64p, f64p, i32p, f64p, ctypes.c_double,
+    ]
+    lib.af_silk_synth.restype = ctypes.c_int
+    lib.af_silk_excitation.argtypes = [
+        i8p, ctypes.c_int32, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u16p, u16p, u16p, u16p, u16p, u16p, i32p, f64p,
+    ]
+    lib.af_silk_excitation.restype = ctypes.c_int
+    lib.af_silk_lsf2lpc.argtypes = [i32p, ctypes.c_int32, i32p, i8p, f64p]
+    lib.af_silk_lsf2lpc.restype = ctypes.c_int
 
     from ..utils.tables import celt_tables as CT
 
@@ -341,6 +356,90 @@ def celt_finish_channel(lib, buf: np.ndarray, frame_size: int,
         ctypes.byref(m), out.ctypes.data_as(_F32P),
     )
     return out, m.value
+
+
+def silk_synth(lib, residual, out, lpch, subframes, sflength, order,
+               voiced, has_leadin, interp4, lpc_leadin, lpc_body,
+               sf_gain, sf_pitchlag, sf_ltptaps, ltpscale):
+    """Native mirror of SilkDecoder._decode_frame's synthesis loops
+    (re-whitening + LTP + LPC, double precision).  Buffers updated in
+    place."""
+    lib.af_silk_synth(
+        residual.ctypes.data_as(_F64P), out.ctypes.data_as(_F64P),
+        lpch.ctypes.data_as(_F64P), subframes, sflength, order, voiced,
+        has_leadin, interp4,
+        lpc_leadin.ctypes.data_as(_F64P), lpc_body.ctypes.data_as(_F64P),
+        sf_gain.ctypes.data_as(_F64P), sf_pitchlag.ctypes.data_as(_I32P),
+        sf_ltptaps.ctypes.data_as(_F64P), ltpscale,
+    )
+
+
+_U16P = ctypes.POINTER(ctypes.c_uint16)
+_silk_exc_tables = None
+
+
+def _get_silk_exc_tables():
+    global _silk_exc_tables
+    if _silk_exc_tables is None:
+        from ..utils.tables import silk_tables as ST
+
+        def u16(a):
+            return np.ascontiguousarray(np.asarray(a).reshape(-1),
+                                        np.uint16)
+
+        _silk_exc_tables = (
+            u16(ST.MODEL_LCG_SEED), u16(ST.MODEL_EXC_RATE),
+            u16(ST.MODEL_PULSE_COUNT), u16(ST.MODEL_PULSE_LOCATION),
+            u16(ST.MODEL_EXCITATION_LSB), u16(ST.MODEL_EXCITATION_SIGN),
+            np.ascontiguousarray(
+                np.asarray(ST.QUANT_OFFSET).reshape(-1), np.int32),
+        )
+    return _silk_exc_tables
+
+
+def silk_excitation(lib, data, ec_state: np.ndarray, shellblocks: int,
+                    voiced: int, qoffset_high: int, active: int):
+    """Native mirror of SilkDecoder._decode_excitation.  ec_state
+    (int64[9]) updated in place; returns the dequantized excitation
+    (f64[shellblocks*16])."""
+    tabs = _get_silk_exc_tables()
+    out = np.empty(shellblocks * 16, np.float64)
+    ptr, nbytes, _keep = _buf_ptr(data)
+    lib.af_silk_excitation(
+        ptr, nbytes, ec_state.ctypes.data_as(_I64P),
+        shellblocks, voiced, qoffset_high, active,
+        tabs[0].ctypes.data_as(_U16P), tabs[1].ctypes.data_as(_U16P),
+        tabs[2].ctypes.data_as(_U16P), tabs[3].ctypes.data_as(_U16P),
+        tabs[4].ctypes.data_as(_U16P), tabs[5].ctypes.data_as(_U16P),
+        tabs[6].ctypes.data_as(_I32P), out.ctypes.data_as(_F64P),
+    )
+    return out
+
+
+_silk_lsf_tables = None
+
+
+def silk_lsf2lpc(lib, nlsf, order: int):
+    """Native mirror of models/silk.py _lsf2lpc (fixed-point NLSF->LPC)."""
+    global _silk_lsf_tables
+    if _silk_lsf_tables is None:
+        from ..utils.tables import silk_tables as ST
+
+        _silk_lsf_tables = (
+            np.asarray(ST.COSINE, np.int32),
+            np.asarray(ST.LSF_ORDERING_NBMB, np.uint8),
+            np.asarray(ST.LSF_ORDERING_WB, np.uint8),
+        )
+    cosine, ord_nbmb, ord_wb = _silk_lsf_tables
+    ordering = ord_wb if order == 16 else ord_nbmb
+    nlsf_arr = np.asarray(nlsf[:order], np.int32)
+    out = np.empty(order, np.float64)
+    lib.af_silk_lsf2lpc(
+        nlsf_arr.ctypes.data_as(_I32P), order,
+        cosine.ctypes.data_as(_I32P), ordering.ctypes.data_as(_I8P),
+        out.ctypes.data_as(_F64P),
+    )
+    return out
 
 
 def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,

@@ -2496,4 +2496,336 @@ int af_celt_finish_channel(double* buf /*[2048]*/, int32_t frame_size,
   return 0;
 }
 
+
+// --------------------------------------------------------- SILK synthesis
+// Mirror of models/silk.py _decode_frame lines: re-whitening of past
+// output into the residual domain, LTP IIR, and LPC synthesis IIR — all
+// double precision, same accumulation order as the Python reference
+// (dopus.d:5168-5226 is the behavioral reference).
+
+static inline double silk_clip1(double v) {
+  return v < -1.0 ? -1.0 : (v > 1.0 ? 1.0 : v);
+}
+
+int af_silk_synth(double* residual /*[290+322]*/, double* out /*[644]*/,
+                  double* lpch /*[644]*/, int32_t subframes,
+                  int32_t sflength, int32_t order, int32_t voiced,
+                  int32_t has_leadin, int32_t interp4,
+                  const double* lpc_leadin, const double* lpc_body,
+                  const double* sf_gain, const int32_t* sf_pitchlag,
+                  const double* sf_ltptaps /*[subframes*5]*/,
+                  double ltpscale) {
+  for (int i = 0; i < subframes; i++) {
+    const double* lpc = (i < 2 && has_leadin) ? lpc_leadin : lpc_body;
+    int dst_off = 322 + i * sflength;
+    int res_off = 290 + i * sflength;
+    int lpc_off = dst_off;
+    if (voiced) {
+      int out_end;
+      double scale;
+      if (i < 2 || interp4) {
+        out_end = -i * sflength;
+        scale = ltpscale;
+      } else {
+        out_end = -(i - 2) * sflength;
+        scale = 1.0;
+      }
+      int j0 = -sf_pitchlag[i] - 2;
+      for (int j = j0; j < out_end; j++) {
+        double total = out[dst_off + j];
+        for (int k = 0; k < order; k++)
+          total -= lpc[k] * out[dst_off + j - k - 1];
+        residual[res_off + j] = silk_clip1(total) * scale / sf_gain[i];
+      }
+      if (out_end) {
+        double rescale = sf_gain[i - 1] / sf_gain[i];
+        for (int j = out_end; j < 0; j++) residual[res_off + j] *= rescale;
+      }
+      const double* taps = sf_ltptaps + i * 5;
+      int lag = sf_pitchlag[i];
+      for (int j = 0; j < sflength; j++) {
+        double total = residual[res_off + j];
+        for (int k = 0; k < 5; k++)
+          total += taps[k] * residual[res_off + j - lag + 2 - k];
+        residual[res_off + j] = total;
+      }
+    }
+    double g = sf_gain[i];
+    for (int j = 0; j < sflength; j++) {
+      double total = residual[res_off + j] * g;
+      for (int k = 1; k <= order; k++)
+        total += lpc[k - 1] * lpch[lpc_off + j - k];
+      lpch[lpc_off + j] = total;
+      out[dst_off + j] = silk_clip1(total);
+    }
+  }
+  return 0;
+}
+
+
+// ------------------------------------------------------- SILK excitation
+// Mirror of models/silk.py _decode_excitation: LCG seed, rate level,
+// per-shell-block pulse counts, binary-split pulse locations, LSBs,
+// signs, and the dither/offset dequantization.  Range-decoder state is
+// carried in/out exactly like af_celt_decode_symbols.
+
+static void ec_load(EcDec* d, const uint8_t* buf, int32_t len,
+                    const int64_t* st) {
+  d->buf = buf;
+  d->storage = len;
+  d->offs = (int32_t)st[0];
+  d->end_offs = (int32_t)st[1];
+  d->end_window = (uint32_t)st[2];
+  d->nend_bits = (int32_t)st[3];
+  d->nbits_total = (int32_t)st[4];
+  d->rng = (uint32_t)st[5];
+  d->val = (uint32_t)st[6];
+  d->rem = (uint32_t)st[7];
+  d->end_bound = (int32_t)st[8];
+  d->ext = 0;
+}
+
+static void ec_store(const EcDec* d, int64_t* st) {
+  st[0] = d->offs;
+  st[1] = d->end_offs;
+  st[2] = d->end_window;
+  st[3] = d->nend_bits;
+  st[4] = d->nbits_total;
+  st[5] = d->rng;
+  st[6] = d->val;
+  st[7] = d->rem;
+  st[8] = d->end_bound;
+}
+
+int af_silk_excitation(const uint8_t* data, int32_t len, int64_t* ec_state,
+                       int32_t shellblocks, int32_t voiced,
+                       int32_t qoffset_high, int32_t active,
+                       const uint16_t* lcg_seed /*[5]*/,
+                       const uint16_t* exc_rate /*[2*10]*/,
+                       const uint16_t* pulse_count /*[11*19]*/,
+                       const uint16_t* pulse_loc /*[4*168]*/,
+                       const uint16_t* exc_lsb /*[3]*/,
+                       const uint16_t* exc_sign /*[3*2*7*3]*/,
+                       const int32_t* quant_offset /*[2*2]*/,
+                       double* out /*[shellblocks*16]*/) {
+  EcDec dec;
+  ec_load(&dec, data, len, ec_state);
+  EcDec* d = &dec;
+
+  uint32_t seed = (uint32_t)ec_dec_cdf(d, lcg_seed);
+  int ratelevel = ec_dec_cdf(d, exc_rate + voiced * 10);
+  int pulses[20], lsbs[20];
+  for (int i = 0; i < shellblocks; i++) {
+    lsbs[i] = 0;
+    pulses[i] = ec_dec_cdf(d, pulse_count + ratelevel * 19);
+    if (pulses[i] == 17) {
+      while (pulses[i] == 17) {
+        lsbs[i]++;
+        if (lsbs[i] == 10) break;
+        pulses[i] = ec_dec_cdf(d, pulse_count + 9 * 19);
+      }
+      if (lsbs[i] == 10) pulses[i] = ec_dec_cdf(d, pulse_count + 10 * 19);
+    }
+  }
+
+  int exc[20 * 16];
+  memset(exc, 0, sizeof(int) * shellblocks * 16);
+  for (int i = 0; i < shellblocks; i++) {
+    if (pulses[i] == 0) continue;
+    int base = 16 * i;
+    // binary split tree: count_children(model, total)
+    int lvl1[2], lvl2[2], lvl3[2], lvl4[2];
+#define COUNT_CHILDREN(model, total, dst)                               \
+    do {                                                                \
+      if (total) {                                                      \
+        int off_ = (((total) - 1 + 5) * ((total) - 1)) >> 1;            \
+        int c0_ = ec_dec_cdf(d, pulse_loc + (model) * 168 + off_);      \
+        (dst)[0] = c0_;                                                 \
+        (dst)[1] = (total) - c0_;                                       \
+      } else {                                                          \
+        (dst)[0] = 0;                                                   \
+        (dst)[1] = 0;                                                   \
+      }                                                                 \
+    } while (0)
+    COUNT_CHILDREN(0, pulses[i], lvl1);
+    int pos = 0;
+    for (int b = 0; b < 2; b++) {
+      COUNT_CHILDREN(1, lvl1[b], lvl2);
+      for (int c = 0; c < 2; c++) {
+        COUNT_CHILDREN(2, lvl2[c], lvl3);
+        for (int e = 0; e < 2; e++) {
+          COUNT_CHILDREN(3, lvl3[e], lvl4);
+          exc[base + pos] = lvl4[0];
+          exc[base + pos + 1] = lvl4[1];
+          pos += 2;
+        }
+      }
+    }
+#undef COUNT_CHILDREN
+  }
+
+  int total16 = shellblocks << 4;
+  for (int i = 0; i < total16; i++)
+    for (int k = 0; k < lsbs[i >> 4]; k++)
+      exc[i] = (exc[i] << 1) | ec_dec_cdf(d, exc_lsb);
+
+  for (int i = 0; i < total16; i++) {
+    if (exc[i] != 0) {
+      int pc = pulses[i >> 4] < 6 ? pulses[i >> 4] : 6;
+      int sign = ec_dec_cdf(
+          d, exc_sign + (((active + voiced) * 2 + qoffset_high) * 7 + pc) * 3);
+      if (sign == 0) exc[i] = -exc[i];
+    }
+  }
+
+  int qoff = quant_offset[voiced * 2 + qoffset_high];
+  for (int i = 0; i < total16; i++) {
+    int value = exc[i];
+    int ev = value * 256 | qoff;
+    if (value < 0) ev += 20;
+    else if (value > 0) ev -= 20;
+    seed = 196314165u * seed + 907633515u;
+    if (seed & 0x80000000u) ev = -ev;
+    seed = seed + (uint32_t)value;
+    out[i] = ev / 8388608.0;
+  }
+  ec_store(d, ec_state);
+  return 0;
+}
+
+
+// ------------------------------------------------------------ SILK LSF
+// Mirror of models/silk.py _lsf2lpc / _lsp2poly / _is_lpc_stable: exact
+// fixed-point NLSF(Q15) -> LPC conversion with bandwidth expansion and
+// the inverse-Levinson stability loop.  All intermediates fit int64.
+
+static inline int64_t silk_round_mull(int64_t a, int64_t b, int s) {
+  return ((a * b >> (s - 1)) + 1) >> 1;
+}
+
+static inline int64_t silk_mulh(int64_t a, int64_t b) {
+  return (a * b) >> 32;
+}
+
+static inline int silk_ilog64(int64_t x) {
+  int n = 0;
+  while (x) {
+    n++;
+    x >>= 1;
+  }
+  return n;
+}
+
+static void silk_lsp2poly(const int64_t* lsp, int half_order, int off,
+                          int64_t* pol) {
+  pol[0] = 65536;
+  pol[1] = -lsp[off];
+  for (int i = 1; i < half_order; i++) {
+    pol[i + 1] =
+        pol[i - 1] * 2 - silk_round_mull(lsp[off + 2 * i], pol[i], 16);
+    for (int j = i; j > 1; j--)
+      pol[j] += pol[j - 2] - silk_round_mull(lsp[off + 2 * i], pol[j - 1],
+                                             16);
+    pol[1] -= lsp[off + 2 * i];
+  }
+}
+
+static int silk_lpc_stable(const int64_t* lpc, int order) {
+  int64_t DC_resp = 0;
+  int64_t row[16], prevrow[16];
+  for (int k = 0; k < order; k++) {
+    DC_resp += lpc[k];
+    row[k] = lpc[k] * 4096;
+  }
+  if (DC_resp >= 4096) return 0;
+  int64_t totalinvgain = (int64_t)1 << 30;
+  int k = order - 1;
+  for (;;) {
+    if (row[k] > 16773022 || row[k] < -16773022) return 0;
+    int64_t rc = -(row[k] * 128);
+    int64_t gaindiv = ((int64_t)1 << 30) - silk_mulh(rc, rc);
+    totalinvgain = silk_mulh(totalinvgain, gaindiv) << 2;
+    if (k == 0) return totalinvgain >= 107374;
+    int fbits = silk_ilog64(gaindiv);
+    int64_t gain = (((int64_t)1 << 29) - 1) / (gaindiv >> (fbits + 1 - 16));
+    int64_t error =
+        ((int64_t)1 << 29) - ((gaindiv << (15 + 16 - fbits)) * gain >> 16);
+    gain = (gain << 16) + (error * gain >> 13);
+    memcpy(prevrow, row, sizeof(int64_t) * order);
+    for (int j = 0; j < k; j++) {
+      int64_t x =
+          prevrow[j] - silk_round_mull(prevrow[k - j - 1], rc, 31);
+      row[j] = silk_round_mull(x, gain, fbits);
+    }
+    k--;
+  }
+}
+
+int af_silk_lsf2lpc(const int32_t* nlsf, int32_t order,
+                    const int32_t* cosine /*[129]*/,
+                    const uint8_t* ordering /*[order]*/,
+                    double* out /*[order]*/) {
+  int64_t lsp[16], p[9], q[9], lpc32[16], lpc[16];
+  for (int k = 0; k < order; k++) {
+    int index = nlsf[k] >> 8;
+    int offset = nlsf[k] & 255;
+    int64_t v = (int64_t)cosine[index] * 256;
+    v += (int64_t)(cosine[index + 1] - cosine[index]) * offset;
+    lsp[ordering[k]] = (v + 4) >> 3;
+  }
+  silk_lsp2poly(lsp, order >> 1, 0, p);
+  silk_lsp2poly(lsp, order >> 1, 1, q);
+  for (int k = 0; k < order >> 1; k++) {
+    lpc32[k] = -p[k + 1] - p[k] - q[k + 1] + q[k];
+    lpc32[order - k - 1] = -p[k + 1] - p[k] + q[k + 1] - q[k];
+  }
+
+  int i;
+  for (i = 0; i < 10; i++) {
+    int64_t maxabs = 0;
+    int kk = 0;
+    for (int j = 0; j < order; j++) {
+      int64_t x = lpc32[j] < 0 ? -lpc32[j] : lpc32[j];
+      if (x > maxabs) {
+        maxabs = x;
+        kk = j;
+      }
+    }
+    maxabs = (maxabs + 16) >> 5;
+    if (maxabs > 32767) {
+      if (maxabs > 163838) maxabs = 163838;
+      int64_t chirp_base =
+          65470 - (((maxabs - 32767) << 14) / ((maxabs * (kk + 1)) >> 2));
+      int64_t chirp = chirp_base;
+      for (int k = 0; k < order; k++) {
+        lpc32[k] = silk_round_mull(lpc32[k], chirp, 16);
+        chirp = (chirp_base * chirp + 32768) >> 16;
+      }
+    } else {
+      break;
+    }
+  }
+  if (i == 10) {
+    for (int k = 0; k < order; k++) {
+      int64_t x = (lpc32[k] + 16) >> 5;
+      lpc[k] = x < -32768 ? -32768 : (x > 32767 ? 32767 : x);
+      lpc32[k] = lpc[k] << 5;
+    }
+  } else {
+    for (int k = 0; k < order; k++) lpc[k] = (lpc32[k] + 16) >> 5;
+  }
+
+  for (int it = 1; it <= 16 && !silk_lpc_stable(lpc, order); it++) {
+    int64_t chirp_base = 65536 - ((int64_t)1 << it);
+    int64_t chirp = chirp_base;
+    for (int k = 0; k < order; k++) {
+      lpc32[k] = silk_round_mull(lpc32[k], chirp, 16);
+      lpc[k] = (lpc32[k] + 16) >> 5;
+      chirp = (chirp_base * chirp + 32768) >> 16;
+    }
+  }
+  for (int k = 0; k < order; k++) out[k] = (double)lpc[k] / 4096.0;
+  return 0;
+}
+
 }  // extern "C"

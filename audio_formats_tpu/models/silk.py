@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..errors import AudioFormatError
+from ..host import native
 from ..utils.tables import silk_tables as ST
 
 SILK_HISTORY = 322
@@ -157,6 +158,9 @@ def _lsp2poly(lsp, half_order, off):
 def _lsf2lpc(nlsf, order):
     """NLSF (Q15) -> float LPC, the spec's fixed-point path
     (dopus.d:4720)."""
+    lib = native.get_lib()
+    if lib is not None:
+        return native.silk_lsf2lpc(lib, nlsf, order)
     ordering = ST.LSF_ORDERING_NBMB if order == 10 else ST.LSF_ORDERING_WB
     lsp = [0] * order
     for k in range(order):
@@ -311,6 +315,24 @@ class SilkDecoder:
     # --------------------------------------------------------- excitation
     def _decode_excitation(self, rd, flength, qoffset_high, active, voiced):
         s = self
+        lib = native.get_lib()
+        if lib is not None:
+            # C mirror (af_host.cc:af_silk_excitation); range-decoder
+            # state carried in/out so the rest of the frame continues on
+            # the same rd
+            st = np.array(
+                [rd.offs, rd.end_offs, rd.end_window, rd.nend_bits,
+                 rd.nbits_total, rd.rng, rd.val, rd.rem,
+                 getattr(rd, "end_bound", rd.storage)], np.int64)
+            shellblocks = ST.SHELL_BLOCKS[s.bandwidth][s.subframes >> 2]
+            out = native.silk_excitation(lib, rd.buf, st, shellblocks,
+                                         voiced, qoffset_high, active)
+            (rd.offs, rd.end_offs, rd.end_window, rd.nend_bits,
+             rd.nbits_total, rd.rng, rd.val, rd.rem) = \
+                (int(v) for v in st[:8])
+            if flength <= out.shape[0]:
+                return out[:flength]
+            return np.concatenate([out, np.zeros(flength - out.shape[0])])
         seed = rd.dec_cdf(ST.MODEL_LCG_SEED)
         shellblocks = ST.SHELL_BLOCKS[s.bandwidth][s.subframes >> 2]
         ratelevel = rd.dec_cdf(ST.MODEL_EXC_RATE[voiced])
@@ -502,6 +524,30 @@ class SilkDecoder:
         # synthesis always runs (even when this channel won't be output)
         # so delta-coded gains and pitch state stay in sync
         # (float path; dopus.d:5168-5226)
+        lib = native.get_lib()
+        if lib is not None:
+            taps = np.zeros((s.subframes, LTP_ORDER))
+            for i, t in enumerate(sf_ltptaps):
+                if t is not None:
+                    taps[i] = t
+            body16 = np.zeros(16)
+            body16[: len(lpc_body)] = lpc_body
+            lead16 = np.zeros(16)
+            if lpc_leadin is not None:
+                lead16[: len(lpc_leadin)] = lpc_leadin
+            native.silk_synth(
+                lib, residual, frame.output, frame.lpc_history,
+                s.subframes, s.sflength, order, int(voiced),
+                int(has_lpc_leadin), int(s.nlsf_interp_factor == 4),
+                lead16, body16, np.asarray(sf_gain),
+                np.asarray(sf_pitchlag, np.int32), taps, float(ltpscale))
+            frame.prev_voiced = voiced
+            frame.lpc_history[:SILK_HISTORY] = \
+                frame.lpc_history[s.flength : s.flength + SILK_HISTORY]
+            frame.output[:SILK_HISTORY] = \
+                frame.output[s.flength : s.flength + SILK_HISTORY]
+            frame.coded = True
+            return
         for i in range(s.subframes):
             lpc_coeff = lpc_leadin if (i < 2 and has_lpc_leadin) else lpc_body
             dst_off = SILK_HISTORY + i * s.sflength  # into frame.output
@@ -563,19 +609,19 @@ class SilkDecoder:
         w0_prev, w1_prev = s.prev_stereo_weights
         w0, w1 = s.stereo_weights
         n1 = ST.STEREO_INTERP_LEN[s.bandwidth]
-        l = np.zeros(flength)
-        r = np.zeros(flength)
-        for i in range(flength):
-            if i < n1:
-                in0 = w0_prev + i * (w0 - w0_prev) / n1
-                in1 = w1_prev + i * (w1 - w1_prev) / n1
-            else:
-                in0, in1 = w0, w1
-            p0 = 0.25 * (mid[m0 + i - 2] + 2 * mid[m0 + i - 1] + mid[m0 + i])
-            l[i] = _clip((1 + in1) * mid[m0 + i - 1] + side[s0 + i - 1] +
-                         in0 * p0, -1.0, 1.0)
-            r[i] = _clip((1 - in1) * mid[m0 + i - 1] - side[s0 + i - 1] -
-                         in0 * p0, -1.0, 1.0)
+        # vectorized with the scalar reference's exact per-element op tree
+        # (elementwise f64, so rounding is identical to the loop form)
+        i = np.arange(flength)
+        ramp = i < n1
+        in0 = np.where(ramp, w0_prev + i * (w0 - w0_prev) / n1, w0)
+        in1 = np.where(ramp, w1_prev + i * (w1 - w1_prev) / n1, w1)
+        m2 = mid[m0 - 2 : m0 + flength - 2]
+        m1 = mid[m0 - 1 : m0 + flength - 1]
+        mc = mid[m0 : m0 + flength]
+        sd = side[s0 - 1 : s0 + flength - 1]
+        p0 = 0.25 * (m2 + 2 * m1 + mc)
+        l = np.clip((1 + in1) * m1 + sd + in0 * p0, -1.0, 1.0)
+        r = np.clip((1 - in1) * m1 - sd - in0 * p0, -1.0, 1.0)
         s.prev_stereo_weights = list(s.stereo_weights)
         return l, r
 

@@ -1,9 +1,10 @@
-"""Native (C) CELT symbol stage vs the Python reference path.
+"""Native (C) Opus stages vs the Python reference paths.
 
-The C mirror (host/src/af_host.cc:af_celt_decode_symbols) must be
-bit-identical to models/celt.py on every packet: the Python path is the
-validated reference (libopus range fingerprints + PCM tolerance), so any
-deviation in the native path is a bug, not a tolerance question.
+The C mirrors (af_host.cc: af_celt_decode_symbols, af_celt_finish_channel,
+af_silk_synth, af_silk_excitation, af_silk_lsf2lpc) must be bit-identical
+to models/celt.py + models/silk.py on every packet: the Python paths are
+the validated reference (libopus range fingerprints + PCM tolerance), so
+any deviation in the native path is a bug, not a tolerance question.
 """
 
 import os
@@ -113,6 +114,57 @@ def test_native_celt_hybrid_stream_bit_identical():
     cfgs = {parse_packet(p)["config"] for p, _ in pkts}
     assert cfgs <= set(range(12, 16)), cfgs  # hybrid configs only
     data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
+
+    outs = []
+    for no_nat in (False, True):
+        if no_nat:
+            os.environ["AF_TPU_NO_NATIVE"] = "1"
+        else:
+            os.environ.pop("AF_TPU_NO_NATIVE", None)
+        try:
+            st = af.AudioStream()
+            st.open_from_memory(data)
+            outs.append(st.read_samples_float(st.get_length_in_frames()))
+        finally:
+            os.environ.pop("AF_TPU_NO_NATIVE", None)
+    a, b = outs
+    assert a.shape == b.shape
+    assert np.array_equal(a, b), float(np.abs(a - b).max())
+
+
+@needs_native
+@needs_oracle
+@pytest.mark.parametrize("bw_name,bitrate,channels,N", [
+    ("narrowband", 12000, 1, 960),
+    ("mediumband", 16000, 2, 960),
+    ("wideband", 24000, 1, 480),
+    ("wideband", 32000, 2, 960),
+])
+def test_native_silk_stream_bit_identical(bw_name, bitrate, channels, N):
+    """SILK voice streams: C excitation + LSF->LPC + synthesis must match
+    the Python path bit-for-bit through the full public decode."""
+    import audio_formats_tpu as af
+
+    O = opus_oracle
+    bw = {"narrowband": O.OPUS_BANDWIDTH_NARROWBAND,
+          "mediumband": O.OPUS_BANDWIDTH_MEDIUMBAND,
+          "wideband": O.OPUS_BANDWIDTH_WIDEBAND}[bw_name]
+    rng = np.random.default_rng(9)
+    npkt = 48000 // N * 2
+    n = N * npkt
+    t = np.arange(n) / 48000.0
+    sig = np.clip(6000 * np.sin(2 * np.pi * 220 * t) *
+                  (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+                  600 * rng.standard_normal(n),
+                  -32000, 32000).astype(np.int16)
+    sig = np.repeat(sig[:, None], channels, 1)
+    if channels == 2:
+        sig[:, 1] = np.roll(sig[:, 1], 17)
+    enc = O.OracleEncoder(48000, channels, bitrate=bitrate,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE, bandwidth=bw)
+    pkts = [(enc.encode(sig[i * N : (i + 1) * N]), N) for i in range(npkt)]
+    data = opus_ref.build_ogg_opus(pkts, channels=channels, preskip=0)
 
     outs = []
     for no_nat in (False, True):
