@@ -169,6 +169,8 @@ def _install_celt(lib) -> None:
     lib.af_silk_excitation.restype = ctypes.c_int
     lib.af_silk_lsf2lpc.argtypes = [i32p, ctypes.c_int32, i32p, i8p, f64p]
     lib.af_silk_lsf2lpc.restype = ctypes.c_int
+    lib.af_ogg_crc.argtypes = [i8p, ctypes.c_int64, ctypes.c_uint32]
+    lib.af_ogg_crc.restype = ctypes.c_uint32
 
     from ..utils.tables import celt_tables as CT
 
@@ -440,6 +442,13 @@ def silk_lsf2lpc(lib, nlsf, order: int):
         out.ctypes.data_as(_F64P),
     )
     return out
+
+
+def ogg_crc(lib, data, crc: int = 0) -> int:
+    """CRC-32 (0x04C11DB7, unreflected) over a buffer, continuing from
+    crc."""
+    ptr, nbytes, _keep = _buf_ptr(data)
+    return int(lib.af_ogg_crc(ptr, nbytes, crc))
 
 
 def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,

@@ -2828,4 +2828,26 @@ int af_silk_lsf2lpc(const int32_t* nlsf, int32_t order,
   return 0;
 }
 
+
+// ---------------------------------------------------------------- Ogg CRC
+// CRC-32 (poly 0x04C11DB7, unreflected, init 0) used by Ogg page headers
+// (RFC 3533); mirrors io/ogg.py:ogg_crc for fast page verification.
+
+uint32_t af_ogg_crc(const uint8_t* p, int64_t n, uint32_t crc) {
+  static uint32_t tab[256];
+  static int init_done = 0;
+  if (!init_done) {
+    for (int i = 0; i < 256; i++) {
+      uint32_t r = (uint32_t)i << 24;
+      for (int k = 0; k < 8; k++)
+        r = (r << 1) ^ ((r & 0x80000000u) ? 0x04C11DB7u : 0);
+      tab[i] = r;
+    }
+    init_done = 1;
+  }
+  for (int64_t i = 0; i < n; i++)
+    crc = (crc << 8) ^ tab[((crc >> 24) & 0xFF) ^ p[i]];
+  return crc;
+}
+
 }  // extern "C"

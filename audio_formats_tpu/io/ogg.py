@@ -3,8 +3,10 @@ utilities, and bisection seek support.
 
 Shared by Vorbis (stb_vorbis2.d's embedded Ogg layer), Opus (dopus.d
 OggStream, dopus.d:6955) and Ogg-encapsulated FLAC (drflac.d:2196).  CRC is
-computed for the page writer (fixtures/tests) and optionally verified on
-read — the reference decoders skip verification, so we do too by default.
+computed for the page writer and verified on read when the caller asks:
+the reference's Opus reader rejects bad-CRC pages (dopus.d:7080-7084)
+while its Vorbis reader only checks CRC during seek scans, so
+verification is per-reader opt-in.
 """
 
 from __future__ import annotations
@@ -24,11 +26,25 @@ for _i in range(256):
 
 
 def ogg_crc(data: bytes) -> int:
+    from ..host import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        return native.ogg_crc(lib, data)
     crc = 0
     tab = _CRC_TABLE
     for b in data:
         crc = ((crc << 8) ^ int(tab[((crc >> 24) & 0xFF) ^ b])) & 0xFFFFFFFF
     return crc
+
+
+def _page_crc_ok(view, offset: int, nsegs: int, body_size: int,
+                 stored: int) -> bool:
+    """Verify a page's CRC with the CRC field zeroed (RFC 3533 §6)."""
+    end = offset + 27 + nsegs + body_size
+    buf = bytes(view[offset : offset + 22]) + b"\x00\x00\x00\x00" + \
+        bytes(view[offset + 26 : end])
+    return ogg_crc(buf) == stored
 
 
 @dataclasses.dataclass
@@ -55,15 +71,17 @@ class OggPage:
         return bool(self.header_type & 4)
 
 
-def parse_page(view, offset: int) -> Optional[OggPage]:
-    """Parse the page at `offset`; returns None if invalid/truncated."""
+def parse_page(view, offset: int, verify_crc: bool = False) \
+        -> Optional[OggPage]:
+    """Parse the page at `offset`; returns None if invalid/truncated (or,
+    with verify_crc, if the page checksum fails — dopus.d:7080)."""
     if offset + 27 > len(view) or bytes(view[offset : offset + 4]) != b"OggS":
         return None
     if view[offset + 4] != 0:
         return None  # version
     header_type = view[offset + 5]
     granule = struct.unpack_from("<q", view, offset + 6)[0]
-    serial, seq, _crc = struct.unpack_from("<IIi", view, offset + 14)
+    serial, seq, crc = struct.unpack_from("<III", view, offset + 14)
     nsegs = view[offset + 26]
     if offset + 27 + nsegs > len(view):
         return None
@@ -72,11 +90,14 @@ def parse_page(view, offset: int) -> Optional[OggPage]:
     body_size = sum(seg_sizes)
     if body_offset + body_size > len(view):
         return None
+    if verify_crc and not _page_crc_ok(view, offset, nsegs, body_size, crc):
+        return None
     return OggPage(offset, header_type, granule, serial, seq, seg_sizes,
                    body_offset, body_size)
 
 
-def find_page(view, start: int) -> Optional[OggPage]:
+def find_page(view, start: int, verify_crc: bool = False) \
+        -> Optional[OggPage]:
     """Scan forward for the next valid page at or after `start`."""
     n = len(view)
     if start >= n - 27:
@@ -89,7 +110,7 @@ def find_page(view, start: int) -> Optional[OggPage]:
         & (arr[start + 3 : n] == 0x53)
     )
     for c in cand:
-        page = parse_page(view, start + int(c))
+        page = parse_page(view, start + int(c), verify_crc)
         if page is not None:
             return page
     return None
@@ -98,9 +119,11 @@ def find_page(view, start: int) -> Optional[OggPage]:
 class OggPacketReader:
     """Sequential packet reader for one logical stream (by serial)."""
 
-    def __init__(self, view, serial: Optional[int] = None, start: int = 0):
+    def __init__(self, view, serial: Optional[int] = None, start: int = 0,
+                 verify_crc: bool = False):
         self._view = view
         self._serial = serial
+        self._verify_crc = verify_crc
         self._page: Optional[OggPage] = None
         self._seg_idx = 0
         self._body_pos = 0
@@ -110,7 +133,7 @@ class OggPacketReader:
 
     def _next_page(self) -> bool:
         while True:
-            page = find_page(self._view, self._pos)
+            page = find_page(self._view, self._pos, self._verify_crc)
             if page is None:
                 return False
             self._pos = page.body_offset + page.body_size

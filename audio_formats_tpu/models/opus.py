@@ -652,8 +652,11 @@ class OpusDecoder:
         self._data_start = reader._pos
 
     def _start_stream(self) -> None:
+        # verify_crc: the reference's Opus page reader rejects bad-CRC
+        # pages (dopus.d:7080-7084)
         self._reader = ogg.OggPacketReader(self._view, self._serial,
-                                           self._data_start)
+                                           self._data_start,
+                                           verify_crc=True)
         self._pos = 0  # position in output samples (post-preskip)
         self._to_skip = self.preskip
         self._buf = np.zeros((0, self.channels), np.float32)
@@ -772,7 +775,7 @@ class OpusDecoder:
         """All audio packets (for the lockstep batch scheduler's
         pre-scan); leaves the streaming reader untouched."""
         reader = ogg.OggPacketReader(self._view, self._serial,
-                                     self._data_start)
+                                     self._data_start, verify_crc=True)
         pkts = []
         while True:
             pk = reader.next_packet()

@@ -179,3 +179,24 @@ def test_coded_silk_reports_clear_error():
     assert out.shape[0] == 0
     assert s.is_error()
     assert "not yet supported" in s.error_message()
+
+
+def test_bad_page_crc_skipped():
+    """A page whose CRC fails is rejected and skipped, matching the
+    reference's Opus page validation (dopus.d:7080-7084); the rest of the
+    stream still decodes."""
+    data, packets = _silence_stream(n_packets=20, preskip=0)
+    st = AudioStream()
+    st.open_from_memory(data)
+    clean = st.read_samples_float(st.get_length_in_frames())
+
+    # corrupt one byte inside a mid-file page body (capture pattern and
+    # header left intact so only the CRC check can reject it)
+    buf = bytearray(data)
+    pos = data.index(b"OggS", len(data) // 2)
+    buf[pos + 40] ^= 0x5A
+    st2 = AudioStream()
+    st2.open_from_memory(bytes(buf))
+    out = st2.read_samples_float(st2.get_length_in_frames())
+    assert not st2.is_error()
+    assert out.shape[0] < clean.shape[0]  # the bad page's audio is gone
