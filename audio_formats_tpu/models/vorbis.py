@@ -718,7 +718,7 @@ class VorbisDecoder:
                 # channel pulled in by coupling but its own floor unused:
                 # spectrum stays zero (stb: really_zero suppresses output)
                 pass
-        y = np.array(mdct_ops.imdct(spec, n))  # [ch, n] raw (writable copy)
+        y = mdct_ops.imdct_host(spec, n)  # [ch, n] raw (writable)
 
         # lapped windowing (finish_frame contract)
         had_prev = self._prev is not None

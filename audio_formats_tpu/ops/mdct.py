@@ -33,6 +33,19 @@ def imdct_matrix(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _imdct_matrix_f64(n: int) -> np.ndarray:
+    return imdct_matrix(n).astype(np.float64)
+
+
+def imdct_host(X: np.ndarray, n: int) -> np.ndarray:
+    """Host IMDCT for the single-stream facade: per-packet device dispatch
+    would pay an interconnect round-trip per packet, which dwarfs the
+    matmul.  f64 accumulation then f32 cast matches the device path's
+    HIGHEST-precision contract."""
+    return (X.astype(np.float64) @ _imdct_matrix_f64(n)).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def imdct(X: jax.Array, n: int) -> jax.Array:
     """X: [lanes, n/2] spectral coefficients → [lanes, n] raw time samples."""
