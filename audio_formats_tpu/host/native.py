@@ -171,6 +171,15 @@ def _install_celt(lib) -> None:
     lib.af_silk_lsf2lpc.restype = ctypes.c_int
     lib.af_ogg_crc.argtypes = [i8p, ctypes.c_int64, ctypes.c_uint32]
     lib.af_ogg_crc.restype = ctypes.c_uint32
+    lib.af_vorbis_residue.argtypes = [
+        i8p, ctypes.c_int64, i64p,
+        i32p, i32p, i8p, i32p, f32p, i64p, i32p,
+        ctypes.c_int32, ctypes.c_int32, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, i8p,
+        f32p, ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
+    lib.af_vorbis_residue.restype = ctypes.c_int
 
     from ..utils.tables import celt_tables as CT
 
@@ -449,6 +458,87 @@ def ogg_crc(lib, data, crc: int = 0) -> int:
     crc."""
     ptr, nbytes, _keep = _buf_ptr(data)
     return int(lib.af_ogg_crc(ptr, nbytes, crc))
+
+
+class VorbisCodebookBank:
+    """Per-stream codebook pack for af_vorbis_residue: every codebook's
+    two-level bit-reversed LUT and VQ vectors concatenated into flat
+    arrays (models/vorbis.py Codebook keeps the Python-structured
+    originals for the fallback path)."""
+
+    _UNUSED = np.int32(np.iinfo(np.int32).min)
+
+    def __init__(self, codebooks, l1_bits: int = 10):
+        n = len(codebooks)
+        self.lut1 = np.full((n << l1_bits,), self._UNUSED, np.int32)
+        subs_off, subs_ext, subs_chunks = [], [], []
+        vec_chunks = []
+        self.vec_off = np.full(n, -1, np.int64)
+        self.dims = np.zeros(n, np.int32)
+        spos = vpos = 0
+        for bi, cb in enumerate(codebooks):
+            self.dims[bi] = cb.dims
+            base = bi << l1_bits
+            gsub0 = len(subs_off)
+            for ext, sub in cb.subs:
+                subs_off.append(spos)
+                subs_ext.append(ext)
+                chunk = np.full(1 << ext, self._UNUSED, np.int32)
+                for k, e in enumerate(sub):
+                    if e is not None:
+                        chunk[k] = (e[0] << 24) | e[1]
+                subs_chunks.append(chunk)
+                spos += chunk.size
+            for k, e in enumerate(cb.lut1):
+                if e is None:
+                    continue
+                if e[0] < 0:
+                    self.lut1[base + k] = -(gsub0 + (-e[0] - 1)) - 1
+                else:
+                    self.lut1[base + k] = (e[0] << 24) | e[1]
+            if cb.vectors is not None:
+                self.vec_off[bi] = vpos
+                vec_chunks.append(
+                    np.ascontiguousarray(cb.vectors.reshape(-1)))
+                vpos += vec_chunks[-1].size
+        self.subs_off = np.asarray(subs_off, np.int32)
+        self.subs_ext = np.asarray(subs_ext, np.uint8)
+        self.subs_flat = (np.concatenate(subs_chunks)
+                          if subs_chunks else np.zeros(1, np.int32))
+        self.vec_flat = (np.concatenate(vec_chunks)
+                         if vec_chunks else np.zeros(1, np.float32))
+        if self.subs_off.size == 0:
+            self.subs_off = np.zeros(1, np.int32)
+            self.subs_ext = np.zeros(1, np.uint8)
+
+
+def vorbis_residue(lib, bank: VorbisCodebookBank, buf, nbits: int,
+                   bitpos: int, classbook: int, classifications: int,
+                   books: np.ndarray, rtype: int, part_size: int,
+                   begin: int, eff_ch: int, partitions_to_read: int,
+                   do_not_decode: np.ndarray, target: np.ndarray,
+                   row_stride: int, classifs: np.ndarray) -> int:
+    """Decode one residue block natively; returns the new bit position.
+    target/classifs are updated in place (partial data stands at
+    end-of-packet, matching the Python path)."""
+    ptr, _, _keep = _buf_ptr(buf)
+    pos = ctypes.c_int64(bitpos)
+    lib.af_vorbis_residue(
+        ptr, nbits, ctypes.byref(pos),
+        bank.lut1.ctypes.data_as(_I32P),
+        bank.subs_off.ctypes.data_as(_I32P),
+        bank.subs_ext.ctypes.data_as(_I8P),
+        bank.subs_flat.ctypes.data_as(_I32P),
+        bank.vec_flat.ctypes.data_as(_F32P),
+        bank.vec_off.ctypes.data_as(_I64P),
+        bank.dims.ctypes.data_as(_I32P),
+        classbook, classifications, books.ctypes.data_as(_I32P),
+        rtype, part_size, begin, eff_ch, partitions_to_read,
+        do_not_decode.ctypes.data_as(_I8P),
+        target.ctypes.data_as(_F32P), row_stride,
+        classifs.ctypes.data_as(_I64P), classifs.shape[1],
+    )
+    return pos.value
 
 
 def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,

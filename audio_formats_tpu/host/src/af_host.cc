@@ -2850,4 +2850,126 @@ uint32_t af_ogg_crc(const uint8_t* p, int64_t n, uint32_t crc) {
   return crc;
 }
 
+
+// -------------------------------------------------------- Vorbis residue
+// Mirror of models/vorbis.py Codebook.decode + _residue_passes.  Python
+// packs every codebook into a flat bank (two-level bit-reversed LUTs +
+// concatenated VQ vectors); this routine then decodes a whole residue
+// block per call.  The bit reader is LSB-first over the packet
+// (io/bits.py:BitReaderLSB): peek is zero-padded past the end, a skip
+// past the end aborts the residue with partial data standing (the
+// reference treats end-of-packet mid-residue the same way).
+
+typedef struct {
+  const uint8_t* buf;
+  int64_t nbits;
+  int64_t pos;
+} BitLSB;
+
+static inline uint32_t lsb_peek24(const BitLSB* b) {
+  int64_t first = b->pos >> 3;
+  int64_t nbytes = (b->nbits + 7) >> 3;
+  uint64_t word = 0;
+  for (int64_t i = 0; i < 4 && first + i < nbytes; i++)
+    word |= (uint64_t)b->buf[first + i] << (8 * i);
+  return (uint32_t)((word >> (b->pos & 7)) & 0xFFFFFF);
+}
+
+#define CB_UNUSED INT32_MIN
+
+// returns entry >= 0, or -1 on end-of-packet / invalid codeword
+static inline int32_t cb_decode(BitLSB* b, const int32_t* lut1_book,
+                                const int32_t* subs_off,
+                                const uint8_t* subs_ext,
+                                const int32_t* subs_flat) {
+  uint32_t peek = lsb_peek24(b);
+  int32_t e = lut1_book[peek & 0x3FF];
+  if (e == CB_UNUSED) return -1;
+  if (e < 0) {
+    int gs = -e - 1;
+    int ext = subs_ext[gs];
+    e = subs_flat[subs_off[gs] + ((peek >> 10) & ((1u << ext) - 1))];
+    if (e == CB_UNUSED) return -1;
+  }
+  int ln = e >> 24;
+  if (b->pos + ln > b->nbits) return -1;
+  b->pos += ln;
+  return e & 0xFFFFFF;
+}
+
+int af_vorbis_residue(
+    const uint8_t* buf, int64_t nbits, int64_t* bitpos_io,
+    const int32_t* lut1 /*[n_books << 10]*/, const int32_t* subs_off,
+    const uint8_t* subs_ext, const int32_t* subs_flat,
+    const float* vec_flat, const int64_t* vec_off /*[n_books]*/,
+    const int32_t* cb_dims /*[n_books]*/,
+    int32_t classbook, int32_t classifications,
+    const int32_t* books /*[classifications * 8]*/,
+    int32_t rtype, int32_t part_size, int64_t begin,
+    int32_t eff_ch, int32_t partitions_to_read,
+    const uint8_t* do_not_decode /*[eff_ch]*/,
+    float* target_base, int64_t row_stride,
+    int64_t* classifs, int64_t classif_stride) {
+  BitLSB b = {buf, nbits, *bitpos_io};
+  const int32_t* cls_lut1 = lut1 + ((int64_t)classbook << 10);
+  int cw = cb_dims[classbook];
+  int rc = 0;
+  for (int pass_ = 0; pass_ < 8 && !rc; pass_++) {
+    int pcount = 0;
+    while (pcount < partitions_to_read && !rc) {
+      if (pass_ == 0) {
+        for (int j = 0; j < eff_ch; j++) {
+          if (rtype != 2 && do_not_decode[j]) continue;
+          int32_t temp = cb_decode(&b, cls_lut1, subs_off, subs_ext,
+                                   subs_flat);
+          if (temp < 0) { rc = 1; goto done; }
+          for (int i = cw - 1; i >= 0; i--) {
+            classifs[j * classif_stride + pcount + i] =
+                temp % classifications;
+            temp /= classifications;
+          }
+        }
+      }
+      for (int i = 0; i < cw; i++) {
+        if (pcount >= partitions_to_read) break;
+        int64_t offset = begin + (int64_t)pcount * part_size;
+        for (int j = 0; j < eff_ch; j++) {
+          if (rtype != 2 && do_not_decode[j]) continue;
+          int vqclass = (int)classifs[j * classif_stride + pcount];
+          int32_t book = books[vqclass * 8 + pass_];
+          if (book < 0) continue;
+          if (vec_off[book] < 0) { rc = 1; goto done; }
+          const float* vecs = vec_flat + vec_off[book];
+          const int32_t* bl = lut1 + ((int64_t)book << 10);
+          int dims = cb_dims[book];
+          float* target = target_base + j * row_stride;
+          if (rtype == 0) {
+            int step = part_size / dims;
+            for (int k = 0; k < step; k++) {
+              int32_t entry = cb_decode(&b, bl, subs_off, subs_ext,
+                                        subs_flat);
+              if (entry < 0) { rc = 1; goto done; }
+              const float* v = vecs + (int64_t)entry * dims;
+              for (int m = 0; m < dims; m++)
+                target[offset + k + (int64_t)m * step] += v[m];
+            }
+          } else {
+            for (int k = 0; k < part_size; k += dims) {
+              int32_t entry = cb_decode(&b, bl, subs_off, subs_ext,
+                                        subs_flat);
+              if (entry < 0) { rc = 1; goto done; }
+              const float* v = vecs + (int64_t)entry * dims;
+              for (int m = 0; m < dims; m++) target[offset + k + m] += v[m];
+            }
+          }
+        }
+        pcount++;
+      }
+    }
+  }
+done:
+  *bitpos_io = b.pos;
+  return rc;
+}
+
 }  // extern "C"

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..config import AudioFileFormat
 from ..errors import AudioFormatError
+from ..host import native
 from ..io import ogg
 from ..io.bits import BitReaderLSB
 from ..io.source import ByteSource
@@ -327,6 +328,7 @@ class VorbisDecoder:
         br = BitReaderLSB(setup, 7)
         n_books = br.read(8) + 1
         self._codebooks = [Codebook(br) for _ in range(n_books)]
+        self._cbank = None  # lazy native codebook pack (host/native.py)
 
         # time transforms (placeholder in Vorbis I)
         for _ in range(br.read(6) + 1):
@@ -566,12 +568,36 @@ class VorbisDecoder:
         partitions_to_read = n_to_read // res.part_size
 
         classifs = np.zeros((eff_ch, partitions_to_read + cw), dtype=np.int64)
-        try:
-            self._residue_passes(br, res, classbook, cw, eff_ch,
-                                 partitions_to_read, begin, do_not_decode,
-                                 rtype, out, vec, classifs)
-        except AudioFormatError:
-            pass  # end-of-packet: partial residue data stands
+        lib = native.get_lib()
+        if lib is not None:
+            # C mirror (af_host.cc:af_vorbis_residue) over the packed
+            # codebook bank; end-of-packet partials stand either way
+            if self._cbank is None:
+                self._cbank = native.VorbisCodebookBank(self._codebooks)
+            books_flat = getattr(res, "books_flat", None)
+            if books_flat is None:
+                books_flat = np.full((res.classifications, 8), -1, np.int32)
+                for c in range(res.classifications):
+                    books_flat[c] = res.books[c]
+                res.books_flat = books_flat
+            dnd = np.array(
+                [1 if d else 0 for d in do_not_decode[:eff_ch]] or [0],
+                np.uint8)
+            target = vec if rtype == 2 else out
+            row_stride = 0 if rtype == 2 else out.shape[1]
+            br._bitpos = native.vorbis_residue(
+                lib, self._cbank, br._buf, br._nbits, br._bitpos,
+                res.classbook, res.classifications, books_flat, rtype,
+                res.part_size, begin, eff_ch, partitions_to_read, dnd,
+                target, row_stride, classifs)
+        else:
+            try:
+                self._residue_passes(br, res, classbook, cw, eff_ch,
+                                     partitions_to_read, begin,
+                                     do_not_decode, rtype, out, vec,
+                                     classifs)
+            except AudioFormatError:
+                pass  # end-of-packet: partial residue data stands
 
         if rtype == 2:
             for j in range(ch):

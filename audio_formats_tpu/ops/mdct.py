@@ -24,26 +24,49 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def imdct_matrix(n: int) -> np.ndarray:
-    """[n/2, n] float32 IMDCT matrix for block size n."""
+    """[n/2, n] float32 IMDCT matrix for block size n.
+
+    The phase (2t+1+m)(2k+1)·π/(2n) is periodic in 4n, so the matrix is a
+    gather from a 4n-entry cosine table over an exactly-reduced integer
+    phase — both faster to build than 33M transcendental evaluations (the
+    8192-block matrix) and more accurate (no large-argument cos)."""
     m = n // 2
-    k = np.arange(m)[:, None]
-    t = np.arange(n)[None, :]
-    return np.cos(
-        np.pi / (2.0 * n) * (2 * t + 1 + m) * (2 * k + 1)
-    ).astype(np.float32)
+    table = np.cos(np.pi / (2.0 * n) * np.arange(4 * n)).astype(np.float32)
+    a = ((2 * np.arange(n) + 1 + m) % (4 * n)).astype(np.int32)
+    b = (2 * np.arange(m) + 1).astype(np.int32)
+    out = np.empty((m, n), np.float32)
+    step = max(1, (1 << 22) // n)  # bound temporaries to a few MB
+    for r0 in range(0, m, step):
+        phase = (b[r0 : r0 + step, None] * a[None, :]) % (4 * n)
+        out[r0 : r0 + step] = table[phase]
+    return out
 
 
 @functools.lru_cache(maxsize=None)
-def _imdct_matrix_f64(n: int) -> np.ndarray:
-    return imdct_matrix(n).astype(np.float64)
+def _imdct_fft_tables(n: int):
+    """Twiddles for the FFT IMDCT: with m=n/2, A=2t+1+m,
+    y[t] = Re(e^{iπA/(4m)} · H[(A-1)/2 mod 2m]) where
+    H = 2m·ifft(X·e^{iπk/(2m)}, 2m).  (Same pre/post-twiddle closed form
+    as models/celt.py:imdct_half, re-derived for the Vorbis kernel.)"""
+    m = n // 2
+    pre = np.exp(1j * np.pi * np.arange(m) / (2 * m))
+    A = 2 * np.arange(n) + 1 + m
+    tw = np.exp(1j * np.pi * (A % (8 * m)) / (4 * m))
+    j = ((A - 1) // 2) % (2 * m)
+    return pre, tw, j
 
 
 def imdct_host(X: np.ndarray, n: int) -> np.ndarray:
     """Host IMDCT for the single-stream facade: per-packet device dispatch
-    would pay an interconnect round-trip per packet, which dwarfs the
-    matmul.  f64 accumulation then f32 cast matches the device path's
-    HIGHEST-precision contract."""
-    return (X.astype(np.float64) @ _imdct_matrix_f64(n)).astype(np.float32)
+    would pay an interconnect round-trip per packet, and a materialized
+    [n/2, n] matrix is memory it doesn't need — an O(n log n) f64 FFT
+    evaluates the same transform."""
+    m = n // 2
+    pre, tw, j = _imdct_fft_tables(n)
+    z = np.zeros((X.shape[0], 2 * m), np.complex128)
+    z[:, :m] = X.astype(np.float64) * pre
+    H = np.fft.ifft(z, axis=1) * (2 * m)
+    return (tw * H[:, j]).real.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -71,6 +94,13 @@ def overlap_add(y: np.ndarray, prev: np.ndarray, left_start: int) -> None:
     L = prev.shape[1]
     if L == 0:
         return
+    # clamp to the room actually available: a corrupted packet can declare
+    # a short window while the carried lap is long (the reference's
+    # max-blocksize-wide buffers make this harmless garbage, not a crash)
+    Lu = min(L, y.shape[1] - left_start)
+    if Lu <= 0:
+        return
     w = vorbis_slope(L)
-    seg = y[:, left_start : left_start + L]
-    y[:, left_start : left_start + L] = seg * w + prev * w[::-1]
+    seg = y[:, left_start : left_start + Lu]
+    y[:, left_start : left_start + Lu] = (seg * w[:Lu] +
+                                          prev[:, :Lu] * w[::-1][:Lu])

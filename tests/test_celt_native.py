@@ -181,3 +181,47 @@ def test_native_silk_stream_bit_identical(bw_name, bitrate, channels, N):
     a, b = outs
     assert a.shape == b.shape
     assert np.array_equal(a, b), float(np.abs(a - b).max())
+
+
+@needs_native
+def test_native_vorbis_residue_bit_identical():
+    """Vorbis residue decode through the packed codebook bank must match
+    the Python codebook path bit-for-bit at the public decode surface."""
+    import audio_formats_tpu as af
+    from golden import vorbis_oracle as VO
+    from audio_formats_tpu.io import ogg as oggmod
+
+    try:
+        if VO.get_libs() is None:
+            pytest.skip("libvorbis unavailable")
+    except Exception:
+        pytest.skip("libvorbis unavailable")
+    rng = np.random.default_rng(2)
+    n = 44100 * 3
+    t = np.arange(n) / 44100
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * t) +
+           0.05 * rng.standard_normal(n)).astype(np.float32)
+    pcm = np.stack([pcm, np.roll(pcm, 9)], 1)
+    hdrs, apkts = VO.encode(np.ascontiguousarray(pcm), 44100, quality=0.4)
+    pages = [oggmod.build_page([hdrs[0]], 1, 0, 0, bos=True),
+             oggmod.build_page(list(hdrs[1:]), 1, 1, 0)]
+    for i, (p, g) in enumerate(apkts):
+        pages.append(
+            oggmod.build_page([p], 1, 2 + i, g, eos=(i == len(apkts) - 1)))
+    data = b"".join(pages)
+
+    outs = []
+    for no_nat in (False, True):
+        if no_nat:
+            os.environ["AF_TPU_NO_NATIVE"] = "1"
+        else:
+            os.environ.pop("AF_TPU_NO_NATIVE", None)
+        try:
+            st = af.AudioStream()
+            st.open_from_memory(data)
+            outs.append(st.read_samples_float(st.get_length_in_frames()))
+        finally:
+            os.environ.pop("AF_TPU_NO_NATIVE", None)
+    a, b = outs
+    assert a.shape == b.shape
+    assert np.array_equal(a, b), float(np.abs(a - b).max())
