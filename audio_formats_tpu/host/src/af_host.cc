@@ -2131,7 +2131,7 @@ static void celt_final_c(CeltC* s, EcDec* d, int bits_left) {
 
 static void celt_bands_c(CeltC* s, EcDec* d) {
   float scratch[8 * 22];
-  static float norm_store[2 * 8 * 100];
+  float norm_store[2 * 8 * 100];  // stack: keeps the stage reentrant
   float* norm = norm_store;
   float* norm2 = norm_store + 8 * 100;
   int totalbits = (s->framebits << 3) - s->anticollapse_bit;

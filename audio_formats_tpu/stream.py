@@ -134,6 +134,11 @@ class AudioStream:
         self._error = None
 
     def _start_encoding(self, format, sample_rate, channels, options) -> None:
+        if isinstance(format, str):  # accept "wav"/"qoa" spellings
+            try:
+                format = AudioFileFormat[format.lower()]
+            except KeyError:
+                raise AudioFormatError(K_ERROR_UNSUPPORTED_ENCODING_FORMAT)
         options = options if options is not None else EncodingOptions()
         encoder = models.make_encoder(
             format, self._sink, int(sample_rate), channels, options
