@@ -418,6 +418,76 @@ class FlacDecoder:
         self._buf_start = 0
         return blocksize
 
+    # frames per device call on the single-stream facade (FLAC frames are
+    # independent, so they batch as lanes; per-frame dispatch pays one
+    # host<->device round-trip per ~90 ms of audio)
+    _FACADE_WINDOW = 32
+
+    def _decode_window_into_buf(self) -> int:
+        """Parse up to _FACADE_WINDOW frames and synthesize them with one
+        batched device call; falls back to the per-frame path for ragged
+        windows (blocksize change, >18-bit subframes, EOF tail)."""
+        parsed = []
+        while len(parsed) < self._FACADE_WINDOW:
+            p = self._parse_frame_tensors()
+            if p is None:
+                break
+            parsed.append(p)
+            if p[0] != parsed[0][0]:
+                break  # blocksize change (final frame): keep shapes static
+        if not parsed:
+            return 0
+        C = self.channels
+        n_same = 1
+        while (n_same < len(parsed) and
+               parsed[n_same][0] == parsed[0][0]):
+            n_same += 1
+        prefix, rest = parsed[:n_same], parsed[n_same:]
+        if any(int(np.max(p[7])) > 18 for p in prefix):
+            prefix, rest = [], parsed  # >18-bit subframes: exact host path
+        bufs = []
+        if prefix:
+            # pad to the static window width with silent frames (FLAC
+            # frames are independent; pad output is sliced away)
+            n_real = len(prefix)
+            B = prefix[0][0]
+            W = self._FACADE_WINDOW
+            if n_real < W:
+                pad = (B, 0, np.zeros((C, B), np.int32),
+                       np.zeros((C, 32), np.int32),
+                       np.zeros(C, np.int32), np.zeros(C, np.int32),
+                       np.zeros(C, np.int32), prefix[0][7])
+                prefix = prefix + [pad] * (W - n_real)
+            residual = np.stack([p[2] for p in prefix]).reshape(W * C, B)
+            coeffs = np.stack([p[3] for p in prefix]).reshape(W * C, -1)
+            order = np.stack([p[4] for p in prefix]).reshape(W * C)
+            shift = np.stack([p[5] for p in prefix]).reshape(W * C)
+            bps = np.stack([p[7] for p in prefix]).reshape(W * C)
+            samples = np.asarray(lpc_ops.flac_lpc_scan(
+                residual, coeffs, order, shift, bps > 16))
+            out = np.asarray(lpc_ops.flac_post_stereo_batch(
+                samples.reshape(W, C, B),
+                np.array([p[1] for p in prefix], np.int32),
+                np.stack([p[6] for p in prefix]),
+                np.full(W, 32 - self.bits_per_sample, np.int32)))
+            bufs.append(
+                out.transpose(0, 2, 1).reshape(W * B, C)[: n_real * B])
+        for p in rest:
+            (blocksize, chan_assignment, residual, coeffs, order, shift,
+             wasted, bps) = p
+            if int(np.max(bps)) > 18:
+                samples = lpc_ops.flac_lpc_np(residual, coeffs, order,
+                                              shift).astype(np.int32)
+            else:
+                samples = np.asarray(lpc_ops.flac_lpc_scan(
+                    residual, coeffs, order, shift, bps > 16))
+            bufs.append(np.asarray(lpc_ops.flac_post_stereo(
+                samples, np.int32(chan_assignment), wasted,
+                np.int32(32 - self.bits_per_sample))).T)
+        self._buf = np.concatenate(bufs, axis=0)
+        self._buf_start = 0
+        return self._buf.shape[0]
+
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
         # Invariant: _frame_pos is the absolute per-channel index of
         # self._buf[0]; _buf_start is the consumed prefix of the buffer.
@@ -429,7 +499,7 @@ class FlacDecoder:
                 next_pos = self._frame_pos + self._buf.shape[0]
                 if self.length_frames and next_pos >= self.length_frames:
                     break  # don't scan past the known end (stream.d:499-500)
-                n = self._decode_next_frame()
+                n = self._decode_window_into_buf()
                 if n == 0:
                     break
                 self._frame_pos = next_pos

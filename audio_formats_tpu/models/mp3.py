@@ -996,6 +996,69 @@ class Mp3Decoder:
         self._reserv = max(0, remains)
         return tensors, fb
 
+    # frames per device call on the single-stream facade: per-frame
+    # dispatch pays one host<->device round-trip per 26 ms of audio, which
+    # dominates wall-clock on remote-attached devices
+    _FACADE_WINDOW = 64
+
+    def _decode_l3_window(self):
+        """Decode up to _FACADE_WINDOW L3 frames with one device call;
+        same (pcm | None, consumed_bytes) contract as _decode_frame_at.
+        Excess samples are buffered by read()'s normal buffering."""
+        view = self._view
+        nch = self.channels
+        ngr = 2 if self._mpeg1 else 1
+        parts = []
+        fb_total = 0
+        while len(parts) < self._FACADE_WINDOW:
+            off = self._offset + fb_total
+            if off >= len(view) - HDR_SIZE:
+                break
+            tensors, fb = self._parse_frame_tensors(off)
+            if fb == 0:
+                break
+            fb_total += fb
+            if tensors is not None:
+                parts.append(tensors)
+        if fb_total == 0:
+            return None, 0
+        if not parts:
+            return np.zeros((0, nch), np.float32), fb_total
+        # EOF tail: pad with silent granules to the static window width so
+        # the whole stream costs ceil(frames/W) device calls; the pad
+        # output (and post-EOF state) is sliced away / irrelevant
+        n_real = len(parts)
+        if n_real < self._FACADE_WINDOW:
+            pad = self._pad_part(nch, ngr)
+            parts = parts + [pad] * (self._FACADE_WINDOW - n_real)
+        cat = {k: np.concatenate([p[k] for p in parts], axis=1)
+               for k in parts[0]}
+        out, self._overlap, self._shist = mp3_dsp.mp3_frame_dsp(
+            cat["q"], cat["scale"], cat["mix"], cat["perm"],
+            cat["aa_bands"], cat["wtype"], self._overlap, self._shist,
+            nch=nch, ngr=self._FACADE_WINDOW * ngr)
+        out = np.asarray(out)
+        pcm = out[0].transpose(0, 2, 1).reshape(-1, nch)
+        return pcm[: n_real * ngr * 576], fb_total
+
+    def _pad_part(self, nch, ngr):
+        if getattr(self, "_pad_tensors", None) is None:
+            mix = np.zeros((1, ngr, 4, 576), np.float32)
+            mix[:, :, 0] = 1.0
+            mix[:, :, 3] = 1.0
+            perm = np.zeros((1, ngr, nch, 576), np.int32)
+            perm[:] = _IDENT_PERM
+            self._pad_tensors = {
+                "q": np.zeros((1, ngr, nch, 576), np.float32),
+                "scale": np.zeros((1, ngr, nch, 576), np.float32),
+                "mix": mix,
+                "perm": perm,
+                "aa_bands": np.full((1, ngr, nch), 31, np.int32),
+                "wtype": np.full((1, ngr, nch, 32), mp3_dsp.WIN_NORMAL,
+                                 np.int32),
+            }
+        return self._pad_tensors
+
     def _decode_frame_at(self, off: int):
         """Decode one frame; returns (pcm [n, ch] f32 | None at EOF,
         frame_bytes)."""
@@ -1102,7 +1165,10 @@ class Mp3Decoder:
                     break
                 if self._offset >= len(self._view) - HDR_SIZE:
                     break
-                pcm, fb = self._decode_frame_at(self._offset)
+                if self._layer == 3 and not self._to_skip:
+                    pcm, fb = self._decode_l3_window()
+                else:
+                    pcm, fb = self._decode_frame_at(self._offset)
                 if pcm is None:
                     break
                 self._offset += fb

@@ -76,16 +76,16 @@ class QoaDecoder:
         self._buf_start = 0
 
     # -- frame decode (host unpack + device LMS scan) -----------------------
-    def _decode_next_frame(self) -> int:
-        """Decode the frame at the byte cursor into self._buf; returns the
-        number of samples per channel decoded (0 at EOF/corrupt, matching
-        qoa_decode_frame's return-0 contract)."""
+    def _parse_frame_at(self, pos: int):
+        """Parse one frame's header + slice words; returns
+        (history [ch,4], weights [ch,4], sf [ch,S], codes [ch,S,20],
+        f_samples, f_size) or None at EOF/corrupt."""
         view = self._src.view()
         ch = self.channels
         need = 8 + QOA_LMS_LEN * 4 * ch
-        if len(view) - self._byte_pos < need:
-            return 0
-        hdr = int.from_bytes(view[self._byte_pos : self._byte_pos + 8], "big")
+        if len(view) - pos < need:
+            return None
+        hdr = int.from_bytes(view[pos : pos + 8], "big")
         f_channels = (hdr >> 56) & 0xFF
         f_rate = (hdr >> 32) & 0xFFFFFF
         f_samples = (hdr >> 16) & 0xFFFF
@@ -93,16 +93,16 @@ class QoaDecoder:
         data_size = f_size - need
         num_slices = data_size // 8  # total slice words (all channels)
         max_total = (num_slices // ch) * QOA_SLICE_LEN if ch else 0
-        if len(view) - self._byte_pos < f_size:
-            return 0
+        if len(view) - pos < f_size:
+            return None
         if (
             f_channels != ch
             or f_rate != self.sample_rate
             or f_samples > max_total
         ):
-            return 0
+            return None
 
-        p = self._byte_pos + 8
+        p = pos + 8
         state = np.frombuffer(
             view[p : p + QOA_LMS_LEN * 4 * ch], dtype=">i2"
         ).reshape(ch, 2, 4)
@@ -120,16 +120,62 @@ class QoaDecoder:
             (words[:, :, None] >> shifts[None, None, :]) & np.uint64(7)
         ).astype(np.int32)
         codes = np.transpose(codes, (1, 0, 2))  # [ch, S, 20]
+        return history, weights, sf, codes, f_samples, f_size
 
-        out = np.asarray(
-            lms.decode_slices(history, weights, sf, codes)
-        )  # [ch, S*20]
-        self._buf = (
-            out[:, :f_samples].T.astype(np.int16)
-        )  # [samples, ch]
+    # frames per device call on the single-stream facade: QOA frames carry
+    # their LMS state in-band, so they batch as independent lanes
+    _FACADE_WINDOW = 16
+
+    def _decode_next_frame(self) -> int:
+        """Decode a window of frames at the byte cursor into self._buf;
+        returns the number of samples per channel decoded (0 at
+        EOF/corrupt, matching qoa_decode_frame's return-0 contract)."""
+        ch = self.channels
+        parsed = []
+        pos = self._byte_pos
+        full = QOA_SLICE_LEN * 256
+        while len(parsed) < self._FACADE_WINDOW:
+            p = self._parse_frame_at(pos)
+            if p is None:
+                break
+            parsed.append(p)
+            pos += p[5]
+            if p[4] < full:
+                break  # short (final) frame ends the window
+        if not parsed:
+            return 0
+        prefix = [p for p in parsed if p[4] == full]
+        rest = parsed[len(prefix):]  # at most the short final frame
+        bufs = []
+        if prefix:
+            # pad to the static window width with silent frames and slice
+            n_real = len(prefix)
+            W = self._FACADE_WINDOW
+            if n_real < W:
+                S = prefix[0][2].shape[1]
+                pad = (np.zeros((ch, 4), np.int32),
+                       np.zeros((ch, 4), np.int32),
+                       np.zeros((ch, S), np.int32),
+                       np.zeros((ch, S, QOA_SLICE_LEN), np.int32),
+                       full, 0)
+                prefix = prefix + [pad] * (W - n_real)
+            out = np.asarray(lms.decode_slices(
+                np.concatenate([p[0] for p in prefix]),
+                np.concatenate([p[1] for p in prefix]),
+                np.concatenate([p[2] for p in prefix]),
+                np.concatenate([p[3] for p in prefix]),
+            ))  # [W*ch, full]
+            bufs.append(out.reshape(W, ch, full).transpose(0, 2, 1)
+                        .reshape(W * full, ch)[: n_real * full]
+                        .astype(np.int16))
+        for history, weights, sf, codes, f_samples, _fs in rest:
+            out = np.asarray(
+                lms.decode_slices(history, weights, sf, codes))
+            bufs.append(out[:, :f_samples].T.astype(np.int16))
+        self._buf = np.concatenate(bufs, axis=0)
         self._buf_start = 0
-        self._byte_pos += f_size
-        return f_samples
+        self._byte_pos = pos
+        return self._buf.shape[0]
 
     # -- streaming read (qoa.d:806-840) --------------------------------------
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
