@@ -403,7 +403,7 @@ class FlacDecoder:
             # drflac's per-subframe 32/64-bit dispatch (drflac.d:1055-1110):
             # bps>16 lanes take the exact path, others wraparound int32
             samples = np.asarray(
-                lpc_ops.flac_lpc_scan(residual, coeffs, order, shift,
+                lpc_ops.flac_lpc(residual, coeffs, order, shift,
                                       bps > 16)
             )
         out = np.asarray(
@@ -463,7 +463,7 @@ class FlacDecoder:
             order = np.stack([p[4] for p in prefix]).reshape(W * C)
             shift = np.stack([p[5] for p in prefix]).reshape(W * C)
             bps = np.stack([p[7] for p in prefix]).reshape(W * C)
-            samples = np.asarray(lpc_ops.flac_lpc_scan(
+            samples = np.asarray(lpc_ops.flac_lpc(
                 residual, coeffs, order, shift, bps > 16))
             out = np.asarray(lpc_ops.flac_post_stereo_batch(
                 samples.reshape(W, C, B),
@@ -479,7 +479,7 @@ class FlacDecoder:
                 samples = lpc_ops.flac_lpc_np(residual, coeffs, order,
                                               shift).astype(np.int32)
             else:
-                samples = np.asarray(lpc_ops.flac_lpc_scan(
+                samples = np.asarray(lpc_ops.flac_lpc(
                     residual, coeffs, order, shift, bps > 16))
             bufs.append(np.asarray(lpc_ops.flac_post_stereo(
                 samples, np.int32(chan_assignment), wasted,

@@ -21,9 +21,12 @@ kernel lands.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 # Fixed-predictor coefficients (drflac.d:1397-equivalent; FLAC spec):
 # s[t] = k-th order polynomial predictor + residual, shift 0.
@@ -95,6 +98,96 @@ def flac_lpc_scan(residual, coeffs, order, shift, exact=None):
         (jnp.swapaxes(residual, 0, 1), jnp.arange(B_, dtype=jnp.int32)),
     )
     return jnp.swapaxes(out, 0, 1)
+
+
+def _lpc_pallas_kernel(params_ref, chi_ref, clo_ref, res_ref, out_ref):
+    """Per-lane-block LPC scan: lanes ride the 128-wide vector axis, the
+    32-tap history lives in registers as the fori_loop carry, and every
+    timestep is pure VPU int32 math — no per-step XLA loop overhead.
+    Semantics identical to flac_lpc_scan (same limb-split arithmetic)."""
+    order = params_ref[0:1, :]
+    shift = params_ref[1:2, :]
+    exact = params_ref[2:3, :]
+    chi = chi_ref[:]
+    clo = clo_ref[:]
+    sm8 = jnp.maximum(shift - 8, 0)
+    s8m = jnp.maximum(8 - shift, 0)
+    ge8 = shift >= 8
+    n_t = res_ref.shape[0]
+
+    def body(t, h):  # h: [MAX_ORDER, 128], h[j] = s[t-1-j]
+        A = jnp.sum(h * chi, axis=0, keepdims=True)
+        B = jnp.sum(h * clo, axis=0, keepdims=True)
+        hi = A + (B >> 8)
+        lo = B & 255
+        pred_exact = jnp.where(ge8, hi >> sm8, (hi << s8m) + (lo >> shift))
+        pred_wrap = ((A << 8) + B) >> shift
+        pred = jnp.where(exact != 0, pred_exact, pred_wrap)
+        r = res_ref[pl.ds(t, 1), :]
+        s = jnp.where(t < order, r, r + pred)
+        out_ref[pl.ds(t, 1), :] = s
+        return jnp.concatenate([s, h[:-1]], axis=0)
+
+    jax.lax.fori_loop(
+        0, n_t, body, jnp.zeros((MAX_ORDER, 128), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flac_lpc_pallas(residual, coeffs, order, shift, exact=None,
+                    interpret=False):
+    """Pallas-TPU variant of flac_lpc_scan: same [L, B] contract and
+    bit-identical results (tests/test_flac.py asserts equality against
+    the lax.scan reference)."""
+    L, B = residual.shape
+    if exact is None:
+        exact = jnp.zeros((L,), bool)
+    Lp = (L + 127) // 128 * 128
+    res_t = jnp.zeros((B, Lp), jnp.int32).at[:, :L].set(residual.T)
+    chi_t = jnp.zeros((MAX_ORDER, Lp), jnp.int32).at[:, :L].set(
+        (coeffs >> 8).T)
+    clo_t = jnp.zeros((MAX_ORDER, Lp), jnp.int32).at[:, :L].set(
+        (coeffs & 255).T)
+    params = jnp.zeros((4, Lp), jnp.int32)
+    params = params.at[0, :L].set(order)
+    params = params.at[1, :L].set(shift)
+    params = params.at[2, :L].set(exact.astype(jnp.int32))
+    grid = Lp // 128
+    out = pl.pallas_call(
+        _lpc_pallas_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Lp), jnp.int32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, 128), lambda i: (0, i)),
+            pl.BlockSpec((MAX_ORDER, 128), lambda i: (0, i)),
+            pl.BlockSpec((MAX_ORDER, 128), lambda i: (0, i)),
+            pl.BlockSpec((B, 128), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((B, 128), lambda i: (0, i)),
+        interpret=interpret,
+    )(params, chi_t, clo_t, res_t)
+    return out[:, :L].T
+
+
+def default_platform() -> str:
+    """Platform of the device computations actually land on (honours
+    jax_default_device, which CI pins to CPU while a TPU plugin is
+    loaded)."""
+    d = jax.config.jax_default_device
+    return d.platform if d is not None else jax.default_backend()
+
+
+def flac_lpc(residual, coeffs, order, shift, exact=None):
+    """Dispatch: Pallas kernel on TPU backends, lax.scan elsewhere
+    (AF_TPU_NO_PALLAS forces the scan)."""
+    import os
+
+    if (not os.environ.get("AF_TPU_NO_PALLAS")
+            and default_platform() not in ("cpu",)):
+        try:
+            return flac_lpc_pallas(residual, coeffs, order, shift, exact)
+        except Exception:
+            pass
+    return flac_lpc_scan(residual, coeffs, order, shift, exact)
 
 
 def flac_lpc_np(residual, coeffs, order, shift):

@@ -465,7 +465,7 @@ class BatchDecoder:
              out_shifts) = _shard_batch(
                 self._mesh, residual, coeffs, order, shift, exact,
                 assigns, wasteds, out_shifts)
-            samples = lpc_ops.flac_lpc_scan(
+            samples = lpc_ops.flac_lpc(
                 residual, coeffs, order, shift, exact
             ).reshape(S, nch, max_bs)
             # <=16-bit lanes (out_shift >= 16): ship int16 losslessly to

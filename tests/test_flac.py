@@ -234,3 +234,26 @@ def test_ogg_encapsulated_flac(rng):
     assert s.get_format() == AudioFileFormat.flac
     out = s.read_samples_float(frames)
     np.testing.assert_array_equal(out, _expected_float(pcm, 16))
+
+
+def test_pallas_lpc_matches_scan():
+    """The Pallas LPC kernel must be bit-identical to the lax.scan
+    reference (interpret mode on CPU; compiled on TPU backends)."""
+    import jax
+
+    from audio_formats_tpu.ops import lpc
+
+    rng = np.random.default_rng(11)
+    L, B = 13, 777
+    residual = rng.integers(-(1 << 17), 1 << 17, (L, B)).astype(np.int32)
+    coeffs = np.zeros((L, 32), np.int32)
+    order = rng.integers(0, 33, L).astype(np.int32)
+    for l in range(L):
+        coeffs[l, : order[l]] = rng.integers(-(1 << 14), 1 << 14, order[l])
+    shift = rng.integers(0, 16, L).astype(np.int32)
+    exact = rng.integers(0, 2, L).astype(bool)
+    a = np.asarray(lpc.flac_lpc_scan(residual, coeffs, order, shift, exact))
+    interp = lpc.default_platform() == "cpu"
+    b = np.asarray(lpc.flac_lpc_pallas(residual, coeffs, order, shift,
+                                       exact, interpret=interp))
+    np.testing.assert_array_equal(a, b)
