@@ -156,3 +156,23 @@ def test_float_input_quantization_matches_double(rng):
 def test_probe_rejects_corrupt_magic():
     s = AudioStream().open_from_memory(b"qoaX" + b"\0" * 32)
     assert s.is_error()
+
+
+def test_pallas_lms_matches_scan():
+    """The Pallas LMS decode kernel must be bit-identical to the lax.scan
+    reference (interpret mode on CPU; compiled on TPU backends)."""
+    import numpy as np
+
+    from audio_formats_tpu.ops import lms
+    from audio_formats_tpu.ops.lpc import default_platform
+
+    rng = np.random.default_rng(7)
+    L, T = 9, 641
+    history = rng.integers(-32768, 32768, (L, 4)).astype(np.int32)
+    weights = rng.integers(-(1 << 14), 1 << 14, (L, 4)).astype(np.int32)
+    deq = rng.integers(-2000, 2000, (L, T)).astype(np.int32)
+    a = np.asarray(lms.qoa_decode_scan(history, weights, deq))
+    interp = default_platform() == "cpu"
+    b = np.asarray(lms.qoa_decode_pallas(history, weights, deq,
+                                         interpret=interp))
+    np.testing.assert_array_equal(a, b)
