@@ -91,6 +91,8 @@ int af_mp3_set_table(int table_id, const int32_t* codes, int n, int linbits) {
   }
   size_t size = (size_t)1 << maxlen;
   uint32_t* lut = (uint32_t*)malloc(size * sizeof(uint32_t));
+  if (!lut) return -1;
+  free(g_mp3_lut[table_id]);  // re-registration must not leak the old LUT
   memset(lut, 0xFF, size * sizeof(uint32_t));
   for (int i = 0; i < n; i++) {
     uint32_t code = (uint32_t)codes[i * 4 + 0];
@@ -291,6 +293,7 @@ int af_flac_parse_frame(
       if (u < 0) return -8;
       wasted = u + 1;
     }
+    if (wasted >= sub_bps) return -8;  // corrupt: effective width <= 0
     sub_bps -= wasted;
     int32_t* res = residual + (int64_t)ci * max_block;
     int32_t* cf = coeffs + ci * 32;

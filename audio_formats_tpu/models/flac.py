@@ -275,6 +275,10 @@ class FlacDecoder:
         wasted = 0
         if header & 0x01:
             wasted = b.read_unary() + 1
+        if wasted >= bps:
+            # a corrupt/malicious wasted-bits count would drive the effective
+            # sample width to <= 0 (negative shift counts downstream)
+            raise AudioFormatError("Invalid FLAC subframe wasted-bits count")
         bps -= wasted
         coeffs = np.zeros(32, dtype=np.int32)
         shift = 0

@@ -54,8 +54,11 @@ def flac_lpc_scan(residual, coeffs, order, shift, exact=None):
 
     The exact path avoids 64-bit ints (slow/emulated on TPU) by splitting
     coefficients into 8-bit limbs: A = Σ (c>>8)·s, B = Σ (c&255)·s — both
-    int32-safe for |s| < 2^19 (covers ≤18-bit subframes incl. the +1-bit
-    side channels of 16-bit stereo).  The 40-bit product A·2^8 + B is then
+    int32-safe for |s| < 2^18 at the maximum order (32 taps × 255 × 2^18 ≈
+    2^31), i.e. ≤18-bit subframes incl. the +1-bit side channels of 16-bit
+    stereo.  models/flac.py enforces this by routing bps > 18 subframes to
+    the int64 host path; widening that routing without revisiting the limb
+    split would silently overflow here.  The 40-bit product A·2^8 + B is then
     shifted exactly via hi = A + (B>>8), lo = B&255:
       shift ≥ 8: result = hi >> (shift-8)                (remainder < 2^shift)
       shift < 8: result = (hi << (8-shift)) + (lo >> shift)

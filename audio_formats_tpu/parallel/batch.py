@@ -91,6 +91,28 @@ class BatchDecoder:
                 self.errors.append(e.message)
         self.stats = {"decoded_seconds": 0.0, "lanes": len(items)}
 
+    def _run_group(self, fn, chunk, *args):
+        """Run a lockstep group decode with the error lattice intact: a lane
+        that raises inside the grouped device path must not abort the other
+        lanes, so on any failure the whole group demotes to the per-stream
+        fallback (which has per-lane error handling).  Demoted lanes get
+        fresh decoders re-probed from their (rewindable) sources."""
+        try:
+            return fn([self.decoders[i] for i in chunk], *args)
+        except Exception:
+            for i in chunk:
+                d = self.decoders[i]
+                try:
+                    src = getattr(d, "_src", None)
+                    self.decoders[i] = (
+                        models.probe_all(src) if src is not None else None
+                    )
+                except Exception:
+                    self.decoders[i] = None
+                if self.decoders[i] is None and self.errors[i] is None:
+                    self.errors[i] = "Cannot decode stream: data is corrupt."
+            return [None] * len(chunk)
+
     # ------------------------------------------------------------------ API
     def decode_all(self) -> List[Optional[np.ndarray]]:
         """Decode every stream to completion; returns per-lane PCM (None for
@@ -116,26 +138,21 @@ class BatchDecoder:
         for (nch, mpeg1), lanes in mp3_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
-                res = self._decode_mp3_group(
-                    [self.decoders[i] for i in chunk], nch,
-                    2 if mpeg1 else 1,
+                res = self._run_group(
+                    self._decode_mp3_group, chunk, nch, 2 if mpeg1 else 1
                 )
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
         for nch, lanes in flac_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
-                res = self._decode_flac_group(
-                    [self.decoders[i] for i in chunk], nch
-                )
+                res = self._run_group(self._decode_flac_group, chunk, nch)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
         for nch, lanes in opus_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
-                res = self._decode_opus_group(
-                    [self.decoders[i] for i in chunk]
-                )
+                res = self._run_group(self._decode_opus_group, chunk)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
 

@@ -99,3 +99,41 @@ def test_batch_layer2_uses_streaming_path(rng):
     out = np.asarray(BatchDecoder([data]).decode_all()[0])
     assert out.shape == ref.shape
     assert np.allclose(out, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_flac_wasted_bits_overflow_rejected():
+    """A subframe claiming wasted >= bps must raise AudioFormatError, not a
+    bare ValueError from a negative shift (ADVICE r1; reference behavior is
+    a decode error, drflac.d wasted-bits handling)."""
+    import pytest
+
+    from audio_formats_tpu.errors import AudioFormatError
+    from audio_formats_tpu.io.bits import BitReaderMSB
+    from audio_formats_tpu.models.flac import FlacDecoder
+
+    # subframe header: type CONSTANT, wasted flag set (0x01), then a unary
+    # run of 16 zeros + stop bit -> wasted = 17 >= bps 16
+    bits = bytes([0x01, 0x00, 0x00, 0x80, 0x00, 0x00, 0x00])
+    b = BitReaderMSB(bits)
+    with pytest.raises(AudioFormatError):
+        FlacDecoder._parse_subframe.__get__(object.__new__(FlacDecoder))(
+            b, 256, 16
+        )
+
+
+def test_group_failure_demotes_to_per_stream(rng, monkeypatch):
+    """A failure inside a lockstep group path must not abort the batch: the
+    group's lanes demote to the per-stream fallback and still decode
+    (ADVICE r1 error-lattice finding)."""
+    streams = [_flac(rng, 3000 + 577 * i) for i in range(3)]
+    dec = BatchDecoder(streams)
+
+    def boom(decs, nch):
+        raise RuntimeError("device path exploded")
+
+    monkeypatch.setattr(dec, "_decode_flac_group", boom)
+    out = dec.decode_all()
+    for data, got in zip(streams, out):
+        ref = _facade(data)
+        np.testing.assert_array_equal(got, ref)
+    assert all(e is None for e in dec.errors)
