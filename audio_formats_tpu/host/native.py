@@ -94,7 +94,7 @@ def get_lib():
             i8p, ctypes.c_int64, ctypes.c_int64, i8p, ctypes.c_int32,
             ctypes.c_int32,
             i8p, i32p, i32p,
-            f32p, f32p, i32p, i32p, i32p, i8p, i64p_,
+            f32p, i32p, i32p, i8p, i64p_,
         ]
         lib.af_mp3_parse_window.restype = ctypes.c_int
 
@@ -542,16 +542,15 @@ def vorbis_residue(lib, bank: VorbisCodebookBank, buf, nbits: int,
 
 
 def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,
-                     nch: int, state, xq, mix, perm, aa, wt, flags,
+                     nch: int, state, xq, aa, wt, flags,
                      free_format_bytes: int = 0):
     """Parse up to W frames of one stream into window tensors (one C call).
 
     ``state`` is (reserv_buf u8[511], reserv_len i32[1], ist_pos i32[2,40]);
     the window tensors are views over the lane's slots with shapes
-    xq [W*ngr, nch, 576] f32 (requantized spectrum), mix [W*ngr, 4, 576]
-    f32,
-    perm [W*ngr, nch, 576] i32, aa [W*ngr, nch] i32, wt [W*ngr, nch, 32]
-    i32, flags u8[W].  Returns (frames_consumed, new_off).
+    xq [W*ngr, nch, 576] f32 (requantized, stereo-mixed, reordered
+    spectrum), aa [W*ngr, nch] i32, wt [W*ngr, nch, 32] i32, flags u8[W].
+    Returns (frames_consumed, new_off).
     """
     reserv_buf, reserv_len, ist_pos = state
     ptr, nbytes, _keep = _buf_ptr(view)
@@ -562,7 +561,6 @@ def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,
         reserv_len.ctypes.data_as(_I32P),
         ist_pos.ctypes.data_as(_I32P),
         xq.ctypes.data_as(_F32P),
-        mix.ctypes.data_as(_F32P), perm.ctypes.data_as(_I32P),
         aa.ctypes.data_as(_I32P), wt.ctypes.data_as(_I32P),
         flags.ctypes.data_as(_I8P), ctypes.byref(new_off),
     )

@@ -854,15 +854,20 @@ enum { WIN_NORMAL = 0, WIN_START = 1, WIN_SHORT = 2, WIN_STOP = 3 };
 // frames CONSUMED (>= number decoded; silent frames consume but emit
 // flags=0), or 0 at EOF/stream mismatch.  State in/out: reservoir buffer
 // (511 bytes) + length, ist_pos [2*40].
+//
+// The stereo mix (mid/side + intensity) and the short-block reorder are
+// applied HERE, during tensor assembly: they are per-coefficient float
+// muls / index copies that cost nothing on the host but would cost a
+// [B,G,4,576] f32 upload + a device gather per window if shipped to the
+// device (the tunnel uplink is the binding resource).
 int af_mp3_parse_window(
     const uint8_t* data, int64_t nbytes, int64_t off, const uint8_t* hdr0,
     int32_t max_frames, int32_t free_format_bytes,
     uint8_t* reserv_buf /* [511] */, int32_t* reserv_len,
     int32_t* ist_pos /* [2*40] */,
     float* xq_out /* [W, ngr, nch, 576]: sign(q)*|q|^(4/3)*gain, the
-                      requantized spectrum (device dequant fused here) */,
-    float* mix_out /* [W, ngr, 4, 576] */,
-    int32_t* perm_out /* [W, ngr, nch, 576] */,
+                      requantized spectrum, stereo-mixed and reordered
+                      (device dequant/mix/reorder fused here) */,
     int32_t* aa_out /* [W, ngr, nch] */,
     int32_t* wt_out /* [W, ngr, nch, 32] */,
     uint8_t* flags /* [W]: bit0 = has output, bit1 = has short blocks */,
@@ -919,6 +924,8 @@ int af_mp3_parse_window(
       int frame_short = 0;
       for (int g = 0; g < ngr; g++) {
         int32_t ist_snapshot[40];
+        int32_t perm_l[2][576];
+        int has_perm[2] = {0, 0};
         for (int ch = 0; ch < nch; ch++) {
           GrInfo* gr = &grs[g * nch + ch];
           BitReader br = {maindata, (int64_t)md_len * 8, br_pos};
@@ -950,19 +957,18 @@ int af_mp3_parse_window(
           // assembly: aa bands / reorder perm / window types
           int n_long_bands =
               gr->mixed_block_flag ? n_long_bands_base : 0;
-          int32_t* pd =
-              perm_out + (((int64_t)w * ngr + g) * nch + ch) * 576;
           int32_t* wd = wt_out + (((int64_t)w * ngr + g) * nch + ch) * 32;
           if (gr->n_short_sfb) {
             flags[w] |= 2;
             frame_short = 1;
             aa_out[((int64_t)w * ngr + g) * nch + ch] = n_long_bands - 1;
-            mp3_reorder_perm(gr, n_long_bands, pd);
+            mp3_reorder_perm(gr, n_long_bands, perm_l[ch]);
+            has_perm[ch] = 1;
             for (int i = 0; i < 32; i++)
               wd[i] = (i < n_long_bands) ? WIN_NORMAL : WIN_SHORT;
           } else {
             aa_out[((int64_t)w * ngr + g) * nch + ch] = 31;
-            for (int i = 0; i < 576; i++) pd[i] = i;
+            has_perm[ch] = 0;
             int wt = WIN_NORMAL;
             if (gr->block_type == 3) wt = WIN_STOP;
             else if (gr->block_type == 1) wt = WIN_START;
@@ -971,18 +977,29 @@ int af_mp3_parse_window(
         }
         if (!success) break;
         memcpy(ist_snapshot, ist_pos + (nch - 1) * 40, 40 * sizeof(int32_t));
-        // stereo mix for this granule
-        float* md = mix_out + (((int64_t)w * ngr + g) * 4) * 576;
+        // stereo mix for this granule (applied in place: l' = a·l + b·r,
+        // r' = c·l + d·r, same f32 ops/order as the device mix it replaces)
+        float* qd0 = xq_out + (((int64_t)w * ngr + g) * nch + 0) * 576;
         if (nch == 2) {
+          float mixv[4 * 576];
           mp3_stereo_mix(h, &grs[g * nch], &grs[g * nch + 1], q_i,
-                         ist_snapshot, md);
-        } else {
+                         ist_snapshot, mixv);
+          float* qd1 = qd0 + 576;
           for (int i = 0; i < 576; i++) {
-            md[i] = 1.0f;
-            md[576 + i] = 0.0f;
-            md[1152 + i] = 0.0f;
-            md[1728 + i] = 1.0f;
+            float l = qd0[i], r = qd1[i];
+            qd0[i] = mixv[i] * l + mixv[576 + i] * r;
+            qd1[i] = mixv[1152 + i] * l + mixv[1728 + i] * r;
           }
+        }
+        // short-block reorder (after the mix, matching the device order):
+        // new[i] = old[perm[i]]
+        for (int ch = 0; ch < nch; ch++) {
+          if (!has_perm[ch]) continue;
+          float tmp[576];
+          float* qd = qd0 + ch * 576;
+          const int32_t* p = perm_l[ch];
+          for (int i = 0; i < 576; i++) tmp[i] = qd[p[i]];
+          memcpy(qd, tmp, sizeof(tmp));
         }
       }
       if (success) flags[w] |= 1;

@@ -230,6 +230,164 @@ def mp3_frame_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     return jnp.swapaxes(pcm_all, 0, 1), overlap, shist
 
 
+# ---------------------------------------------------------------------------
+# v2: scan-free window DSP.
+#
+# The per-granule scan in mp3_frame_dsp keeps every intermediate in HBM per
+# step (~0.5 ms/granule at B=1024 — HBM-traffic-bound, 48 ms per 96-granule
+# window).  But the pipeline is *not* actually recurrent:
+#
+#   * the IMDCT+OLA matrix maps (coeffs ‖ overlap) -> (pcm ‖ overlap'), and
+#     by construction overlap' = V(w_g)·c_g depends ONLY on the current
+#     granule's coefficients (see _build_imdct_matrices: the overlap' columns
+#     read the coeff rows alone).  Hence
+#         pcm_g = U(w_g)·c_g + V(w_{g-1})·c_{g-1}
+#     is fully parallel across granules, and
+#   * the polyphase synthesis is a linear 17-tap FIR over the slot axis — a
+#     convolution, not a recurrence.
+#
+# So the whole window collapses into batched matmuls + one conv, with carried
+# state entering only at the window edges (prepended overlap / slot history).
+#
+# Contract difference vs v1: granule activity must be a per-lane PREFIX
+# (n_act granules, then inactive).  The host scheduler guarantees this by
+# compacting skipped frames (it already tracks per-frame flags); outputs at
+# granule index >= n_act are garbage and must be discarded by the caller.
+# ---------------------------------------------------------------------------
+
+# [4, 18, 36] per window type: c(18) -> (pcm(18) ‖ overlap'(18))
+UV_MATS = IMDCT_MATS[:, :18, :].copy()
+
+# slot-layout frequency inversion: sign.T broadcast over granules
+_SIGN_T = _SIGN.T.copy()  # [18, 32]
+
+# synthesis FIR as a conv kernel: pcm[t] = Σ_m Sfull[t+m]·Wrev[m]
+# Wrev[m, k_in, j_out] = SYNTH_FIR[16-m, j, k]
+SYNTH_CONV_K = np.ascontiguousarray(
+    SYNTH_FIR[::-1].transpose(0, 2, 1)
+)  # [17, 32in, 32out]
+
+
+def _build_synth_toeplitz() -> np.ndarray:
+    """Granule-blocked Toeplitz form of the 17-tap synthesis FIR:
+    pcm[g·18+t, j] = Σ_{u,k} Swin[g, u, k]·W_blk[u·32+k, t·32+j] where
+    Swin[g] = slot window [g·18, g·18+34) of (shist ‖ S).  One big MXU
+    matmul replaces the conv (whose TPU lowering materializes im2col)."""
+    W_blk = np.zeros((34 * 32, 18 * 32), np.float32)
+    for t in range(18):
+        for u in range(t, t + 17):
+            r = 16 + t - u
+            W_blk[u * 32 : (u + 1) * 32, t * 32 : (t + 1) * 32] = (
+                SYNTH_FIR[r].T
+            )
+    return W_blk
+
+
+SYNTH_TOEPLITZ = _build_synth_toeplitz()  # [1088, 576]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nch", "ngr", "use_perm", "dequant", "use_mix")
+)
+def mp3_window_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
+                   n_act, nch: int, ngr: int, use_perm: bool = True,
+                   dequant: bool = True, use_mix: bool = True):
+    """Scan-free MP3 window DSP (see block comment above).
+
+    Same tensor contract as mp3_frame_dsp except the per-granule activity
+    mask is replaced by ``n_act`` [B] int32 — the number of leading active
+    granules per lane (activity must be a prefix; the scheduler compacts).
+
+    Returns (pcm [B, ngr, nch, 576], overlap', shist').
+    """
+    B = q.shape[0]
+    mats = jnp.asarray(UV_MATS)  # [4, 18, 36]
+    if use_perm is False:
+        del perm
+    if not dequant:
+        del scale
+        xg = q
+    else:
+        xg = jnp.sign(q) * jnp.power(jnp.abs(q), jnp.float32(4.0 / 3.0)) * scale
+    # stereo mix [B, G, nch, 576]
+    if nch == 2 and use_mix:
+        l, r = xg[:, :, 0], xg[:, :, 1]
+        a, b, c, d = (mix[:, :, i] for i in range(4))
+        xg = jnp.stack([a * l + b * r, c * l + d * r], axis=2)
+    if use_perm:
+        xg = jnp.take_along_axis(xg, perm, axis=-1)
+    # antialias, batched over all granules.  Scatter-free: rebuild the
+    # 18-coeff axis from slices (TPU scatters via .at[].set are pathological)
+    xb = xg.reshape(B, ngr, nch, 32, 18)
+    top = xb[..., :8]                  # coeffs 0..7 of every band
+    bot = xb[..., 17:9:-1]             # coeffs 17..10 (reversed)
+    u = top[:, :, :, 1:, :]            # bands 1..31
+    d_ = bot[:, :, :, :-1, :]          # bands 0..30
+    nu = u * AA_CS - d_ * AA_CA
+    nd = u * AA_CA + d_ * AA_CS
+    bmask = (
+        jnp.arange(31)[None, None, None, :, None]
+        < aa_bands[:, :, :, None, None]
+    )
+    new_top = jnp.concatenate(
+        [top[:, :, :, :1], jnp.where(bmask, nu, u)], axis=3
+    )
+    new_bot = jnp.concatenate(
+        [jnp.where(bmask, nd, d_), bot[:, :, :, 31:]], axis=3
+    )
+    xb = jnp.concatenate(
+        [new_top, xb[..., 8:10], new_bot[..., ::-1]], axis=-1
+    )
+    # IMDCT: ONE matmul against all four window matrices side by side
+    # (K=18 → N=144), then a per-band one-hot select-sum.  Outputs
+    # pcm(18) ‖ ov'(18) per window type.
+    matcat = mats.transpose(1, 0, 2).reshape(18, 4 * 36)  # [18, w*36]
+    out_all = jnp.einsum(
+        "bgcki,iwj->bgckwj",
+        xb,
+        matcat.reshape(18, 4, 36),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, G, nch, 32, 4, 36]
+    oh = (
+        wtype[..., None] == jnp.arange(4)[None, None, None, None, :]
+    )  # [B, G, nch, 32, 4]
+    out = jnp.sum(jnp.where(oh[..., None], out_all, 0.0), axis=-2)
+    Y = out[..., :18]   # U(w_g)·c_g
+    OV = out[..., 18:]  # V(w_g)·c_g = overlap emitted by granule g
+    # OLA: granule g adds the PREVIOUS granule's overlap (carried at g=0)
+    ov_stack = jnp.concatenate(
+        [overlap[:, None], OV], axis=1
+    )  # [B, G+1, nch, 32, 18]
+    grb = Y + ov_stack[:, :ngr]
+    # new carried overlap = overlap emitted by the last ACTIVE granule
+    idx = n_act.reshape(B, 1, 1, 1, 1).astype(jnp.int32)
+    new_overlap = jnp.take_along_axis(ov_stack, idx, axis=1)[:, 0]
+    # frequency inversion + to slot layout [B, nch, G*18, 32]
+    S = jnp.swapaxes(grb, -1, -2) * _SIGN_T[None, None, None]
+    S = jnp.swapaxes(S, 1, 2).reshape(B, nch, ngr * 18, 32)
+    Sfull = jnp.concatenate([shist, S], axis=2)  # [B, nch, 16+18G, 32]
+    # polyphase synthesis as ONE granule-blocked Toeplitz matmul: the
+    # overlapping 34-slot windows come from two shifted reshapes (window g
+    # = chunk g ‖ first 16 slots of chunk g+1), no im2col materialization
+    pad = jnp.pad(Sfull, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    R = pad.reshape(B, nch, ngr + 1, 18, 32)
+    Swin = jnp.concatenate([R[:, :, :ngr], R[:, :, 1:, :16]], axis=3)
+    pcm = jnp.dot(
+        Swin.reshape(B * nch * ngr, 34 * 32),
+        jnp.asarray(SYNTH_TOEPLITZ),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pcm = pcm.reshape(B, nch, ngr, 18, 32)
+    pcm = jnp.swapaxes(pcm, 1, 2).reshape(B, ngr, nch, 576)
+    # new slot history = the 16 slots ending at slot 16 + 18*n_act
+    base = 18 * n_act.reshape(B, 1, 1, 1).astype(jnp.int32)
+    hidx = base + jnp.arange(16).reshape(1, 1, 16, 1)
+    new_shist = jnp.take_along_axis(
+        Sfull, jnp.broadcast_to(hidx, (B, nch, 16, 32)), axis=2
+    )
+    return pcm, new_overlap, new_shist
+
+
 @functools.partial(jax.jit, static_argnames=("nch",))
 def mp3_synth_slots(S, shist, nch: int):
     """Polyphase synthesis only — Layer I/II path (no IMDCT: L1/L2 are pure

@@ -220,17 +220,9 @@ class BatchDecoder:
         pending = []
         while active.any():
             xq = np.zeros((Bp, G, nch, 576), np.float32)
-            mix = np.zeros((Bp, G, 4, 576), np.float32) if nch == 2 else \
-                np.zeros((1, G, 1, 1), np.float32)
-            if nch == 2:
-                mix[:, :, 0] = 1.0
-                mix[:, :, 3] = 1.0
-            mix_c = mix if nch == 2 else \
-                np.zeros((G, 4, 576), np.float32)  # scratch for the C call
-            perm = np.zeros((Bp, G, nch, 576), np.int32)
             aa = np.full((Bp, G, nch), 31, np.int32)
             wt = np.zeros((Bp, G, nch, 32), np.int32)
-            gr_act = np.zeros((Bp, G), dtype=bool)
+            n_act = np.zeros(Bp, np.int32)
             flags = np.zeros(W, np.uint8)
             has_short = False
 
@@ -245,9 +237,7 @@ class BatchDecoder:
                     continue
                 n, new_off = _native.mp3_parse_window(
                     lib, d._view, d._offset, d._hdr0, W, ngr, nch,
-                    states[bi], xq[bi],
-                    mix[bi] if nch == 2 else mix_c,
-                    perm[bi], aa[bi], wt[bi], flags,
+                    states[bi], xq[bi], aa[bi], wt[bi], flags,
                     free_format_bytes=d._free_format_bytes,
                 )
                 d._offset = new_off
@@ -256,40 +246,46 @@ class BatchDecoder:
                     continue
                 got = flags[:n]
                 fr_act = (got & 1).astype(bool)
-                gr_act[bi, : n * ngr] = np.repeat(fr_act, ngr)
+                n_fr = int(fr_act.sum())
+                if n_fr and not fr_act[:n_fr].all():
+                    # silent frames left holes: compact to the prefix the
+                    # scan-free DSP requires (skipped frames neither decode
+                    # nor advance state, matching the reference)
+                    gi = np.flatnonzero(np.repeat(fr_act, ngr))
+                    xq[bi, : len(gi)] = xq[bi, gi]
+                    aa[bi, : len(gi)] = aa[bi, gi]
+                    wt[bi, : len(gi)] = wt[bi, gi]
+                n_act[bi] = n_fr * ngr
                 if (got & 2).any():
                     has_short = True
-                d._cur_sample += int(fr_act.sum()) * ngr * 576 * nch
+                d._cur_sample += n_fr * ngr * 576 * nch
                 if n < W:
                     active[bi] = False
-            if not gr_act.any():
+            if not n_act.any():
                 break
-            perm_arg = perm if has_short else np.zeros((1, G, 1, 1),
-                                                       np.int32)
-            scale_ph = np.zeros((1, G, 1, 1), np.float32)
-            (xq_d, mix_d, perm_d, aa_d, wt_d, overlap, shist,
-             gr_act_d) = _shard_batch(
-                self._mesh, xq, mix, perm_arg, aa, wt, overlap, shist,
-                gr_act)
-            pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
-                xq_d, scale_ph, mix_d, perm_d, aa_d, wt_d, overlap, shist,
-                nch=nch, ngr=G, gr_active=gr_act_d, use_perm=has_short,
-                dequant=False, use_mix=(nch == 2),
+            ph_f = np.zeros((1, G, 1, 1), np.float32)
+            ph_i = np.zeros((1, G, 1, 1), np.int32)
+            (xq_d, aa_d, wt_d, overlap, shist, n_act_d) = _shard_batch(
+                self._mesh, xq, aa, wt, overlap, shist, n_act)
+            pcm, overlap, shist = mp3_dsp.mp3_window_dsp(
+                xq_d, ph_f, ph_f, ph_i, aa_d, wt_d, overlap, shist,
+                n_act_d, nch=nch, ngr=G, use_perm=False,
+                dequant=False, use_mix=False,
             )
             try:
                 pcm.copy_to_host_async()
             except AttributeError:
                 pass
-            pending.append((pcm, gr_act))
+            pending.append((pcm, n_act.copy()))
 
-        for pcm_dev, gr_act in pending:
+        for pcm_dev, n_act in pending:
             pcm = np.asarray(pcm_dev)
             for bi in range(B):
-                sel = gr_act[bi]
-                if not sel.any():
+                n = int(n_act[bi])
+                if not n:
                     continue
                 outputs[bi].append(
-                    pcm[bi][sel].transpose(0, 2, 1).reshape(-1, nch)
+                    pcm[bi][:n].transpose(0, 2, 1).reshape(-1, nch)
                 )
         result = []
         for bi, d in enumerate(decs):
@@ -328,7 +324,7 @@ class BatchDecoder:
             perm = None  # materialized lazily on the first short block
             aa = np.full((Bp, G, nch), 31, np.int32)
             wt = np.zeros((Bp, G, nch, 32), np.int32)
-            gr_act = np.zeros((Bp, G), dtype=bool)
+            n_act = np.zeros(Bp, np.int32)
             has_short = False
 
             for bi, d in enumerate(decs):
@@ -348,7 +344,9 @@ class BatchDecoder:
                     d._offset += fb
                     if tensors is None:
                         continue  # silent frame: state frozen, no output
-                    g0 = w * ngr
+                    # write at the lane's next free slot: activity stays a
+                    # prefix (the scan-free DSP's contract)
+                    g0 = int(n_act[bi])
                     q[bi, g0 : g0 + ngr] = tensors["q"][0]
                     scale[bi, g0 : g0 + ngr] = tensors["scale"][0]
                     mix[bi, g0 : g0 + ngr] = tensors["mix"][0]
@@ -362,14 +360,14 @@ class BatchDecoder:
                                 ident, (Bp, G, nch, 576)
                             ).copy()
                         perm[bi, g0 : g0 + ngr] = tensors["perm"][0]
-                    gr_act[bi, g0 : g0 + ngr] = True
-            if not gr_act.any():
+                    n_act[bi] += ngr
+            if not n_act.any():
                 break
             if perm is None:
                 perm = np.zeros((1, G, 1, 1), np.int32)
-            pcm, overlap, shist = mp3_dsp.mp3_frame_dsp(
+            pcm, overlap, shist = mp3_dsp.mp3_window_dsp(
                 q, scale, mix, perm, aa, wt, overlap, shist,
-                nch=nch, ngr=G, gr_active=gr_act, use_perm=has_short,
+                n_act, nch=nch, ngr=G, use_perm=has_short,
             )
             # start the device->host copy in the background and keep parsing
             # the next window; the tunnel transfer overlaps the host entropy
@@ -378,18 +376,18 @@ class BatchDecoder:
                 pcm.copy_to_host_async()
             except AttributeError:
                 pass
-            pending.append((pcm, gr_act))
+            pending.append((pcm, n_act.copy()))
             for bi in range(B):
-                decs[bi]._cur_sample += int(gr_act[bi].sum()) * 576 * nch
+                decs[bi]._cur_sample += int(n_act[bi]) * 576 * nch
 
-        for pcm_dev, gr_act in pending:
+        for pcm_dev, n_act in pending:
             pcm = np.asarray(pcm_dev)  # [Bp, G, nch, 576]
             for bi in range(B):
-                sel = gr_act[bi]
-                if not sel.any():
+                n = int(n_act[bi])
+                if not n:
                     continue
                 outputs[bi].append(
-                    pcm[bi][sel].transpose(0, 2, 1).reshape(-1, nch)
+                    pcm[bi][:n].transpose(0, 2, 1).reshape(-1, nch)
                 )
 
         result = []

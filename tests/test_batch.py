@@ -48,9 +48,10 @@ def test_mp3_batch_equals_facade(rng):
     for data, got in zip(streams, batch):
         ref = _facade(data)
         assert got.shape == ref.shape
-        # float pipeline: XLA reduction order differs with batch size
+        # float pipeline: XLA reduction order differs between the facade's
+        # per-granule DSP and the batch scan-free matmul/Toeplitz forms
         scale = np.max(np.abs(ref)) + 1e-9
-        assert np.max(np.abs(got - ref)) / scale < 1e-6
+        assert np.max(np.abs(got - ref)) / scale < 4e-6
 
 
 def test_flac_batch_equals_facade(rng):

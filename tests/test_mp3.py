@@ -279,4 +279,7 @@ def test_free_format_stream(rng):
 
     o2 = np.asarray(BatchDecoder([data_f]).decode_all()[0])
     peak = np.abs(out).max()
-    assert np.abs(o2 - out).max() / peak < 1e-6
+    # batch uses the scan-free window DSP (matmul/Toeplitz forms): valid
+    # f32 reassociation vs the facade's per-granule order; contract vs the
+    # reference is 1e-4 (BASELINE.md)
+    assert np.abs(o2 - out).max() / peak < 4e-6
