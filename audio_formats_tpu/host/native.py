@@ -97,6 +97,15 @@ def get_lib():
             f32p, i32p, i32p, i8p, i64p_,
         ]
         lib.af_mp3_parse_window.restype = ctypes.c_int
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.af_mp3_parse_window_packed.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64, i8p, ctypes.c_int32,
+            ctypes.c_int32,
+            i8p, i32p, i32p,
+            u32p, i32p, i32p, i16p, i32p, i32p, i8p, i64p_,
+        ]
+        lib.af_mp3_parse_window_packed.restype = ctypes.c_int
 
         # install the MP3 Huffman tables
         from ..utils.tables import mp3_tables as T
@@ -113,10 +122,18 @@ def get_lib():
                 [(c, l, v, 0) for c, l, v in codes], dtype=np.int32
             )
             lib.af_mp3_set_table(32 + t, arr.ctypes.data_as(i32p), len(arr), 0)
-        u8 = lambda a: np.asarray(a, dtype=np.uint8).ctypes.data_as(i8p)
-        _keep = [np.asarray(a, dtype=np.uint8) for a in (
-            T.SCF_LONG, T.SCF_SHORT, T.SCF_MIXED, T.SCF_PARTITIONS,
-            T.SCFC_DECODE, T.SCF_MOD, T.PREAMP)]
+        sizes = {"SCF_LONG": 184, "SCF_SHORT": 320, "SCF_MIXED": 320}
+
+        def _padded(name, a):
+            a = np.asarray(a, dtype=np.uint8)
+            want = sizes.get(name, a.size)
+            if a.size < want:  # zero-terminated flat tables: pad the tail
+                a = np.concatenate([a, np.zeros(want - a.size, np.uint8)])
+            return a
+
+        _keep = [_padded(n, getattr(T, n)) for n in (
+            "SCF_LONG", "SCF_SHORT", "SCF_MIXED", "SCF_PARTITIONS",
+            "SCFC_DECODE", "SCF_MOD", "PREAMP")]
         lib.af_mp3_set_l3_tables(*[a.ctypes.data_as(i8p) for a in _keep])
 
         _install_celt(lib)
@@ -565,3 +582,40 @@ def mp3_parse_window(lib, view, off: int, hdr0: bytes, W: int, ngr: int,
         flags.ctypes.data_as(_I8P), ctypes.byref(new_off),
     )
     return n, new_off.value
+
+
+LANE_WORDS = 132  # af_host.cc AF_MP3_LANE_WORDS
+
+
+def mp3_parse_window_packed(lib, view, off: int, hdr0: bytes, W: int,
+                            ngr: int, nch: int, state, bits, meta, scfq,
+                            aa, wt, flags, free_format_bytes: int = 0):
+    """Packed (device-Huffman) window parse: one C call per (stream,
+    window) emits per-lane Huffman bit ROWS (big-endian uint32, stride
+    LANE_WORDS) + FSM side info + int16 quarter-exponent scalefactors.
+
+    bits [W*ngr*nch, LANE_WORDS] u32, meta [W*ngr*nch, 16] i32 (zeroed by
+    the caller), scfq [W*ngr*nch, 40] i16, aa [W*ngr, nch] i32,
+    wt [W*ngr, nch, 32] i32, flags u8[W].
+    Returns (frames_consumed, new_off, max_words, intensity_stop).
+    """
+    reserv_buf, reserv_len, ist_pos = state
+    ptr, nbytes, _keep = _buf_ptr(view)
+    new_off = ctypes.c_int64(off)
+    max_words = np.zeros(1, np.int32)
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _I16P = ctypes.POINTER(ctypes.c_int16)
+    n = lib.af_mp3_parse_window_packed(
+        ptr, nbytes, off, _u8ptr(hdr0), W, free_format_bytes,
+        reserv_buf.ctypes.data_as(_I8P),
+        reserv_len.ctypes.data_as(_I32P),
+        ist_pos.ctypes.data_as(_I32P),
+        bits.ctypes.data_as(_U32P),
+        max_words.ctypes.data_as(_I32P),
+        meta.ctypes.data_as(_I32P),
+        scfq.ctypes.data_as(_I16P),
+        aa.ctypes.data_as(_I32P), wt.ctypes.data_as(_I32P),
+        flags.ctypes.data_as(_I8P), ctypes.byref(new_off),
+    )
+    intensity_stop = n < W and bool(flags[n] & 4)
+    return n, new_off.value, int(max_words[0]), intensity_stop

@@ -508,40 +508,58 @@ static int mp3_side_info(Mp3Bits* bs, GrInfo* gr, const uint8_t* h) {
   return main_data_begin;
 }
 
+static void mp3_scalefactors_q(const uint8_t* h, int32_t* ist_pos,
+                               BitReader* br, const GrInfo* gr, int ch,
+                               int16_t* eq /*[40]*/);
+
 // L3_decode_scalefactors (minimp3.d:648-720) over the maindata reader.
+// scf[i] == 2^(eq[i]/4) exactly (integer quarter-exponents; eq <= -20000
+// underflows to 0.0f just like the reference's ldexp chain).
 static void mp3_scalefactors(const uint8_t* h, int32_t* ist_pos,
                              BitReader* br, const GrInfo* gr, int ch,
                              float* scf /*[40]*/) {
-  int mpeg1 = h[1] & 0x8;
-  int part_idx = (gr->n_short_sfb ? 1 : 0) + (gr->n_long_sfb ? 0 : 1);
-  const uint8_t* scf_partition = g_scf_partitions + part_idx * 28;
-  int scf_size[4] = {0, 0, 0, 0};
+  int16_t eq[40];
+  mp3_scalefactors_q(h, ist_pos, br, gr, ch, eq);
+  for (int i = 0; i < 40; i++)
+    scf[i] = (eq[i] <= -20000) ? 0.0f : (float)exp2((double)eq[i] / 4.0);
+}
+
+// Variant emitting the integer QUARTER-EXPONENTS (scf[i] == 2^(eq[i]/4)
+// exactly — see the exp2(e/4) above): the device-Huffman path ships these
+// as int16 instead of f32 gains (40 x 2 bytes/lane) and reconstructs with
+// exp2 on device.
+static void mp3_scalefactors_q(const uint8_t* h, int32_t* ist_pos,
+                               BitReader* br, const GrInfo* gr, int ch,
+                               int16_t* eq /*[40]*/) {
   int32_t iscf[43];
   memset(iscf, 0, sizeof(iscf));
-  int scf_shift = gr->scalefac_scale + 1;
-  long scfsi = gr->scfsi;
-  int k = 0;
-  if (mpeg1) {
-    int part = g_scfc_decode[gr->scalefac_compress];
-    scf_size[0] = scf_size[1] = part >> 2;
-    scf_size[2] = scf_size[3] = part & 3;
-  } else {
-    int ist = ((h[3] & 0x10) && ch) ? 1 : 0;
-    long sfc = gr->scalefac_compress >> ist;
-    k = ist * 3 * 4;
-    while (sfc >= 0) {
-      long modprod = 1;
-      for (int i = 3; i >= 0; i--) {
-        scf_size[i] = (int)((sfc / modprod) % g_scf_mod[k + i]);
-        modprod *= g_scf_mod[k + i];
-      }
-      sfc -= modprod;
-      k += 4;
-    }
-    scfsi = -16;
-  }
-  // read scalefactors
   {
+    // inline of mp3_scalefactors' iscf stage
+    int mpeg1 = h[1] & 0x8;
+    int part_idx = (gr->n_short_sfb ? 1 : 0) + (gr->n_long_sfb ? 0 : 1);
+    const uint8_t* scf_partition = g_scf_partitions + part_idx * 28;
+    int scf_size[4] = {0, 0, 0, 0};
+    long scfsi = gr->scfsi;
+    int k = 0;
+    if (mpeg1) {
+      int part = g_scfc_decode[gr->scalefac_compress];
+      scf_size[0] = scf_size[1] = part >> 2;
+      scf_size[2] = scf_size[3] = part & 3;
+    } else {
+      int ist = ((h[3] & 0x10) && ch) ? 1 : 0;
+      long sfc = gr->scalefac_compress >> ist;
+      k = ist * 3 * 4;
+      while (sfc >= 0) {
+        long modprod = 1;
+        for (int i = 3; i >= 0; i--) {
+          scf_size[i] = (int)((sfc / modprod) % g_scf_mod[k + i]);
+          modprod *= g_scf_mod[k + i];
+        }
+        sfc -= modprod;
+        k += 4;
+      }
+      scfsi = -16;
+    }
     const uint8_t* scf_count = scf_partition + k;
     int n = 0;
     for (int i = 0; i < 4 && scf_count[i]; i++) {
@@ -566,6 +584,7 @@ static void mp3_scalefactors(const uint8_t* h, int32_t* ist_pos,
     }
     iscf[n] = iscf[n + 1] = iscf[n + 2] = 0;
   }
+  int scf_shift = gr->scalefac_scale + 1;
   if (gr->n_short_sfb) {
     int sh = 3 - scf_shift;
     for (int i = 0; i < gr->n_short_sfb; i += 3) {
@@ -579,10 +598,12 @@ static void mp3_scalefactors(const uint8_t* h, int32_t* ist_pos,
   int ms_stereo = (h[3] & 0xE0) == 0x60;
   int gain_exp = gr->global_gain - 4 - 210 - (ms_stereo ? 2 : 0);
   int nb = gr->n_long_sfb + gr->n_short_sfb;
-  for (int i = 0; i < 40; i++) scf[i] = 0.0f;
+  for (int i = 0; i < 40; i++) eq[i] = -20000;  // 2^(eq/4) -> 0.0f
   for (int i = 0; i < nb; i++) {
     long e = (long)gain_exp - ((long)iscf[i] << scf_shift);
-    scf[i] = (float)exp2((double)e / 4.0);
+    if (e < -20000) e = -20000;
+    if (e > 20000) e = 20000;
+    eq[i] = (int16_t)e;
   }
 }
 
@@ -1019,6 +1040,174 @@ int af_mp3_parse_window(
   *new_off = off;
   return w;
 }
+
+// Packed variant for the DEVICE-Huffman pipeline: the host stops at the
+// scalefactor decode and emits each granule-channel's Huffman BIT REGION
+// verbatim (byte-copied out of the reservoir-spliced maindata into a fixed
+// per-lane ROW of big-endian uint32 words) plus the side info the device
+// FSM needs.  The upload then approaches the compressed size instead of
+// the dequantized-spectrum size — on a bandwidth-limited host link that is
+// the difference between ~200x and several-1000x realtime.  Streams using
+// intensity stereo (header bit 0x10) must use the classic path: their
+// stereo mix depends on the decoded right-channel spectrum.
+//
+// bits_out is laid out [W*ngr*nch lanes, LANE_WORDS=132] uint32 (big-endian
+// bit order within each word); part_23_length <= 4095 bits = 129 words,
+// plus 2 zero pad words for lookahead.  meta int32[16] per lane:
+//   0 span_words (words written incl. pad; 0 for inactive lanes)
+//   1 bit_start  (0..7: first Huffman bit within the row)
+//   2 bit_limit  (one past the region: bit_start + part23_remaining)
+//   3 big_values (pairs)
+//   4 bnd0  5 bnd1 (first sfb index of Huffman region 1 / 2)
+//   6 tab0  7 tab1  8 tab2  (big-values table ids)
+//   9 count1_table (0/1)
+//  10 pattern_id  (kind*16 + sr_idx_my; kind 0 long / 1 short / 2 mixed)
+//  11..15 reserved (0)
+// scf_out: int16 quarter-exponents [W*ngr*nch, 40]; gain = 2^(eq/4).
+#define AF_MP3_LANE_WORDS 132
+int af_mp3_parse_window_packed(
+    const uint8_t* data, int64_t nbytes, int64_t off, const uint8_t* hdr0,
+    int32_t max_frames, int32_t free_format_bytes,
+    uint8_t* reserv_buf /* [511] */, int32_t* reserv_len,
+    int32_t* ist_pos /* [2*40] */,
+    uint32_t* bits_out /* [W*ngr*nch, 132] BE words */,
+    int32_t* max_words /* [1] out: max span over lanes this call */,
+    int32_t* meta_out /* [W*ngr*nch, 16] */,
+    int16_t* scf_out /* [W*ngr*nch, 40] quarter-exponents */,
+    int32_t* aa_out /* [W, ngr, nch] */,
+    int32_t* wt_out /* [W, ngr, nch, 32] */,
+    uint8_t* flags /* [W] */, int64_t* new_off) {
+  int mpeg1 = hdr0[1] & 0x8;
+  int nch = ((hdr0[3] & 0xC0) == 0xC0) ? 1 : 2;
+  int ngr = mpeg1 ? 2 : 1;
+  int sr_idx_my =
+      (((hdr0[2] >> 2) & 3) + (((hdr0[1] >> 3) & 1) + ((hdr0[1] >> 4) & 1)) * 3);
+  int n_long_bands_base = (sr_idx_my == 2) ? 4 : 2;
+  uint8_t maindata[4608];
+  int mw = 0;
+  int w = 0;
+  for (; w < max_frames; w++) {
+    flags[w] = 0;
+    if (off + 4 > nbytes) break;
+    const uint8_t* h = data + off;
+    if (!hdr_compare(hdr0, h)) break;
+    if (nch == 2 && (h[3] & 0x10)) {
+      // intensity-stereo frame: its mix depends on decoded right-channel
+      // content; stop BEFORE it (not consumed) and flag so the scheduler
+      // demotes this stream to the classic host-Huffman path
+      flags[w] |= 4;
+      break;
+    }
+    int fb = hdr_frame_bytes(h, free_format_bytes) + hdr_padding(h);
+    if (fb <= 4 || off + fb > nbytes) break;
+    Mp3Bits bs = {data + off + 4, 0, (fb - 4) * 8};
+    if (!(h[1] & 1)) mp3_get(&bs, 16);
+    GrInfo grs[4];
+    int main_data_begin = mp3_side_info(&bs, grs, h);
+    if (main_data_begin < 0) {
+      *reserv_len = 0;
+      memset(ist_pos, 0, 80 * sizeof(int32_t));
+      off += fb;
+      continue;
+    }
+    int side_bytes = (int)(bs.pos / 8);
+    const uint8_t* frame_main = data + off + 4 + side_bytes;
+    int frame_main_len = fb - 4 - side_bytes;
+    int have = *reserv_len < main_data_begin ? *reserv_len : main_data_begin;
+    int md_len = have + frame_main_len;
+    if (md_len > (int)sizeof(maindata)) break;
+    if (have) memcpy(maindata, reserv_buf + *reserv_len - have, have);
+    memcpy(maindata + have, frame_main, frame_main_len);
+    int success = (*reserv_len >= main_data_begin);
+
+    int64_t br_pos = 0;
+    if (success) {
+      for (int g = 0; g < ngr && success; g++) {
+        for (int ch = 0; ch < nch; ch++) {
+          GrInfo* gr = &grs[g * nch + ch];
+          BitReader br = {maindata, (int64_t)md_len * 8, br_pos};
+          int64_t limit = br_pos + gr->part_23_length;
+          int lane = (w * ngr + g) * nch + ch;
+          mp3_scalefactors_q(h, ist_pos + ch * 40, &br, gr, ch,
+                             scf_out + (int64_t)lane * 40);
+          int32_t* m = meta_out + (int64_t)lane * 16;
+          // lane row: bytes [start_bit/8, ceil(limit/8)) as BE words + pad
+          int64_t start_bit = br.pos;
+          if (start_bit > limit) start_bit = limit;
+          int64_t start_byte = start_bit >> 3;
+          int64_t end_byte = (limit + 7) >> 3;
+          if (end_byte > md_len) end_byte = md_len;
+          if (end_byte < start_byte) end_byte = start_byte;
+          int span = (int)(end_byte - start_byte);
+          uint32_t* row = bits_out + (int64_t)lane * AF_MP3_LANE_WORDS;
+          const uint8_t* src = maindata + start_byte;
+          int nw = (span + 3) >> 2;
+          for (int k = 0; k < nw; k++) {
+            int b0 = 4 * k;
+            uint32_t v = 0;
+            for (int b = 0; b < 4; b++) {
+              uint32_t byte = (b0 + b < span) ? src[b0 + b] : 0;
+              v = (v << 8) | byte;
+            }
+            row[k] = v;
+          }
+          row[nw] = 0;
+          row[nw + 1] = 0;
+          if (nw + 2 > mw) mw = nw + 2;
+          m[0] = nw + 2;
+          m[1] = (int32_t)(start_bit - start_byte * 8);
+          m[2] = m[1] + (int32_t)(limit - start_bit);
+          m[3] = gr->big_values;
+          m[4] = gr->region_count[0] + 1;
+          m[5] = gr->region_count[0] + gr->region_count[1] + 2;
+          m[6] = gr->table_select[0];
+          m[7] = gr->table_select[1];
+          m[8] = gr->table_select[2];
+          m[9] = gr->count1_table;
+          // pattern id uses the UNCOLLAPSED sr index: the mixed-block
+          // n_long_bands (2 vs 4) depends on sr_idx_my==2, which the
+          // collapsed table index cannot distinguish
+          int kind = gr->n_short_sfb ? (gr->n_long_sfb ? 2 : 1) : 0;
+          m[10] = kind * 16 + sr_idx_my;
+          m[11] = ((h[3] & 0xE0) == 0x60) ? 1 : 0;  // mid/side this frame
+          m[12] = gr->block_type;  // device builds wtype/aa from this
+          for (int i = 13; i < 16; i++) m[i] = 0;
+          // aa / window types (same as the classic path)
+          int n_long_bands = gr->mixed_block_flag ? n_long_bands_base : 0;
+          int32_t* wd = wt_out + (((int64_t)w * ngr + g) * nch + ch) * 32;
+          if (gr->n_short_sfb) {
+            flags[w] |= 2;
+            aa_out[((int64_t)w * ngr + g) * nch + ch] = n_long_bands - 1;
+            for (int i = 0; i < 32; i++)
+              wd[i] = (i < n_long_bands) ? WIN_NORMAL : WIN_SHORT;
+          } else {
+            aa_out[((int64_t)w * ngr + g) * nch + ch] = 31;
+            int wt = WIN_NORMAL;
+            if (gr->block_type == 3) wt = WIN_STOP;
+            else if (gr->block_type == 1) wt = WIN_START;
+            for (int i = 0; i < 32; i++) wd[i] = wt;
+          }
+          br_pos = limit;
+        }
+      }
+      if (success) flags[w] |= 1;
+    }
+    int pos_bytes = success ? (int)((br_pos + 7) / 8) : 0;
+    int remains = md_len - pos_bytes;
+    if (remains > 511) {
+      pos_bytes += remains - 511;
+      remains = 511;
+    }
+    if (remains < 0) remains = 0;
+    memmove(reserv_buf, maindata + pos_bytes, remains);
+    *reserv_len = remains;
+    off += fb;
+  }
+  *max_words = mw;
+  *new_off = off;
+  return w;
+}
+
 
 
 // ---------------------------------------------------------------------------

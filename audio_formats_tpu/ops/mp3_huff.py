@@ -1,0 +1,553 @@
+"""Device-side MP3 Layer III Huffman stage — entropy decode ON the TPU.
+
+Parity target: the big-values / count1 loops of minimp3's L3_huffman
+(minimp3.d:748-883), mirrored bit-exactly against this repo's C host stage
+(af_host.cc:af_mp3_huffman), which tests A/B against the Python reference.
+
+Why on device: the host→device link is the binding resource of the batched
+pipeline.  Shipping the dequantized spectrum costs ~350 KB per audio-second
+(f32, stereo); shipping the raw Huffman bit regions costs the compressed
+size (~20 KB/s) plus ~100 B/lane of side info.  The host then shrinks to
+header walk + reservoir splice + scalefactor decode, and the serial bit
+work runs as a *vectorized multi-lane FSM*: every granule-channel is an
+independent bitstream (part_23_length gives each its own region), so a
+batch window yields tens of thousands of lanes advancing in lockstep.
+
+TPU-native design constraints (measured on v5e):
+* XLA element gathers run ~44 ns/element — a per-lane table gather per
+  symbol caps the decoder at ~500× realtime.  NO per-lane gathers anywhere.
+* Word access uses a one-hot select over the lane's word row (VPU
+  compare+select, ~6e11 ops/s).
+* Table lookup uses INTERVAL SUMS: each codeword of a Huffman table owns
+  one interval of the left-aligned 19-bit peek space (prefix codes tile
+  it), so (code_length, x, y) are piecewise-constant in
+  key = code_table_id·2^19 + peek and evaluate as
+      Σ_r (key ≥ start_r) · Δ_r
+  — pure compare/multiply-add across lanes.  The 32 spec tables dedupe to
+  15 distinct non-empty code tables (the two linbits families share
+  codes); the per-window set of PRESENT tables is a static jit argument,
+  so typical windows sum over a few hundred breakpoints only.
+* Per-sfb gains arrive as int16 quarter-exponents (gain = 2^(e/4) exactly —
+  see af_host.cc:mp3_scalefactors_q) and expand to 576 coefficients with a
+  0/1 band matrix matmul (exact in f32).
+* The short-block reorder (minimp3.d:984-1000) is a permutation from a
+  small static pattern set — applied as a permutation MATMUL (exact: each
+  output is 1.0·input), never a gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.tables import mp3_tables as T
+
+LANE_WORDS = 132  # must match af_host.cc AF_MP3_LANE_WORDS
+N_PATTERNS = 48   # kind(0..2)*16 + sr_idx_my(0..8)
+
+
+# --------------------------------------------------------------- code tables
+def _build_code_tables():
+    """Dedupe the 32 big-values tables into distinct code tables and build
+    interval breakpoints (start19, length, x*16+y) for each."""
+    code_id = np.zeros(34, np.int32)
+    lin = np.zeros(34, np.int32)
+    lin[:32] = np.asarray(T.LINBITS, np.int32)
+    distinct = []  # list of breakpoint arrays (start, len, xy)
+    keymap = {}
+    for t in range(32):
+        codes = T.HUFF_TABLES[t]
+        key = tuple(map(tuple, codes)) if codes else ()
+        if key not in keymap:
+            if not codes:
+                bps = np.array([[0, 0, 0]], np.int64)  # empty: len 0, v 0
+            else:
+                rows = []
+                for code, ln, x, y in codes:
+                    rows.append((code << (19 - ln), ln, x * 16 + y))
+                rows.sort()
+                # completeness: intervals must tile [0, 2^19) — guarantees
+                # the interval-sum decode never needs a gap sentinel
+                pos = 0
+                for start, ln, xy in rows:
+                    assert start == pos, f"table {t}: gap at {pos}"
+                    pos += 1 << (19 - ln)
+                assert pos == 1 << 19, f"table {t}: incomplete"
+                bps = np.array(rows, np.int64)
+            keymap[key] = len(distinct)
+            distinct.append(bps)
+        code_id[t] = keymap[key]
+    # count1 tables: 6-bit space, ids appended after the big tables
+    c1 = []
+    for codes in (T.COUNT1_A, T.COUNT1_B):
+        rows = sorted((code << (6 - ln), ln, v) for code, ln, v in codes)
+        pos = 0
+        for s, ln, v in rows:
+            assert s == pos
+            pos += 1 << (6 - ln)
+        assert pos == 64
+        c1.append(np.array(rows, np.int64))
+    return code_id, lin, distinct, c1
+
+
+CODE_ID, LINBITS_TAB, CODE_TABLES, COUNT1_TABLES = _build_code_tables()
+
+
+def _breakpoints_for(cids):
+    """Concatenate the breakpoint sets of the given code-table ids over the
+    key space key = rank(cid)·2^19 + peek and convert values to deltas
+    (Σ_r (key ≥ s_r)·Δ_r reproduces the piecewise-constant table)."""
+    starts, lens, xys = [], [], []
+    for rank, cid in enumerate(cids):
+        bps = CODE_TABLES[cid]
+        starts.append(bps[:, 0] + (rank << 19))
+        lens.append(bps[:, 1])
+        xys.append(bps[:, 2])
+    starts = np.concatenate(starts)
+    lens = np.concatenate(lens).astype(np.int32)
+    xys = np.concatenate(xys).astype(np.int32)
+    d_len = np.diff(lens, prepend=0).astype(np.int32)
+    d_xy = np.diff(xys, prepend=0).astype(np.int32)
+    return starts.astype(np.int32), d_len, d_xy
+
+
+def _build_count1_breakpoints():
+    starts, lens, vs = [], [], []
+    for rank, bps in enumerate(COUNT1_TABLES):
+        starts.append(bps[:, 0] + (rank << 6))
+        lens.append(bps[:, 1])
+        vs.append(bps[:, 2])
+    starts = np.concatenate(starts).astype(np.int32)
+    lens = np.concatenate(lens).astype(np.int32)
+    vs = np.concatenate(vs).astype(np.int32)
+    return starts, np.diff(lens, prepend=0).astype(np.int32), \
+        np.diff(vs, prepend=0).astype(np.int32)
+
+
+C1_STARTS, C1_DLEN, C1_DV = _build_count1_breakpoints()
+
+
+# ------------------------------------------------------------------ patterns
+def _sfb_widths(pattern: int):
+    """Band widths for pattern = kind*16 + sr_idx_my (af_host.cc layout)."""
+    kind, sr_my = divmod(pattern, 16)
+    if sr_my > 8:
+        return None
+    sr = sr_my - (sr_my != 0)  # collapsed index (mp3_side_info)
+
+    def _pad(a, stride):
+        a = np.asarray(a, np.int32)
+        full = 8 * stride
+        if a.size < full:  # tables are zero-terminated; pad the flat tail
+            a = np.concatenate([a, np.zeros(full - a.size, np.int32)])
+        return a.reshape(8, stride)
+
+    L = _pad(T.SCF_LONG, 23)
+    S = _pad(T.SCF_SHORT, 40)
+    M = _pad(T.SCF_MIXED, 40)
+    if kind == 0:
+        tab, n_long, n_short = L[sr], 22, 0
+    elif kind == 1:
+        tab, n_long, n_short = S[sr], 0, 39
+    elif kind == 2:
+        tab, n_long, n_short = M[sr], (8 if sr_my >= 6 else 6), 30
+    else:
+        return None
+    nb = n_long + n_short
+    widths = [int(x) for x in tab[:nb]]
+    # zero-terminated tables may end earlier
+    while widths and widths[-1] == 0:
+        widths.pop()
+    return widths, n_long, n_short, kind, sr_my
+
+
+def _build_patterns():
+    band_idx = np.full((N_PATTERNS, 576), 39, np.int32)
+    band_of_pair = np.full((N_PATTERNS, 288), 39, np.int32)
+    total_w = np.zeros(N_PATTERNS, np.int32)
+    perm = np.tile(np.arange(576, dtype=np.int32), (N_PATTERNS, 1))
+    for p in range(N_PATTERNS):
+        info = _sfb_widths(p)
+        if info is None:
+            continue
+        widths, n_long, n_short, kind, sr_my = info
+        pos = 0
+        for b, w in enumerate(widths):
+            band_idx[p, pos : pos + w] = b
+            pos += w
+        total_w[p] = pos
+        band_of_pair[p] = band_idx[p, ::2][:288]
+        if n_short:
+            # reorder permutation (models/mp3.py _reorder_perm_full;
+            # minimp3.d:984-1000): new[i] = old[perm[i]]
+            n_long_bands = 0
+            if kind == 2:
+                n_long_bands = 4 if sr_my == 2 else 2
+            pm = np.arange(576, dtype=np.int32)
+            src = n_long_bands * 18
+            dst = src
+            sfb = widths[n_long:] + [0, 0, 0]
+            i = 0
+            while sfb[i]:
+                ln = sfb[i]
+                stop = False
+                for j in range(ln):
+                    if dst + 3 > 576 or src + 2 * ln + j >= 576:
+                        stop = True
+                        break
+                    pm[dst] = src + j
+                    pm[dst + 1] = src + ln + j
+                    pm[dst + 2] = src + 2 * ln + j
+                    dst += 3
+                if stop:
+                    break
+                src += 3 * ln
+                i += 3
+            perm[p] = pm
+    return band_idx, band_of_pair, total_w, perm
+
+
+BAND_IDX, BAND_OF_PAIR, TOTAL_W, PERM = _build_patterns()
+
+#: patterns whose reorder permutation is not the identity
+SHORT_PATTERNS = tuple(
+    int(p) for p in range(N_PATTERNS)
+    if not np.array_equal(PERM[p], np.arange(576))
+)
+
+
+def _perm_matrix(p: int) -> np.ndarray:
+    """[576 src, 576 dst] 0/1 matrix: (x @ M)[dst] = x[perm[dst]]."""
+    m = np.zeros((576, 576), np.float32)
+    m[PERM[p], np.arange(576)] = 1.0
+    return m
+
+
+def _band_matrix(p: int) -> np.ndarray:
+    """[40 band, 576 pos] 0/1 matrix: scf @ E expands per-band values to
+    per-position (each column one-hot ⇒ the f32 matmul is exact)."""
+    e = np.zeros((40, 576), np.float32)
+    e[np.clip(BAND_IDX[p], 0, 39), np.arange(576)] = 1.0
+    return e
+
+
+# ------------------------------------------------------------- bit plumbing
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _sel3(rows, w0):
+    """One-hot select words w0, w0+1, w0+2 from each lane's row (NO gather:
+    compare+select over the row axis)."""
+    W = rows.shape[1]
+    d = jnp.arange(W, dtype=jnp.int32)[None, :] - w0[:, None]
+    z = jnp.uint32(0)
+    a = jnp.sum(jnp.where(d == 0, rows, z), axis=1, dtype=jnp.uint32)
+    b = jnp.sum(jnp.where(d == 1, rows, z), axis=1, dtype=jnp.uint32)
+    c = jnp.sum(jnp.where(d == 2, rows, z), axis=1, dtype=jnp.uint32)
+    return a, b, c
+
+
+def _shift64(a, b, o):
+    """Left-align bit offset o (0..31) of the 64-bit window a‖b; returns the
+    32 bits starting at o."""
+    return (a << o) | ((b >> (31 - o)) >> 1)
+
+
+def _extract(a, b, c, o, width):
+    """bits [o, o+width) of the 96-bit window a‖b‖c, o in [0, 96-width),
+    width in [0, 19]; returns 0 when width == 0."""
+    zero = jnp.zeros_like(a)
+    for _ in range(2):  # normalize o into [0, 32) by sliding the window
+        big = o >= 32
+        a, b, c = (jnp.where(big, b, a), jnp.where(big, c, b),
+                   jnp.where(big, zero, c))
+        o = o - jnp.where(big, 32, 0)
+    hi = _shift64(a, b, o.astype(jnp.uint32))
+    w = width.astype(jnp.uint32) if hasattr(width, "astype") \
+        else jnp.uint32(width)
+    val = hi >> ((jnp.uint32(32) - w) & jnp.uint32(31))
+    return jnp.where(w > 0, val, jnp.uint32(0))
+
+
+def _interval_sum(key, starts, d_len, d_xy):
+    ge = key[:, None] >= starts[None, :]
+    ln = jnp.sum(jnp.where(ge, d_len[None, :], 0), axis=1)
+    xy = jnp.sum(jnp.where(ge, d_xy[None, :], 0), axis=1)
+    return ln, xy
+
+
+# --------------------------------------------------------------- the decoder
+@functools.partial(
+    jax.jit,
+    static_argnames=("pats", "cid_set", "W", "NBIG", "NC1"),
+)
+def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
+                tab0, tab1, tab2, c1tab, pattern,
+                pats: tuple, cid_set: tuple, W: int, NBIG: int, NC1: int):
+    """Decode big-values + count1 for L independent lanes.
+
+    rows:      [L, >=W] uint32 big-endian words (lane bit regions)
+    bit_start: [L] first Huffman bit;  bit_limit: [L] one past the region
+    bv:        [L] big_values (pairs); bnd0/bnd1: [L] region band bounds
+    tab0..2:   [L] big-values table ids; c1tab: [L] count1 table (0/1)
+    pattern:   [L] sfb pattern id (kind*16 + sr_idx_my)
+    pats:      static tuple of pattern ids present
+    cid_set:   static tuple of distinct code-table ids present
+    W, NBIG, NC1: static row width / big-value steps / count1 steps
+
+    Returns (q [L, 576] int32, err [L] bool).
+    """
+    L = rows.shape[0]
+    rows = _u32(rows[:, :W])
+    starts_np, dlen_np, dxy_np = _breakpoints_for(cid_set)
+    starts = jnp.asarray(starts_np)
+    d_len = jnp.asarray(dlen_np)
+    d_xy = jnp.asarray(dxy_np)
+    # per-lane rank of each region's code table within cid_set (static map)
+    rank_of = np.full(len(CODE_TABLES), 0, np.int32)
+    for r, c in enumerate(cid_set):
+        rank_of[c] = r
+    cid_np = np.asarray(CODE_ID[:32], np.int32)
+    rank_np = rank_of[cid_np]  # table id -> rank
+
+    def tab_rank(tab):
+        out = jnp.zeros_like(tab)
+        for t in range(32):
+            if rank_np[t]:
+                out = out + jnp.where(tab == t, np.int32(rank_np[t]), 0)
+        return out
+
+    def tab_lin(tab):
+        out = jnp.zeros_like(tab)
+        for t in range(16, 32):
+            out = out + jnp.where(tab == t, np.int32(LINBITS_TAB[t]), 0)
+        return out
+
+    rank0, rank1, rank2 = tab_rank(tab0), tab_rank(tab1), tab_rank(tab2)
+    lin0, lin1, lin2 = tab_lin(tab0), tab_lin(tab1), tab_lin(tab2)
+
+    bop = {p: jnp.asarray(BAND_OF_PAIR[p]) for p in pats}
+    tw = jnp.zeros(L, jnp.int32)
+    for p in pats:
+        tw = tw + jnp.where(pattern == p, np.int32(TOTAL_W[p]), 0)
+
+    max_pos = jnp.int32((W - 3) * 32)
+
+    def big_step(carry, i):
+        pos, err = carry
+        active = i < bv
+        band = jnp.zeros(L, jnp.int32)
+        for p in pats:
+            band = band + jnp.where(pattern == p, bop[p][i], 0)
+        in1 = band >= bnd0
+        in2 = band >= bnd1
+        rank = jnp.where(in2, rank2, jnp.where(in1, rank1, rank0))
+        linb = jnp.where(in2, lin2, jnp.where(in1, lin1, lin0))
+        w0 = (pos >> 5).astype(jnp.int32)
+        a, b, c = _sel3(rows, w0)
+        sh = _u32(pos) & jnp.uint32(31)
+        peek = _shift64(a, b, sh) >> jnp.uint32(13)
+        key = (_u32(rank) << jnp.uint32(19)) | peek
+        ln, xy = _interval_sum(key.astype(jnp.int32), starts, d_len, d_xy)
+        x = xy >> 4
+        y = xy & 15
+        lx = jnp.where(x == 15, linb, 0)
+        o = sh.astype(jnp.int32) + ln
+        xlin = _extract(a, b, c, o, lx).astype(jnp.int32)
+        xv = x + xlin
+        o = o + lx
+        px = (xv != 0).astype(jnp.int32)
+        xneg = (_extract(a, b, c, o, px) == 1) & (px == 1)
+        o = o + px
+        ly = jnp.where(y == 15, linb, 0)
+        ylin = _extract(a, b, c, o, ly).astype(jnp.int32)
+        yv = y + ylin
+        o = o + ly
+        py = (yv != 0).astype(jnp.int32)
+        yneg = (_extract(a, b, c, o, py) == 1) & (py == 1)
+        o = o + py
+        adv = o - sh.astype(jnp.int32)
+        pos = jnp.minimum(pos + jnp.where(active, adv, 0), max_pos)
+        # complete tables have no gaps: ln==0 only on the empty table
+        # (x=y=0, consumes nothing) — that is minimp3's table-0 behavior
+        outx = jnp.where(active, jnp.where(xneg, -xv, xv), 0)
+        outy = jnp.where(active, jnp.where(yneg, -yv, yv), 0)
+        return (pos, err), (outx, outy)
+
+    pos0 = bit_start.astype(jnp.int32)
+    err0 = jnp.zeros(L, bool)
+    (pos, err), (X, Y) = jax.lax.scan(
+        big_step, (pos0, err0), jnp.arange(NBIG, dtype=jnp.int32)
+    )
+    qb = jnp.stack([X, Y], axis=-1)          # [NBIG, L, 2]
+    qb = jnp.swapaxes(qb, 0, 1).reshape(L, NBIG * 2)
+    if NBIG * 2 < 576:
+        qb = jnp.pad(qb, ((0, 0), (0, 576 - NBIG * 2)))
+
+    # ---- count1 ----
+    c1_starts = jnp.asarray(C1_STARTS)
+    c1_dlen = jnp.asarray(C1_DLEN)
+    c1_dv = jnp.asarray(C1_DV)
+
+    def c1_step(carry, j):
+        pos, stopped = carry
+        s0 = 2 * bv + 4 * j
+        act = (~stopped) & (s0 <= 572)
+        w0 = (pos >> 5).astype(jnp.int32)
+        a, b, c = _sel3(rows, w0)
+        sh = _u32(pos) & jnp.uint32(31)
+        peek = _shift64(a, b, sh) >> jnp.uint32(26)
+        key = (c1tab << 6) | peek.astype(jnp.int32)
+        ln, vmask = _interval_sum(key, c1_starts, c1_dlen, c1_dv)
+        newpos = pos + ln
+        bit_ok = newpos <= bit_limit
+        act = act & bit_ok
+        p0ok = act & (s0 < tw)
+        p1ok = act & (s0 + 2 < tw)
+        o = sh.astype(jnp.int32) + ln
+        outs = []
+        for s in range(4):
+            pv = p0ok if s < 2 else p1ok
+            hasbit = ((vmask >> (3 - s)) & 1) == 1
+            take = pv & hasbit
+            sbit = _extract(a, b, c, o, take.astype(jnp.int32))
+            outs.append(jnp.where(take, jnp.where(sbit == 1, -1, 1), 0))
+            o = o + take.astype(jnp.int32)
+        pos = jnp.minimum(
+            jnp.where(act, pos + (o - sh.astype(jnp.int32)), pos), max_pos
+        )
+        stopped = stopped | (~bit_ok) | (s0 + 2 >= tw)
+        return (pos, stopped), jnp.stack(outs, axis=-1)
+
+    (pos, stopped), C1 = jax.lax.scan(
+        c1_step, (pos, jnp.zeros(L, bool)),
+        jnp.arange(NC1, dtype=jnp.int32),
+    )
+    c1 = jnp.swapaxes(C1, 0, 1).reshape(L, NC1 * 4)
+    if NC1 * 4 < 576:
+        c1 = jnp.pad(c1, ((0, 0), (0, 576 - NC1 * 4)))
+    # place count1 output at sample offset 2·bv: binary-decomposed roll
+    # (a per-lane dynamic roll would be a gather)
+    off = (2 * bv) % 576
+    for k in range(10):
+        step = 1 << k
+        if step >= 576:
+            break
+        c1 = jnp.where(
+            ((off >> k) & 1)[:, None] == 1,
+            jnp.roll(c1, step, axis=1),
+            c1,
+        )
+    iota = jnp.arange(576, dtype=jnp.int32)[None, :]
+    q = jnp.where(iota < (2 * bv)[:, None], qb, c1)
+    return q, err
+
+
+@functools.partial(jax.jit, static_argnames=("pats",))
+def dequant(q, scfq, pattern, pats: tuple):
+    """sign(q)·|q|^{4/3}·2^(scf_e/4) with the per-sfb exponents expanded to
+    per-position via exact 0/1 band matmuls (one per present pattern)."""
+    L = q.shape[0]
+    e = scfq.astype(jnp.float32)  # [L, 40] quarter-exponents
+    epos = jnp.zeros((L, 576), jnp.float32)
+    for p in pats:
+        m = (pattern == p).astype(jnp.float32)[:, None]
+        epos = epos + (e * m) @ jnp.asarray(_band_matrix(p))
+    gain = jnp.exp2(epos * 0.25)
+    xf = q.astype(jnp.float32)
+    mag = jnp.abs(xf)
+    p43 = mag * jnp.cbrt(mag)
+    return jnp.sign(xf) * p43 * gain
+
+
+@functools.partial(jax.jit, static_argnames=("spats",))
+def reorder_short(xq, pattern, spats: tuple):
+    """Apply the short-block reorder for the present short patterns as
+    permutation matmuls (exact; a per-lane gather would be ~40× slower)."""
+    for p in spats:
+        m = (pattern == p)[:, None]
+        xq = jnp.where(
+            m,
+            jnp.dot(jnp.where(m, xq, 0.0), jnp.asarray(_perm_matrix(p)),
+                    precision=jax.lax.Precision.HIGHEST),
+            xq,
+        )
+    return xq
+
+
+#: n_long_bands per pattern (mixed: 2, or 4 at sr_idx_my==2; short: 0)
+_NLB = np.zeros(N_PATTERNS, np.int32)
+for _p in range(N_PATTERNS):
+    _k, _s = divmod(_p, 16)
+    if _k == 2 and _s <= 8:
+        _NLB[_p] = 4 if _s == 2 else 2
+
+WIN_NORMAL, WIN_START, WIN_SHORT, WIN_STOP = 0, 1, 2, 3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pats", "cid_set", "spats", "W", "NBIG", "NC1",
+                     "B", "G", "nch"),
+)
+def packed_device_stage(bits, meta16, scfq,
+                        pats: tuple, cid_set: tuple, spats: tuple,
+                        W: int, NBIG: int, NC1: int,
+                        B: int, G: int, nch: int):
+    """The full device entropy stage for one batch window: Huffman FSM →
+    dequant → short-block reorder → mid/side mix → window-type/antialias
+    metadata — everything mp3_window_dsp needs, built on device from
+    ~100 bytes of side info per lane.
+
+    bits:   [L, W] uint32 lane bit rows (L = B·G·nch)
+    meta16: [L, 12] int16 — bit_start, bit_limit, big_values, bnd0, bnd1,
+            tab0, tab1, tab2, count1_table, pattern, ms_flag, block_type
+    scfq:   [L, 40] int16 quarter-exponent gains
+
+    Returns (xq [B, G, nch, 576] f32, aa [B, G, nch] i32,
+             wt [B, G, nch, 32] i32).
+    """
+    L = B * G * nch
+    cols = [meta16[:, i].astype(jnp.int32) for i in range(12)]
+    (bit_start, bit_limit, bv, bnd0, bnd1, tab0, tab1, tab2, c1tab,
+     pattern, ms, btype) = cols
+    q, _err = huff_decode(bits, bit_start, bit_limit, bv, bnd0, bnd1,
+                          tab0, tab1, tab2, c1tab, pattern,
+                          pats=pats, cid_set=cid_set, W=W,
+                          NBIG=NBIG, NC1=NC1)
+    xq = dequant(q, scfq, pattern, pats=pats)
+    if spats:
+        xq = reorder_short(xq, pattern, spats=spats)
+    xq = xq.reshape(B, G, nch, 576)
+    if nch == 2:
+        msf = (ms.reshape(B, G, nch)[:, :, 0] == 1)[:, :, None]
+        l, r = xq[:, :, 0], xq[:, :, 1]
+        xq = jnp.where(
+            msf[:, :, None],
+            jnp.stack([l + r, l - r], axis=2),
+            xq,
+        )
+    # window types / antialias band counts from the pattern + block type
+    is_short = jnp.zeros(L, bool)
+    nlb = jnp.zeros(L, jnp.int32)
+    for p in pats:
+        sel = pattern == p
+        kind = p // 16
+        if kind in (1, 2):
+            is_short = is_short | sel
+            nlb = nlb + jnp.where(sel, np.int32(_NLB[p]), 0)
+    base_wt = jnp.where(
+        btype == 3, WIN_STOP, jnp.where(btype == 1, WIN_START, WIN_NORMAL)
+    )
+    band = jnp.arange(32, dtype=jnp.int32)[None, :]
+    wt = jnp.where(
+        is_short[:, None],
+        jnp.where(band < nlb[:, None], WIN_NORMAL, WIN_SHORT),
+        base_wt[:, None],
+    )
+    aa = jnp.where(is_short, nlb - 1, 31)
+    return xq, aa.reshape(B, G, nch), wt.reshape(B, G, nch, 32)

@@ -19,6 +19,7 @@ producing frames and its `errors` entry is set; other lanes are unaffected
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -62,6 +63,86 @@ def _shard_batch(mesh, *arrays):
     return tuple(out)
 
 
+class _PendingGroup:
+    """A lockstep group whose PCM windows are still device-resident.
+    ``finalize()`` downloads and assembles the per-lane numpy PCM (cached)."""
+
+    def __init__(self, owner, kind, decs, pending, fin, args):
+        self.owner = owner
+        self.kind = kind
+        self.decs = decs
+        self.pending = pending
+        self._fin = fin
+        self._args = args
+        self._result = None
+
+    def seconds(self) -> float:
+        tot = 0.0
+        for d in self.decs:
+            sr = max(1, d.sample_rate)
+            if self.kind == "mp3":
+                tot += d._cur_sample / max(1, d.channels) / sr
+            else:
+                tot += d._frame_pos / sr
+        return tot
+
+    def last_arrays(self):
+        return [self.pending[-1][0]] if self.pending else []
+
+    def finalize(self):
+        if self._result is None:
+            self._result = self._fin(*self._args)
+        return self._result
+
+
+class DeviceBatchResult:
+    """Result of ``BatchDecoder.decode_all(output="device")``: decoded PCM
+    window tensors stay on the accelerator (the natural sink for a
+    TPU-native pipeline — decoded audio feeds models on the same chips).
+
+    * ``windows()`` — raw device arrays per group (window-major layout)
+    * ``sync()`` — block until every device window is materialized
+    * ``to_numpy()`` — download everything; identical to output="numpy"
+    """
+
+    def __init__(self, owner, out, finalizers):
+        self._owner = owner
+        self._out = out
+        self._finalizers = finalizers
+        for _, g in finalizers:
+            owner._note_seconds(g.kind, g.seconds())
+        for i, v in enumerate(out):
+            if isinstance(v, np.ndarray) and owner.decoders[i] is not None:
+                owner._note_seconds(
+                    type(owner.decoders[i]).__name__.replace("Decoder", "").lower(),
+                    v.shape[0] / max(1, owner.decoders[i].sample_rate),
+                )
+
+    def windows(self):
+        return [
+            (g.kind, [p[0] for p in g.pending]) for _, g in self._finalizers
+        ]
+
+    def sync(self):
+        """Force completion of all device work.  The window chain within a
+        group is state-dependent, so the last window's materialization
+        implies the whole group ran; fetching one element is the reliable
+        sync primitive on remote-attached devices."""
+        for _, g in self._finalizers:
+            for arr in g.last_arrays():
+                idx = tuple(0 for _ in arr.shape)
+                np.asarray(arr[idx])
+        return self
+
+    def to_numpy(self):
+        out = list(self._out)
+        for chunk, g in self._finalizers:
+            res = g.finalize()
+            for i, pcm in zip(chunk, res):
+                out[i] = pcm
+        return out
+
+
 class BatchDecoder:
     """Decode a batch of streams; formats may be mixed (grouped internally).
 
@@ -72,10 +153,15 @@ class BatchDecoder:
         dec.stats                         # decoded seconds, per-lane errors
     """
 
-    def __init__(self, items: Sequence, mesh=None):
+    def __init__(self, items: Sequence, mesh=None, group_size: int = None):
         self.decoders: List[Optional[object]] = []
         self.errors: List[Optional[str]] = []
         self._mesh = mesh  # jax.sharding.Mesh: batch axis shards on 'data'
+        #: lockstep group width.  With device-resident output the whole
+        #: batch can ride one group (no per-window PCM download); when PCM
+        #: is downloaded per window, keep groups moderate so fetches overlap
+        #: the next group's host stage.
+        self._group_size = group_size
         for item in items:
             try:
                 src = _open_source(item)
@@ -89,16 +175,35 @@ class BatchDecoder:
             except AudioFormatError as e:
                 self.decoders.append(None)
                 self.errors.append(e.message)
-        self.stats = {"decoded_seconds": 0.0, "lanes": len(items)}
+        self.stats = {
+            "decoded_seconds": 0.0,
+            "decoded_seconds_by_format": {},
+            "lanes": len(items),
+            # per-stage split (SURVEY.md §5 observability): host entropy
+            # parse ms, device enqueue (upload+dispatch) ms, PCM fetch ms,
+            # bytes over the link each way, device windows issued
+            "host_ms": 0.0,
+            "enqueue_ms": 0.0,
+            "fetch_ms": 0.0,
+            "h2d_bytes": 0,
+            "d2h_bytes": 0,
+            "windows": 0,
+        }
 
-    def _run_group(self, fn, chunk, *args):
+    def _note_seconds(self, fmt: str, seconds: float):
+        self.stats["decoded_seconds"] += seconds
+        by = self.stats["decoded_seconds_by_format"]
+        by[fmt] = by.get(fmt, 0.0) + seconds
+
+    def _run_group(self, fn, chunk, *args, to_device: bool = False):
         """Run a lockstep group decode with the error lattice intact: a lane
         that raises inside the grouped device path must not abort the other
         lanes, so on any failure the whole group demotes to the per-stream
         fallback (which has per-lane error handling).  Demoted lanes get
         fresh decoders re-probed from their (rewindable) sources."""
         try:
-            return fn([self.decoders[i] for i in chunk], *args)
+            return fn([self.decoders[i] for i in chunk], *args,
+                      to_device=to_device)
         except Exception:
             for i in chunk:
                 d = self.decoders[i]
@@ -114,10 +219,21 @@ class BatchDecoder:
             return [None] * len(chunk)
 
     # ------------------------------------------------------------------ API
-    def decode_all(self) -> List[Optional[np.ndarray]]:
-        """Decode every stream to completion; returns per-lane PCM (None for
-        errored lanes)."""
-        out: List[Optional[np.ndarray]] = [None] * len(self.decoders)
+    def decode_all(self, output: str = "numpy"):
+        """Decode every stream to completion.
+
+        output="numpy" (default): returns per-lane PCM arrays (None for
+        errored lanes) — every sample crosses back to the host.
+
+        output="device": PCM stays resident on the accelerator (the natural
+        sink for a TPU-native pipeline: decoded audio feeds models on the
+        same chip).  Returns a :class:`DeviceBatchResult`; call ``.sync()``
+        to block until all device work is done, ``.to_numpy()`` to download
+        and get exactly the output="numpy" result.
+        """
+        to_device = output == "device"
+        out: List[Optional[object]] = [None] * len(self.decoders)
+        finalizers = []
 
         mp3_groups = {}
         flac_groups = {}
@@ -132,23 +248,25 @@ class BatchDecoder:
             elif isinstance(d, OpusDecoder) and self._opus_eligible(d):
                 opus_groups.setdefault(d.channels, []).append(i)
 
-        # cap lockstep group width: past ~64 streams the per-window tensor
-        # assembly/transfer dominates over batching gains on a single chip
-        GROUP = 64
+        GROUP = self._group_size or (1024 if to_device else 256)
+
+        def run(chunk, fn, *args):
+            res = self._run_group(fn, chunk, *args, to_device=to_device)
+            if isinstance(res, _PendingGroup):
+                finalizers.append((chunk, res))
+                for i in chunk:
+                    out[i] = res  # placeholder: resolved by to_numpy()
+            else:
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
+
         for (nch, mpeg1), lanes in mp3_groups.items():
             for c in range(0, len(lanes), GROUP):
-                chunk = lanes[c : c + GROUP]
-                res = self._run_group(
-                    self._decode_mp3_group, chunk, nch, 2 if mpeg1 else 1
-                )
-                for i, pcm in zip(chunk, res):
-                    out[i] = pcm
+                run(lanes[c : c + GROUP], self._decode_mp3_group, nch,
+                    2 if mpeg1 else 1)
         for nch, lanes in flac_groups.items():
             for c in range(0, len(lanes), GROUP):
-                chunk = lanes[c : c + GROUP]
-                res = self._run_group(self._decode_flac_group, chunk, nch)
-                for i, pcm in zip(chunk, res):
-                    out[i] = pcm
+                run(lanes[c : c + GROUP], self._decode_flac_group, nch)
         for nch, lanes in opus_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
@@ -175,21 +293,204 @@ class BatchDecoder:
             except AudioFormatError as e:
                 self.errors[i] = e.message
 
+        if to_device:
+            return DeviceBatchResult(self, out, finalizers)
         for i, pcm in enumerate(out):
             if pcm is not None and self.decoders[i] is not None:
-                self.stats["decoded_seconds"] += (
-                    pcm.shape[0] / max(1, self.decoders[i].sample_rate)
+                self._note_seconds(
+                    type(self.decoders[i]).__name__.replace("Decoder", "").lower(),
+                    pcm.shape[0] / max(1, self.decoders[i].sample_rate),
                 )
         return out
 
     # ------------------------------------------------- batched MP3 lockstep
-    def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int):
+    def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int,
+                          to_device: bool = False):
+        import os
+
         from ..host import native as _native
 
         lib = _native.get_lib()
-        if lib is not None:
-            return self._decode_mp3_group_native(decs, nch, ngr, lib)
-        return self._decode_mp3_group_py(decs, nch, ngr)
+        if lib is None:
+            pending = self._decode_mp3_group_py(decs, nch, ngr)
+            group = _PendingGroup(self, "mp3", decs, pending,
+                                  self._mp3_finalize, (decs, pending, nch))
+            return group if to_device else group.finalize()
+
+        # device-Huffman path: streams whose header declares intensity
+        # stereo keep the classic host-Huffman path (their stereo mix
+        # depends on decoded right-channel content)
+        use_packed = not os.environ.get("AF_TPU_NO_DEVICE_HUFF")
+        packed = [d for d in decs
+                  if use_packed and (nch == 1 or not (d._hdr0[3] & 0x10))]
+        classic = [d for d in decs if id(d) not in {id(p) for p in packed}]
+        pending, demoted = ([], [])
+        if packed:
+            pending, demoted = self._decode_mp3_group_packed(
+                packed, nch, ngr, lib)
+        # demoted lanes hit a mid-stream intensity frame: their partial
+        # packed output is discarded and the stream re-decodes classically
+        # from a fresh probe (rare; correctness over throughput)
+        redo = classic + [models.probe_all(d._src) for d in demoted]
+        results = {}
+        if redo:
+            pend_c = self._decode_mp3_group_native(redo, nch, ngr, lib)
+            res_c = self._mp3_finalize(redo, pend_c, nch)
+            keys = [id(d) for d in classic] + [id(d) for d in demoted]
+            for k, pcm in zip(keys, res_c):
+                results[k] = pcm
+
+        group = _PendingGroup(self, "mp3", decs, pending,
+                              self._mp3_finalize_mixed,
+                              (decs, packed, pending, results, nch))
+        return group if to_device else group.finalize()
+
+    def _mp3_finalize_mixed(self, decs, packed, pending, results, nch):
+        """Merge device-window lanes (packed pending) with lanes decoded
+        via the classic fallback (demoted or intensity streams)."""
+        if pending:
+            packed_res = self._mp3_finalize(packed, pending, nch)
+            for d, pcm in zip(packed, packed_res):
+                if id(d) not in results:  # demoted lanes keep classic result
+                    results[id(d)] = pcm
+        return [results[id(d)] for d in decs]
+
+    def _decode_mp3_group_packed(self, decs, nch: int, ngr: int, lib):
+        """Device-Huffman scheduling: the host emits per-lane Huffman bit
+        rows + side info (~compressed size); the device runs the vectorized
+        Huffman FSM, dequant, reorder, mid/side mix and the window DSP
+        (ops/mp3_huff.py).  Upload per window is ~35× smaller than the
+        classic dequantized-spectrum path.
+
+        Returns (pending, demoted): demoted decoders hit a mid-stream
+        intensity-stereo frame and must re-decode via the classic path.
+        """
+        from ..host import native as _native
+        from ..ops import mp3_huff
+
+        B = len(decs)
+        Bp = max(8, 1 << (B - 1).bit_length()) if B <= 128 \
+            else -(-B // 128) * 128
+        W = MP3_WINDOW_FRAMES
+        G = W * ngr
+        NL = G * nch
+        LW = _native.LANE_WORDS
+        overlap = np.zeros((Bp, nch, 32, 18), np.float32)
+        shist = np.zeros((Bp, nch, 16, 32), np.float32)
+        active = np.ones(B, bool)
+        demoted = []
+        states = []
+        for d in decs:
+            rb = np.zeros(511, np.uint8)
+            rl = np.zeros(1, np.int32)
+            cur = d._reserv_buf
+            if cur:
+                rb[: len(cur)] = np.frombuffer(cur, np.uint8)
+                rl[0] = min(d._reserv, len(cur))
+            states.append((rb, rl, d._ist_pos))
+
+        aa_c = np.zeros((G, nch), np.int32)   # C fills; device rebuilds
+        wt_c = np.zeros((G, nch, 32), np.int32)
+        pending = []
+        meta_cols = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+        while active.any():
+            t_host = time.perf_counter()
+            bits = np.empty((Bp, NL, LW), np.uint32)
+            meta = np.zeros((Bp, NL, 16), np.int32)
+            scfq = np.zeros((Bp, NL, 40), np.int16)
+            n_act = np.zeros(Bp, np.int32)
+            flags = np.zeros(W, np.uint8)
+            mw_max = 16
+            for bi, d in enumerate(decs):
+                if not active[bi]:
+                    continue
+                if d._offset >= len(d._view) - 4 or (
+                    d._total_samples
+                    and d._cur_sample >= d._total_samples
+                ):
+                    active[bi] = False
+                    continue
+                n, new_off, mw, istop = _native.mp3_parse_window_packed(
+                    lib, d._view, d._offset, d._hdr0, W, ngr, nch,
+                    states[bi], bits[bi], meta[bi], scfq[bi],
+                    aa_c, wt_c, flags,
+                    free_format_bytes=d._free_format_bytes,
+                )
+                d._offset = new_off
+                if istop:
+                    demoted.append(d)
+                    active[bi] = False
+                if n == 0:
+                    active[bi] = False
+                    continue
+                got = flags[:n]
+                fr_act = (got & 1).astype(bool)
+                n_fr = int(fr_act.sum())
+                if n_fr and not fr_act[:n_fr].all():
+                    # compact silent-frame holes to the prefix contract
+                    li = np.flatnonzero(np.repeat(fr_act, ngr * nch))
+                    bits[bi, : len(li)] = bits[bi, li]
+                    meta[bi, : len(li)] = meta[bi, li]
+                    scfq[bi, : len(li)] = scfq[bi, li]
+                    meta[bi, len(li):] = 0
+                n_act[bi] = n_fr * ngr
+                mw_max = max(mw_max, mw)
+                d._cur_sample += n_fr * ngr * 576 * nch
+                if n < W:
+                    active[bi] = False
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            if not n_act.any():
+                break
+            t_enq = time.perf_counter()
+            # static buckets: row words / big-value steps / count1 steps
+            Wb = next(w for w in (16, 32, 64, LW) if mw_max <= w)
+            live = meta[:, :, 2] > 0
+            pats = tuple(sorted(
+                int(p) for p in np.unique(meta[:, :, 10][live])
+            )) or (0,)
+            tabs = np.unique(meta[:, :, 6:9][live])
+            cid_set = tuple(sorted(
+                {int(mp3_huff.CODE_ID[t]) for t in tabs} or {0}
+            ))
+            spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
+            bv_live = meta[:, :, 3][live]
+            max_bv = int(bv_live.max()) if bv_live.size else 0
+            NBIG = next(n for n in (96, 192, 288) if max_bv <= n)
+            maxq = int(((572 - 2 * bv_live.min()) // 4 + 1)) \
+                if bv_live.size else 144
+            NC1 = next(n for n in (48, 96, 144) if maxq <= n)
+            L = Bp * NL
+            bits_w = np.ascontiguousarray(bits[:, :, :Wb]).reshape(L, Wb)
+            meta16 = np.ascontiguousarray(
+                meta[:, :, list(meta_cols)].astype(np.int16)
+            ).reshape(L, len(meta_cols))
+            scfq_f = scfq.reshape(L, 40)
+            (bits_d, meta_d, scfq_d, overlap, shist, n_act_d) = \
+                _shard_batch(self._mesh, bits_w, meta16, scfq_f,
+                             overlap, shist, n_act)
+            xq, aa_d, wt_d = mp3_huff.packed_device_stage(
+                bits_d, meta_d, scfq_d, pats=pats, cid_set=cid_set,
+                spats=spats, W=Wb, NBIG=NBIG, NC1=NC1,
+                B=Bp, G=G, nch=nch,
+            )
+            ph_f = np.zeros((1, G, 1, 1), np.float32)
+            ph_i = np.zeros((1, G, 1, 1), np.int32)
+            pcm, overlap, shist = mp3_dsp.mp3_window_dsp(
+                xq, ph_f, ph_f, ph_i, aa_d, wt_d, overlap, shist,
+                n_act_d, nch=nch, ngr=G, use_perm=False,
+                dequant=False, use_mix=False,
+            )
+            try:
+                pcm.copy_to_host_async()
+            except AttributeError:
+                pass
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += (
+                bits_w.nbytes + meta16.nbytes + scfq_f.nbytes + n_act.nbytes
+            )
+            self.stats["windows"] += 1
+            pending.append((pcm, n_act.copy()))
+        return pending, demoted
 
     def _decode_mp3_group_native(self, decs, nch: int, ngr: int, lib):
         """Window-at-a-time native host stage: ONE C call per
@@ -199,12 +500,12 @@ class BatchDecoder:
         from ..host import native as _native
 
         B = len(decs)
-        Bp = max(8, 1 << (B - 1).bit_length())
+        Bp = max(8, 1 << (B - 1).bit_length()) if B <= 128 \
+            else -(-B // 128) * 128
         W = MP3_WINDOW_FRAMES
         G = W * ngr
         overlap = np.zeros((Bp, nch, 32, 18), dtype=np.float32)
         shist = np.zeros((Bp, nch, 16, 32), dtype=np.float32)
-        outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
         # per-lane host state mirrors: reservoir + intensity positions
         states = []
@@ -219,6 +520,7 @@ class BatchDecoder:
 
         pending = []
         while active.any():
+            t_host = time.perf_counter()
             xq = np.zeros((Bp, G, nch, 576), np.float32)
             aa = np.full((Bp, G, nch), 31, np.int32)
             wt = np.zeros((Bp, G, nch, 32), np.int32)
@@ -261,8 +563,10 @@ class BatchDecoder:
                 d._cur_sample += n_fr * ngr * 576 * nch
                 if n < W:
                     active[bi] = False
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
             if not n_act.any():
                 break
+            t_enq = time.perf_counter()
             ph_f = np.zeros((1, G, 1, 1), np.float32)
             ph_i = np.zeros((1, G, 1, 1), np.int32)
             (xq_d, aa_d, wt_d, overlap, shist, n_act_d) = _shard_batch(
@@ -276,10 +580,23 @@ class BatchDecoder:
                 pcm.copy_to_host_async()
             except AttributeError:
                 pass
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += (
+                xq.nbytes + aa.nbytes + wt.nbytes + n_act.nbytes
+            )
+            self.stats["windows"] += 1
             pending.append((pcm, n_act.copy()))
+        return pending
 
+    def _mp3_finalize(self, decs, pending, nch):
+        """Download the pending device windows and assemble the per-lane
+        trimmed PCM (delay skip + total-length clamp)."""
+        B = len(decs)
+        outputs = [[] for _ in range(B)]
+        t0 = time.perf_counter()
         for pcm_dev, n_act in pending:
             pcm = np.asarray(pcm_dev)
+            self.stats["d2h_bytes"] += pcm.nbytes
             for bi in range(B):
                 n = int(n_act[bi])
                 if not n:
@@ -287,6 +604,7 @@ class BatchDecoder:
                 outputs[bi].append(
                     pcm[bi][:n].transpose(0, 2, 1).reshape(-1, nch)
                 )
+        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
         result = []
         for bi, d in enumerate(decs):
             if outputs[bi]:
@@ -310,11 +628,10 @@ class BatchDecoder:
         G = W * ngr  # granules per device call
         overlap = np.zeros((Bp, nch, 32, 18), dtype=np.float32)
         shist = np.zeros((Bp, nch, 16, 32), dtype=np.float32)
-        outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
 
         ident = np.arange(576, dtype=np.int32)
-        pending = []  # (device pcm, gr_act) per window; fetched after the loop
+        pending = []  # (device pcm, n_act) per window; fetched by finalize
         while active.any():
             q = np.zeros((Bp, G, nch, 576), np.float32)
             scale = np.zeros((Bp, G, nch, 576), np.float32)
@@ -376,35 +693,15 @@ class BatchDecoder:
                 pcm.copy_to_host_async()
             except AttributeError:
                 pass
+            self.stats["windows"] += 1
             pending.append((pcm, n_act.copy()))
             for bi in range(B):
                 decs[bi]._cur_sample += int(n_act[bi]) * 576 * nch
-
-        for pcm_dev, n_act in pending:
-            pcm = np.asarray(pcm_dev)  # [Bp, G, nch, 576]
-            for bi in range(B):
-                n = int(n_act[bi])
-                if not n:
-                    continue
-                outputs[bi].append(
-                    pcm[bi][:n].transpose(0, 2, 1).reshape(-1, nch)
-                )
-
-        result = []
-        for bi, d in enumerate(decs):
-            if outputs[bi]:
-                pcm = np.concatenate(outputs[bi])
-            else:
-                pcm = np.zeros((0, nch), np.float32)
-            skip = d._start_delay // nch
-            pcm = pcm[skip:]
-            if d._total_samples:
-                pcm = pcm[: d._total_samples // nch]
-            result.append(pcm)
-        return result
+        return pending
 
     # ------------------------------------------------ batched FLAC lockstep
-    def _decode_flac_group(self, decs: List[FlacDecoder], nch: int):
+    def _decode_flac_group(self, decs: List[FlacDecoder], nch: int,
+                           to_device: bool = False):
         B = len(decs)
         W = FLAC_WINDOW_FRAMES
         outputs = [[] for _ in range(B)]
@@ -413,6 +710,7 @@ class BatchDecoder:
 
         while active.any():
             # host entropy stage: parse up to W frames per stream
+            t_host = time.perf_counter()
             parsed = [[] for _ in range(B)]
             max_bs = 0
             progress = False
@@ -443,11 +741,13 @@ class BatchDecoder:
                     parsed[bi].append(p)
                     d._frame_pos += p[0]
                     max_bs = max(max_bs, p[0])
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
             lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
             if not lanes:
                 if not progress:
                     break
                 continue
+            t_enq = time.perf_counter()
             # bucket the lane count (multiples of 128 past 128: keeps the
             # compile cache small while cutting transfer padding vs pow2)
             # and block length to keep compiles cached
@@ -495,6 +795,11 @@ class BatchDecoder:
                 out32.copy_to_host_async()
             except AttributeError:
                 pass
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += (
+                residual.nbytes if hasattr(residual, "nbytes") else 0
+            )
+            self.stats["windows"] += 1
             slots = []
             for si, (bi, p) in enumerate(lanes):
                 slot = [None]
@@ -502,14 +807,23 @@ class BatchDecoder:
                 slots.append((slot, si, p[0]))
             pending.append((out32, slots))
 
+        group = _PendingGroup(self, "flac", decs, pending,
+                              self._flac_finalize,
+                              (decs, outputs, pending, nch))
+        return group if to_device else group.finalize()
+
+    def _flac_finalize(self, decs, outputs, pending, nch):
+        t0 = time.perf_counter()
         for out32_dev, slots in pending:
             arr = np.asarray(out32_dev)
+            self.stats["d2h_bytes"] += arr.nbytes
             if arr.dtype == np.int16:
                 for slot, si, bs in slots:
                     slot[0] = arr[si, :, :bs].T.astype(np.int32) << 16
             else:
                 for slot, si, bs in slots:
                     slot[0] = arr[si, :, :bs].T
+        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
 
         result = []
         for bi, d in enumerate(decs):
@@ -553,7 +867,10 @@ class BatchDecoder:
         d._lockstep_packets = pkts
         return True
 
-    def _decode_opus_group(self, decs):
+    def _decode_opus_group(self, decs, to_device: bool = False):
+        # to_device accepted for interface parity; the CELT lockstep path
+        # still assembles per-frame on the host (device-resident output is
+        # an MP3/FLAC feature so far)
         """CELT lockstep: the host symbol stage runs per frame per lane,
         then ONE device call per (blocks, blocksize) bucket does the
         IMDCT + windowed OLA for every lane (ops/celt_dsp.celt_imdct_ola);

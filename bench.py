@@ -1,19 +1,29 @@
 #!/usr/bin/env python3
-"""Benchmark: batched MP3+FLAC decode throughput on the current device.
+"""Benchmark: batched MP3+FLAC decode throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "detail": {...}}
 
-Metric: aggregate decoded-audio seconds per wall-clock second per chip
-(realtime x) for a batch of MP3 + FLAC streams, end-to-end (host entropy
-stage + device DSP).  Baseline target: 5000x (BASELINE.json north star).
+Configuration (BASELINE.md): batch 1024 streams — 512 MP3 (stereo, CBR,
+varied spectra incl. short-block transients) + 512 FLAC (stereo mid/side,
+16-bit, LPC, block 4096) — all 1024 byte-streams pairwise distinct (distinct
+content families x distinct slice offsets/lengths at frame boundaries).
 
-Extra diagnostic fields: device-DSP-only throughput (the TPU ceiling while
-the host stage is still Python) and per-format splits.
+Metric: decoded-audio seconds per wall second (realtime x), END-TO-END from
+host-resident compressed bytes to DEVICE-RESIDENT PCM (the natural sink for
+a TPU-native pipeline: decoded audio feeds models on the same chip).  The
+wall time covers probe, the C host entropy stage, all host->device uploads,
+and every device kernel, synced via element fetch at the end.
+
+detail carries the per-stage split (host ms / upload bytes / enqueue ms /
+device windows), the measured link bandwidths (this dev environment reaches
+the chip through a ~80 MB/s tunnel; a real v5e host link is ~400x wider),
+the full-download (output="numpy") rate, and the device-DSP-only ceiling.
 """
 
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -22,68 +32,238 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
+CORPUS_VERSION = "v2"
+CORPUS_PATH = f"/tmp/af_tpu_bench_corpus_{CORPUS_VERSION}.pkl"
 
-def make_mp3_batch(n_streams: int, seconds: float):
+
+# --------------------------------------------------------------- fixtures
+def _mp3_master(rng, seconds, channels=2):
+    """One 'master' MP3 with varied spectra: tonal frames, dense frames,
+    quiet frames, and periodic short-block (transient) granules."""
     from golden import mp3_ref
 
-    rng = np.random.default_rng(0)
     n_gr = max(2, int(seconds * 44100 / 576) // 2 * 2)
-    # one golden-encoded stream, replicated: fixture generation is pure
-    # Python and would otherwise dominate bench wall-clock; decode cost is
-    # identical per lane
-    qs = []
-    for _ in range(n_gr):
-        q = np.zeros(576, dtype=np.int64)
-        idx = rng.choice(400, size=50, replace=False)
-        q[idx] = rng.integers(-30, 31, size=50)
-        qs.append(q)
     frames = []
     for i in range(0, n_gr, 2):
-        frames.append([[{"q": qs[i]}], [{"q": qs[i + 1]}]])
-    data = mp3_ref.build_mp3(frames, channels=1)
-    streams = [data] * n_streams
-    audio_seconds = n_streams * n_gr * 576 / 44100.0
-    return streams, audio_seconds
+        grs = []
+        for g in (i, i + 1):
+            q = np.zeros(576, dtype=np.int64)
+            kind = (g // 8) % 3
+            if kind == 0:  # tonal: few strong partials
+                idx = rng.choice(300, size=25, replace=False)
+                q[idx] = rng.integers(-60, 61, size=25)
+            elif kind == 1:  # dense spectrum
+                idx = rng.choice(480, size=90, replace=False)
+                q[idx] = rng.integers(-12, 13, size=90)
+            else:  # quiet tail
+                idx = rng.choice(200, size=12, replace=False)
+                q[idx] = rng.integers(-4, 5, size=12)
+            gr = {"q": q}
+            if (g // 2) % 9 == 4:
+                gr["block_type"] = 2  # short blocks (transient)
+            grs.append([dict(gr) for _ in range(channels)])
+        frames.append(grs)
+    return mp3_ref.build_mp3(frames, channels=channels)
 
 
-def make_flac_batch(n_streams: int, seconds: float):
+def _mp3_frame_offsets(data):
+    """Byte offsets of每 frame header (golden builder emits no padding, but
+    scan real headers to stay robust)."""
+    offs = []
+    off = 0
+    n = len(data)
+    while off + 4 <= n:
+        h = data[off : off + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320][(h[2] >> 4) & 15]
+        sr = [44100, 48000, 32000][(h[2] >> 2) & 3]
+        fb = 1152 * kbps * 125 // sr
+        if h[2] & 0x2:
+            fb += 1
+        if fb <= 4:
+            break
+        offs.append(off)
+        off += fb
+    offs.append(off)
+    return offs
+
+
+def _flac_master(rng, seconds):
+    """One FLAC master: stereo mid/side 16-bit, mixed tonal+noise content."""
     from golden import flac_ref
 
-    rng = np.random.default_rng(1)
     frames = int(seconds * 44100)
     t = np.arange(frames)[:, None]
+    f0 = rng.uniform(80, 800)
+    amp = rng.uniform(4000, 16000)
+    noise = rng.uniform(100, 1500)
     x = np.clip(
-        np.round(12000 * np.sin(2 * np.pi * 220 * t / 44100.0)
-                 + 500 * rng.standard_normal((frames, 1))),
+        np.round(
+            amp * np.sin(2 * np.pi * f0 * t * [1.0, 1.003] / 44100.0)
+            + 0.35 * amp * np.sin(2 * np.pi * 2.7 * f0 * t * [1.0, 0.99] / 44100.0)
+            + noise * rng.standard_normal((frames, 2))
+        ),
         -32768, 32767,
     ).astype(np.int64)
-    data = flac_ref.build_flac(x, 44100, 16, block_size=4096, modes=["lpc8"])
-    return [data] * n_streams, n_streams * frames / 44100.0
+    return flac_ref.build_flac(x, 44100, 16, block_size=4096,
+                               stereo_mode="mid_side",
+                               modes=["lpc8", "lpc8"])
 
 
-def bench_device_dsp_only(reps=20, B=256):
-    """Device ceiling: batched MP3 frame DSP throughput alone."""
-    import jax
+def _flac_prefix(data, n_frames_keep, block_size=4096):
+    """Cut a FLAC stream to its first n frames (frame boundaries found by a
+    CRC8-validated sync scan) and patch STREAMINFO's 36-bit total-samples
+    field to match."""
+    from golden.flac_ref import _crc8
 
-    from __graft_entry__ import _example_inputs
-    from audio_formats_tpu.ops import mp3_dsp
+    body_off = 8  # 4 ('fLaC') + 4 (STREAMINFO block header)
+    # skip all metadata blocks to the first frame
+    pos = 4
+    while True:
+        hdr = data[pos : pos + 4]
+        last = hdr[0] & 0x80
+        size = int.from_bytes(hdr[1:4], "big")
+        pos += 4 + size
+        if last:
+            break
+    offs = []
+    i = pos
+    n = len(data)
+    while i + 8 <= n:
+        # 14-bit sync + golden-builder header shape (blocksize code 7,
+        # sr-from-streaminfo), validated by the header CRC8
+        if (data[i] == 0xFF and (data[i + 1] & 0xFC) == 0xF8
+                and (data[i + 2] >> 4) == 7):
+            # header: 4 fixed bytes ‖ utf8 frame index ‖ 16-bit (bs-1) ‖ crc8
+            j = i + 4
+            fb = data[j]
+            ext = 0 if fb < 0x80 else (
+                1 if fb >> 5 == 0b110 else 2 if fb >> 4 == 0b1110 else
+                3 if fb >> 3 == 0b11110 else 4 if fb >> 2 == 0b111110 else
+                5 if fb >> 1 == 0b1111110 else 6)
+            j += 1 + ext + 2
+            if j < n and _crc8(data[i:j]) == data[j]:
+                offs.append(i)
+                i += 16
+                continue
+        i += 1
+    if len(offs) <= n_frames_keep:
+        return data
+    cut = offs[n_frames_keep]
+    total = n_frames_keep * block_size
+    si = bytearray(data[body_off : body_off + 18])
+    w = int.from_bytes(si, "big")
+    shift = 18 * 8 - 108 - 36
+    w &= ~(((1 << 36) - 1) << shift)
+    w |= (total & ((1 << 36) - 1)) << shift
+    si = w.to_bytes(18, "big")
+    return data[:body_off] + si + data[body_off + 18 : cut]
 
-    args = _example_inputs(B=B, ngr=2, nch=2)
-    args = [jax.device_put(a) for a in args]
+
+def build_corpus(n_mp3, n_flac, rng_seed=7):
+    if os.path.exists(CORPUS_PATH):
+        with open(CORPUS_PATH, "rb") as f:
+            c = pickle.load(f)
+        if c["n_mp3"] >= n_mp3 and c["n_flac"] >= n_flac:
+            return (c["mp3"][:n_mp3], c["mp3_secs"][:n_mp3],
+                    c["flac"][:n_flac], c["flac_secs"][:n_flac])
+    rng = np.random.default_rng(rng_seed)
+    t0 = time.time()
+    # MP3: 24 masters x ~36 s, lanes are (master, start, len) frame slices —
+    # every lane a distinct byte stream AND distinct decode content (slices
+    # start mid-stream: the bit reservoir warms up exactly like minimp3's
+    # seek preroll)
+    masters = [_mp3_master(rng, 18.0) for _ in range(24)]
+    mp3, mp3_secs = [], []
+    k = 0
+    while len(mp3) < n_mp3:
+        m = masters[k % len(masters)]
+        offs = _mp3_frame_offsets(m)
+        n_frames = len(offs) - 1
+        v = k // len(masters)
+        start = (v * 211) % max(1, n_frames // 3)
+        length = n_frames - start - (v * 53) % max(1, n_frames // 4)
+        length = max(40, length)
+        sl = m[offs[start] : offs[min(n_frames, start + length)]]
+        mp3.append(sl)
+        mp3_secs.append((min(n_frames, start + length) - start) * 1152 / 44100.0)
+        k += 1
+    t1 = time.time()
+    # FLAC: 96 distinct masters (varied f0/amplitude/noise, 6–10 s), lanes
+    # are prefix slices of distinct frame counts with STREAMINFO patched
+    fmasters = [_flac_master(rng, 6.0 + (i % 5)) for i in range(96)]
+    flac, flac_secs = [], []
+    k = 0
+    while len(flac) < n_flac:
+        mi = k % len(fmasters)
+        v = k // len(fmasters)
+        nfr = int((6.0 + mi % 5) * 44100) // 4096
+        keep = max(8, nfr - v * 7)
+        d = _flac_prefix(fmasters[mi], keep)
+        flac.append(d)
+        flac_secs.append(min(keep, nfr + 1) * 4096 / 44100.0)
+        k += 1
+    c = {"n_mp3": n_mp3, "n_flac": n_flac, "mp3": mp3, "mp3_secs": mp3_secs,
+         "flac": flac, "flac_secs": flac_secs}
+    with open(CORPUS_PATH, "wb") as f:
+        pickle.dump(c, f)
+    print(f"# corpus built: mp3 {t1-t0:.0f}s, flac {time.time()-t1:.0f}s",
+          file=sys.stderr)
+    return mp3, mp3_secs, flac, flac_secs
+
+
+# --------------------------------------------------------------- diagnostics
+def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
+    """Device ceiling: the MP3 window DSP alone (inputs device-resident),
+    timed with chained state and a forced element fetch (block_until_ready
+    does not reliably block on the tunnel transport)."""
     import functools
 
-    fn = jax.jit(functools.partial(mp3_dsp.mp3_frame_dsp, nch=2, ngr=2))
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax
+    import jax.numpy as jnp
+
+    from audio_formats_tpu.ops import mp3_dsp
+
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.standard_normal((B, G, nch, 576)).astype(np.float32))
+    ph_f = jnp.zeros((1, G, 1, 1), np.float32)
+    ph_i = jnp.zeros((1, G, 1, 1), jnp.int32)
+    aa = jnp.full((B, G, nch), 31, jnp.int32)
+    wt = jnp.zeros((B, G, nch, 32), jnp.int32)
+    overlap = jnp.zeros((B, nch, 32, 18), jnp.float32)
+    shist = jnp.zeros((B, nch, 16, 32), jnp.float32)
+    na = jnp.full((B,), G, jnp.int32)
+    fn = functools.partial(mp3_dsp.mp3_window_dsp, nch=nch, ngr=G,
+                           use_perm=False, dequant=False, use_mix=False)
+    pcm, overlap, shist = fn(xq, ph_f, ph_f, ph_i, aa, wt, overlap, shist, na)
+    _ = np.asarray(pcm[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    audio_s = reps * B * 2 * 576 / 44100.0  # per-frame audio seconds
-    return audio_s / dt
+        pcm, overlap, shist = fn(xq, ph_f, ph_f, ph_i, aa, wt, overlap,
+                                 shist, na)
+    _ = np.asarray(pcm[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    return B * G * 576 / 44100.0 / dt
 
 
+def measure_link():
+    import jax
+
+    a = np.zeros(32 << 20, np.uint8)
+    jax.device_put(a[: 1 << 20])  # warm
+    t0 = time.perf_counter()
+    x = jax.device_put(a)
+    _ = np.asarray(x[0])
+    up = a.nbytes / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _ = np.asarray(x)
+    down = a.nbytes / (time.perf_counter() - t0)
+    return up, down
+
+
+# --------------------------------------------------------------- main
 def main():
     import jax
 
@@ -92,52 +272,68 @@ def main():
 
     from audio_formats_tpu.parallel import BatchDecoder
 
-    n_mp3 = int(os.environ.get("BENCH_MP3_STREAMS", "64"))
-    n_flac = int(os.environ.get("BENCH_FLAC_STREAMS", "64"))
-    secs = float(os.environ.get("BENCH_SECONDS", "8.0"))
+    n_mp3 = int(os.environ.get("BENCH_MP3_STREAMS", "512"))
+    n_flac = int(os.environ.get("BENCH_FLAC_STREAMS", "512"))
+    mp3, mp3_secs, flac, flac_secs = build_corpus(n_mp3, n_flac)
 
-    mp3_streams, mp3_audio = make_mp3_batch(n_mp3, secs)
-    flac_streams, flac_audio = make_flac_batch(n_flac, secs)
+    # warmup/compile at the same batch-bucket widths with short slices
+    warm = BatchDecoder(
+        [m[: 40 * 417] for m in mp3] + [_flac_prefix(f, 8) for f in flac]
+    )
+    warm.decode_all(output="device").sync()
+    del warm
 
-    # warmup (compile): use SHORT streams at the SAME batch widths so the
-    # XLA programs for the real batch-size buckets are built outside the
-    # timed region
-    warm_mp3, _ = make_mp3_batch(n_mp3, 0.6)
-    warm_flac, _ = make_flac_batch(n_flac, 1.2)
-    BatchDecoder(warm_mp3).decode_all()
-    BatchDecoder(warm_flac).decode_all()
-
-    # the host<->device link is shared and noisy: take the best of N
-    # repetitions (decode is deterministic; min-time is the standard
-    # noise-robust estimator)
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    mp3_dt = flac_dt = float("inf")
+    best_dt, best_stats = float("inf"), None
     for _ in range(reps):
         t0 = time.perf_counter()
-        BatchDecoder(mp3_streams).decode_all()
-        mp3_dt = min(mp3_dt, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        BatchDecoder(flac_streams).decode_all()
-        flac_dt = min(flac_dt, time.perf_counter() - t0)
+        dec = BatchDecoder(mp3 + flac)
+        res = dec.decode_all(output="device")
+        res.sync()
+        dt = time.perf_counter() - t0
+        if dt < best_dt:
+            best_dt, best_stats = dt, dict(dec.stats)
 
-    total_audio = mp3_audio + flac_audio
-    total_dt = mp3_dt + flac_dt
-    rtx = total_audio / total_dt
+    audio = best_stats["decoded_seconds"]
+    rtx = audio / best_dt
+
+    # full-download variant (every PCM sample crosses the ~13 MB/s
+    # downlink) — measured on a subset: at batch-1024 scale the download
+    # alone would take tens of minutes on this tunnel
+    ndl = max(8, min(64, n_mp3, n_flac))
+    t0 = time.perf_counter()
+    dec_np = BatchDecoder(mp3[:ndl] + flac[:ndl])
+    dec_np.decode_all(output="numpy")
+    dl_rtx = dec_np.stats["decoded_seconds"] / (time.perf_counter() - t0)
 
     dsp_rtx = bench_device_dsp_only()
+    up_bw, down_bw = measure_link()
 
+    by = {k: round(v, 1) for k, v in
+          best_stats["decoded_seconds_by_format"].items()}
     result = {
-        "metric": "aggregate realtime decode factor (MP3+FLAC, end-to-end)",
+        "metric": "aggregate realtime decode factor "
+                  "(MP3+FLAC, host bytes -> device PCM, batch "
+                  f"{n_mp3 + n_flac})",
         "value": round(rtx, 2),
         "unit": "x realtime/chip",
         "vs_baseline": round(rtx / 5000.0, 5),
         "detail": {
-            "mp3_rtx": round(mp3_audio / mp3_dt, 2),
-            "flac_rtx": round(flac_audio / flac_dt, 2),
-            "device_dsp_only_rtx_mp3_b256": round(dsp_rtx, 2),
-            "mp3_streams": n_mp3,
-            "flac_streams": n_flac,
-            "seconds_per_stream": secs,
+            "streams": {"mp3": n_mp3, "flac": n_flac,
+                        "distinct": True, "stereo": True},
+            "decoded_audio_seconds": round(audio, 1),
+            "decoded_seconds_by_format": by,
+            "wall_s": round(best_dt, 3),
+            "stage_split_ms": {
+                "host_entropy": round(best_stats["host_ms"], 1),
+                "device_enqueue": round(best_stats["enqueue_ms"], 1),
+                "windows": best_stats["windows"],
+            },
+            "h2d_bytes": best_stats["h2d_bytes"],
+            "link_MBps": {"up": round(up_bw / 1e6, 1),
+                          "down": round(down_bw / 1e6, 1)},
+            "full_download_rtx": round(dl_rtx, 2),
+            "device_dsp_only_rtx_mp3_b1024": round(dsp_rtx, 2),
             "backend": jax.default_backend(),
         },
     }

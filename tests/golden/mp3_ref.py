@@ -170,17 +170,27 @@ def encode_granule_data(bw: _BW, q: np.ndarray, block_type: int = 0):
 def build_mp3(granules, channels: int, global_gain: int = 214,
               bitrate_idx: int = 14, xing: bool = False,
               xing_delay: int = 0, xing_padding: int = 0,
-              free_format_bytes: int = 0) -> bytes:
+              free_format_bytes: int = 0, mode_ext=None) -> bytes:
     """granules: list of per-frame lists [ngr][nch] of dicts
-    {"q": int[576], "block_type": 0|2}.  44.1 kHz MPEG-1 Layer III."""
+    {"q": int[576], "block_type": 0|2}.  44.1 kHz MPEG-1 Layer III.
+
+    mode_ext: None for plain stereo/mono, or an int / per-frame list of
+    ints for JOINT stereo (2 = mid/side, 1 = intensity, 3 = both bits);
+    frame headers may switch mode_ext mid-stream like real encoders."""
     frames = bytearray()
-    mode = 3 if channels == 1 else 0
+    joint = mode_ext is not None and channels == 2
+    mode = 3 if channels == 1 else (1 if joint else 0)
     h1 = 0xFB  # MPEG1, Layer III, no CRC
     sr_code = 0  # 44100
+    exts = None
+    if joint:
+        exts = (list(mode_ext) if isinstance(mode_ext, (list, tuple))
+                else [mode_ext] * len(granules))
 
-    def frame_header(pad=0):
+    def frame_header(pad=0, fi=0):
         b2 = (bitrate_idx << 4) | (sr_code << 2) | (pad << 1)
-        b3 = mode << 6
+        b3 = (mode << 6) | ((exts[min(fi, len(exts) - 1)] << 4) if joint
+                            else 0)
         return bytes([0xFF, h1, b2, b3])
 
     kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][bitrate_idx]
@@ -248,9 +258,9 @@ def build_mp3(granules, channels: int, global_gain: int = 214,
         payload = frame_header() + body + tag + bytes(lame)
         frames += payload + b"\0" * (frame_bytes - len(payload))
 
-    for frame_granules in granules:
+    for fi, frame_granules in enumerate(granules):
         side, data = side_info_and_data(frame_granules)
-        payload = frame_header() + side.tobytes() + data.tobytes()
+        payload = frame_header(fi=fi) + side.tobytes() + data.tobytes()
         assert len(payload) <= frame_bytes, (
             f"frame overflow: {len(payload)} > {frame_bytes}"
         )

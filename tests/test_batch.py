@@ -138,3 +138,22 @@ def test_group_failure_demotes_to_per_stream(rng, monkeypatch):
         ref = _facade(data)
         np.testing.assert_array_equal(got, ref)
     assert all(e is None for e in dec.errors)
+
+
+def test_device_resident_output_equals_numpy(rng):
+    """decode_all(output="device") keeps PCM on the accelerator; its
+    to_numpy() must equal the numpy path exactly, and the per-stage stats
+    split must be populated (SURVEY.md §5 observability)."""
+    streams = [_mp3(rng, n_frames=4), _flac(rng, 5000), _flac(rng, 3000)]
+    ref = BatchDecoder(streams).decode_all()
+    dec = BatchDecoder(streams)
+    res = dec.decode_all(output="device")
+    res.sync()
+    got = res.to_numpy()
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+    assert dec.stats["windows"] > 0
+    assert dec.stats["h2d_bytes"] > 0
+    assert dec.stats["host_ms"] > 0
+    assert dec.stats["decoded_seconds"] > 0
+    assert set(dec.stats["decoded_seconds_by_format"]) == {"mp3", "flac"}
