@@ -106,6 +106,13 @@ def get_lib():
             u32p, i32p, i32p, i16p, i32p, i32p, i8p, i64p_,
         ]
         lib.af_mp3_parse_window_packed.restype = ctypes.c_int
+        lib.af_flac_widths.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
+                                       i32p, i32p]
+        lib.af_flac_widths.restype = ctypes.c_int
+        lib.af_flac_pack.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
+                                     i32p, ctypes.c_int32, u32p,
+                                     ctypes.c_int32]
+        lib.af_flac_pack.restype = ctypes.c_int
 
         # install the MP3 Huffman tables
         from ..utils.tables import mp3_tables as T

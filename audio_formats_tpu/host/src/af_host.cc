@@ -228,6 +228,60 @@ static inline int32_t br_signed(BitReader* br, int n) {
 //   meta[0]=blocksize meta[1]=chan_assignment meta[2]=nch meta[3]=end_bitpos lo
 //   meta[4]=end_bitpos hi
 // Returns 0 on success, negative error code otherwise.
+// ---- fixed-width residual packing (device-upload diet) --------------------
+// The Rice-decoded residuals upload at 32 bits/sample; almost all fit far
+// fewer.  The host packs each lane at the window's uniform width w (so the
+// device unpack is static-shape shift arithmetic, no gathers): sample i
+// occupies bits [i*w, i*w+w) big-endian.  Positions < zero_until pack as 0
+// (they ride the int32 warm-up side channel instead).
+
+// Per-lane signed bit-widths: value v fits w bits iff (v<0 ? ~v : v) < 2^(w-1)
+int af_flac_widths(const int32_t* res, int32_t L, int32_t n,
+                   const int32_t* orders, int32_t* w_out) {
+  int wmax = 1;
+  for (int l = 0; l < L; l++) {
+    const int32_t* r = res + (int64_t)l * n;
+    int zu = orders[l] < 32 ? orders[l] : 32;
+    uint32_t mx = 0;
+    for (int i = zu; i < n; i++) {
+      int32_t v = r[i];
+      uint32_t m = v < 0 ? ~(uint32_t)v : (uint32_t)v;
+      if (m > mx) mx = m;
+    }
+    int w = 1;
+    while (mx) { mx >>= 1; w++; }
+    w_out[l] = w;
+    if (w > wmax) wmax = w;
+  }
+  return wmax;
+}
+
+// Pack every lane at width w into rows of ceil(n*w/32) uint32 words.
+int af_flac_pack(const int32_t* res, int32_t L, int32_t n,
+                 const int32_t* orders, int32_t w,
+                 uint32_t* out, int32_t out_stride_words) {
+  uint32_t mask = (w < 32) ? ((1u << w) - 1u) : 0xFFFFFFFFu;
+  for (int l = 0; l < L; l++) {
+    const int32_t* r = res + (int64_t)l * n;
+    uint32_t* o = out + (int64_t)l * out_stride_words;
+    int zu = orders[l] < 32 ? orders[l] : 32;
+    uint64_t acc = 0;
+    int nb = 0, ow = 0;
+    for (int i = 0; i < n; i++) {
+      uint32_t v = (i < zu) ? 0u : ((uint32_t)r[i] & mask);
+      acc = (acc << w) | v;
+      nb += w;
+      if (nb >= 32) {
+        o[ow++] = (uint32_t)(acc >> (nb - 32));
+        nb -= 32;
+      }
+    }
+    if (nb) o[ow++] = (uint32_t)(acc << (32 - nb));
+    if (ow < out_stride_words) o[ow] = 0;
+  }
+  return 0;
+}
+
 int af_flac_parse_frame(
     const uint8_t* data, int64_t nbytes, int64_t start_bits,
     int32_t streaminfo_bps, int32_t expect_channels,

@@ -266,3 +266,48 @@ def flac_post_stereo_batch_s16(samples, chan_assignment, wasted, out_shift):
     out32 = jax.vmap(_post_stereo_core)(samples, chan_assignment, wasted,
                                         out_shift)
     return (out32 >> 16).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "n"))
+def flac_unpack_residuals(packed, warm, order, w: int, n: int):
+    """Unpack fixed-width residual rows (af_host.cc:af_flac_pack) and merge
+    the int32 warm-up side channel.
+
+    The upload diet: Rice residuals almost all fit ~8–14 bits; shipping
+    them at the window's uniform width w instead of int32 cuts host→device
+    bytes ~2.5–4×.  Width-uniform packing makes the unpack pure STATIC
+    shift arithmetic — 32 samples span exactly w words, so a reshape to
+    [L, n/32 groups, w words] + 32 statically-unrolled extracts recovers
+    every sample with no gathers (measured XLA element gathers would cost
+    more than the bytes saved).
+
+    packed: [L, >= ceil(n·w/32)] uint32;  warm: [L, 32] int32 (samples at
+    positions < min(order, 32); constant/verbatim lanes use order = n and
+    keep positions ≥ 32 in the packed stream).
+    Returns residual [L, n] int32.
+    """
+    L = packed.shape[0]
+    assert n % 32 == 0
+    G = n // 32
+    grp = packed[:, : G * w].reshape(L, G, w).astype(jnp.uint32)
+    grp = jnp.concatenate(
+        [grp, jnp.zeros((L, G, 1), jnp.uint32)], axis=2
+    )  # straddle pad
+    outs = []
+    for j in range(32):
+        o = j * w
+        wi, sh = o >> 5, o & 31
+        a = grp[:, :, wi]
+        b = grp[:, :, wi + 1]
+        hi = (a << jnp.uint32(sh)) | ((b >> jnp.uint32(31 - sh)) >> 1)
+        if w < 32:
+            v = (hi >> jnp.uint32(32 - w)).astype(jnp.int32)
+            v = (v << (32 - w)) >> (32 - w)  # sign-extend
+        else:
+            v = hi.astype(jnp.int32)
+        outs.append(v)
+    res = jnp.stack(outs, axis=2).reshape(L, n)
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    warm_full = jnp.pad(warm, ((0, 0), (0, n - 32)))
+    zu = jnp.minimum(order, 32)
+    return jnp.where(pos < zu[:, None], warm_full, res)

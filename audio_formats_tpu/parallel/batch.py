@@ -773,15 +773,51 @@ class BatchDecoder:
                 assigns[si] = ca
                 wasteds[si] = wa
                 out_shifts[si] = 32 - decs[bi].bits_per_sample
-            # chain LPC -> stereo decorrelation on device (no host round
-            # trip between the two stages), then fetch asynchronously so the
+            # upload diet: pack residuals at the window's uniform bit width
+            # (warm-ups ride an int32 side channel); the device unpacks with
+            # static shift arithmetic — ~2.5-4x fewer host->device bytes
+            from ..host import native as _native
+
+            lib = _native.get_lib()
+            Ln = S * nch
+            packed = None
+            if lib is not None:
+                import ctypes as _ct
+
+                _i32p = _ct.POINTER(_ct.c_int32)
+                _u32p = _ct.POINTER(_ct.c_uint32)
+                w_l = np.zeros(Ln, np.int32)
+                wmax = lib.af_flac_widths(
+                    residual.ctypes.data_as(_i32p), Ln, max_bs,
+                    order.ctypes.data_as(_i32p), w_l.ctypes.data_as(_i32p))
+                wb = next((x for x in (4, 6, 8, 10, 12, 14, 17, 20, 26)
+                           if wmax <= x), 32)
+                stride = (max_bs * wb + 31) // 32 + 1
+                packed = np.empty((Ln, stride), np.uint32)
+                lib.af_flac_pack(
+                    residual.ctypes.data_as(_i32p), Ln, max_bs,
+                    order.ctypes.data_as(_i32p), wb,
+                    packed.ctypes.data_as(_u32p), stride)
+                warm = np.ascontiguousarray(residual[:, :32])
+            # chain unpack -> LPC -> stereo decorrelation on device (no host
+            # round trip between stages), then fetch asynchronously so the
             # tunnel transfer overlaps the next window's host entropy stage
-            (residual, coeffs, order, shift, exact, assigns, wasteds,
-             out_shifts) = _shard_batch(
-                self._mesh, residual, coeffs, order, shift, exact,
-                assigns, wasteds, out_shifts)
+            if packed is not None:
+                (packed_d, warm_d, coeffs, order, shift, exact, assigns,
+                 wasteds, out_shifts) = _shard_batch(
+                    self._mesh, packed, warm, coeffs, order, shift, exact,
+                    assigns, wasteds, out_shifts)
+                residual_d = lpc_ops.flac_unpack_residuals(
+                    packed_d, warm_d, order, w=wb, n=max_bs)
+                self.stats["h2d_bytes"] += packed.nbytes + warm.nbytes
+            else:
+                (residual_d, coeffs, order, shift, exact, assigns,
+                 wasteds, out_shifts) = _shard_batch(
+                    self._mesh, residual, coeffs, order, shift, exact,
+                    assigns, wasteds, out_shifts)
+                self.stats["h2d_bytes"] += residual.nbytes
             samples = lpc_ops.flac_lpc(
-                residual, coeffs, order, shift, exact
+                residual_d, coeffs, order, shift, exact
             ).reshape(S, nch, max_bs)
             # <=16-bit lanes (out_shift >= 16): ship int16 losslessly to
             # halve device->host bytes on the tunnel-limited link
@@ -796,9 +832,6 @@ class BatchDecoder:
             except AttributeError:
                 pass
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += (
-                residual.nbytes if hasattr(residual, "nbytes") else 0
-            )
             self.stats["windows"] += 1
             slots = []
             for si, (bi, p) in enumerate(lanes):
