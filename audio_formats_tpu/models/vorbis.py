@@ -338,8 +338,25 @@ class VorbisDecoder:
         self._floors = []
         for _ in range(br.read(6) + 1):
             ftype = br.read(16)
+            if ftype == 0:
+                # floor0 configs parse at setup (keeping the header bit
+                # stream aligned); only a packet that USES one errors —
+                # matching stb_vorbis, which accepts floor0 setup
+                # (stb_vorbis2.d:3019-3031) and fails at decode time
+                # (stb_vorbis2.d:2260)
+                br.read(8)   # order
+                br.read(16)  # rate
+                br.read(16)  # bark_map_size
+                br.read(6)   # amplitude_bits
+                br.read(8)   # amplitude_offset
+                n_books = br.read(4) + 1
+                for _ in range(n_books):
+                    if br.read(8) >= len(self._codebooks):
+                        raise AudioFormatError("Vorbis: bad floor0 book")
+                self._floors.append(None)  # floor0 marker: error on use
+                continue
             if ftype != 1:
-                raise AudioFormatError("Vorbis: only floor type 1 supported")
+                raise AudioFormatError("Vorbis: bad floor type")
             partitions = br.read(5)
             partition_class = [br.read(4) for _ in range(partitions)]
             maxclass = max(partition_class) if partitions else -1
@@ -690,6 +707,11 @@ class VorbisDecoder:
         # Vorbis I spec §1.3.2/4.3.2)
         curves = [None] * ch
         zero_channel = [True] * ch
+        for c in range(ch):
+            if self._floors[m.submap_floor[m.mux[c]]] is None:
+                # a packet actually using a floor0 config is an error —
+                # but only now, not at setup (stb_vorbis2.d:2260)
+                raise AudioFormatError("Vorbis: floor type 0 unsupported")
         try:
             for c in range(ch):
                 fl = self._floors[m.submap_floor[m.mux[c]]]

@@ -292,6 +292,10 @@ class AudioStream:
             return False
 
     def tell_position(self) -> int:
+        # modules: the reference's tellPosition asserts !isModule()
+        # ("seeking doesn't have the same meaning with modules",
+        # stream.d:1209-1211) — returning UNKNOWN is the graceful
+        # equivalent of that contract violation
         if self.is_error() or self._decoder is None or self.is_module():
             return AUDIOSTREAM_UNKNOWN_LENGTH
         return self._decoder.tell()

@@ -89,12 +89,14 @@ def _encode_bigvalue_pair(bw: _BW, x: int, y: int, table: int):
             bw.w(1 if v < 0 else 0, 1)
 
 
-def encode_granule_data(bw: _BW, q: np.ndarray, block_type: int = 0):
+def encode_granule_data(bw: _BW, q: np.ndarray, block_type: int = 0,
+                        sfb_long=None, sfb_short=None):
     """Huffman-encode q[576]; returns side-info fields dict.  Long blocks use
     3 regions; short blocks use the fixed (region0=8) layout."""
     q = np.asarray(q, dtype=np.int64)
     assert q.shape == (576,)
-    sfb = SFB_SHORT_44100 if block_type == 2 else SFB_LONG_44100
+    sfb = ((sfb_short or SFB_SHORT_44100) if block_type == 2
+           else (sfb_long or SFB_LONG_44100))
     bounds = np.cumsum([0] + list(sfb))
 
     # choose big_values: cover all |q|>1 with pairs; extend to sfb boundary
@@ -560,3 +562,125 @@ def build_mp3_l1(granule_q, scf_idx, ba=4):
                 S[t, band] = (q[band][t] - half) * scf
         S_all.append(S)
     return bytes(out), np.concatenate(S_all)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-2 Layer III builder (22.05 kHz): one granule per frame, 9-bit
+# scalefac_compress with the ISO 13818-3 partition machinery, no scfsi, no
+# preflag bit.  Spec constants inlined (independent of the decoder package).
+# ---------------------------------------------------------------------------
+
+SFB_LONG_22050 = [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38,
+                  46, 52, 60, 68, 58, 54]
+SFB_SHORT_22050 = [4, 4, 4, 4, 4, 4, 4, 4, 4, 6, 6, 6, 6, 6, 6, 8, 8, 8,
+                   10, 10, 10, 14, 14, 14, 18, 18, 18, 26, 26, 26, 32, 32,
+                   32, 42, 42, 42, 18, 18, 18]
+# scalefactor size moduli (normal rows 0..2, intensity rows 3..5) and the
+# long-block partition counts table (ISO 13818-3 / minimp3 g_scf_mod +
+# g_scf_partitions row 0)
+_M2_SCF_MOD = [[5, 5, 4, 4], [5, 5, 4, 1], [4, 3, 1, 1],
+               [5, 6, 6, 1], [4, 4, 4, 1], [4, 3, 1, 1]]
+_M2_PART_LONG = [6, 5, 5, 5, 6, 5, 5, 5, 6, 5, 7, 3, 11, 10, 0, 0,
+                 7, 7, 7, 0, 6, 6, 6, 3, 8, 8, 5, 0]
+
+
+def _m2_scf_layout(scalefac_compress: int, ist: bool):
+    """Mirror of the decoder's MPEG-2 partition walk: returns
+    (scf_size[4], scf_count[4]) for the given 9-bit scalefac_compress."""
+    sfc = scalefac_compress >> (1 if ist else 0)
+    k = 3 if ist else 0
+    sizes = [0, 0, 0, 0]
+    while sfc >= 0:
+        modprod = 1
+        for i in range(3, -1, -1):
+            sizes[i] = (sfc // modprod) % _M2_SCF_MOD[k][i]
+            modprod *= _M2_SCF_MOD[k][i]
+        sfc -= modprod
+        k += 1
+    counts = _M2_PART_LONG[k * 4 : k * 4 + 4]
+    return sizes, counts
+
+
+def build_mp3_mpeg2(granules, channels: int, global_gain: int = 214,
+                    bitrate_idx: int = 12, mode_ext=None,
+                    ch1_sfc: int = 0, ch1_iscf=None) -> bytes:
+    """MPEG-2 Layer III at 22.05 kHz; granules: per-frame [1][nch] dicts
+    {"q": int[576], "block_type": 0|2}.
+
+    Intensity-stereo fixtures: mode_ext=1 (or per-frame list), ch1_sfc the
+    right channel's scalefac_compress, ch1_iscf the scalefactor values to
+    write for it (they become the decoder's ist positions)."""
+    frames = bytearray()
+    joint = mode_ext is not None and channels == 2
+    mode = 3 if channels == 1 else (1 if joint else 0)
+    exts = None
+    if joint:
+        exts = (list(mode_ext) if isinstance(mode_ext, (list, tuple))
+                else [mode_ext] * len(granules))
+    kbps = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+            160][bitrate_idx]
+    frame_bytes = 576 * kbps * 125 // 22050
+
+    def frame_header(fi):
+        b2 = (bitrate_idx << 4) | (0 << 2)  # 22050
+        b3 = (mode << 6) | ((exts[min(fi, len(exts) - 1)] << 4) if joint
+                            else 0)
+        return bytes([0xFF, 0xF3, b2, b3])  # MPEG-2, Layer III, no CRC
+
+    for fi, frame_granules in enumerate(granules):
+        ist_frame = joint and (exts[min(fi, len(exts) - 1)] & 1)
+        side = _BW()
+        data = _BW()
+        side.w(0, 8 + channels)  # main_data_begin=0 + private bits
+        for ch in range(channels):
+            info = frame_granules[0][ch]
+            q = info["q"]
+            bt = info.get("block_type", 0)
+            # scalefactor bits precede the Huffman data in part2_3
+            scf_bits = 0
+            sfc = 0
+            ist = bool(ist_frame and ch == 1)
+            if ist:
+                sfc = ch1_sfc
+            sizes, counts = _m2_scf_layout(sfc, ist)
+            vals = list(ch1_iscf or []) if ist else []
+            vi = 0
+            start = data.nbits()
+            for i in range(4):
+                if counts[i] == 0:
+                    break
+                for _ in range(counts[i]):
+                    if sizes[i]:
+                        v = vals[vi] if vi < len(vals) else 0
+                        vi += 1
+                        data.w(min(v, (1 << sizes[i]) - 2), sizes[i])
+            scf_bits = data.nbits() - start
+            meta = encode_granule_data(
+                data, q, bt,
+                sfb_long=SFB_LONG_22050, sfb_short=SFB_SHORT_22050)
+            side.w(meta["part23_extra"] + scf_bits, 12)
+            side.w(meta["big_values"], 9)
+            side.w(info.get("global_gain", global_gain), 8)
+            side.w(sfc, 9)
+            if bt == 2:
+                side.w(1, 1)
+                side.w(2, 2)
+                side.w(0, 1)  # not mixed
+                side.w(meta["tables"][0], 5)
+                side.w(meta["tables"][1], 5)
+                side.w(0, 3)
+                side.w(0, 3)
+                side.w(0, 3)
+            else:
+                side.w(0, 1)
+                for t in meta["tables"]:
+                    side.w(t, 5)
+                side.w(meta["region_count"][0], 4)
+                side.w(meta["region_count"][1], 3)
+            side.w(0, 1)  # scalefac_scale
+            side.w(meta["count1_table"], 1)
+        payload = frame_header(fi) + side.tobytes() + data.tobytes()
+        assert len(payload) <= frame_bytes, (
+            f"frame overflow: {len(payload)} > {frame_bytes}")
+        frames += payload + b"\0" * (frame_bytes - len(payload))
+    return bytes(frames)

@@ -90,7 +90,11 @@ class Fixture:
     """A concrete tiny Vorbis configuration."""
 
     def __init__(self, channels=1, bs0=512, bs1=512, sample_rate=44100,
-                 coupling=False):
+                 coupling=False, extra_floor0=False):
+        #: when set, the setup header carries an (unused) floor type 0
+        #: config before the floor1 — a tolerance case: stb_vorbis parses
+        #: floor0 configs at setup and errors only if a packet uses one
+        self.extra_floor0 = extra_floor0
         self.channels = channels
         self.bs0 = bs0
         self.bs1 = bs1
@@ -195,8 +199,19 @@ class Fixture:
         # time transforms
         bw.w(0, 6)
         bw.w(0, 16)
-        # floors: 1 floor, type 1
-        bw.w(0, 6)
+        # floors
+        if self.extra_floor0:
+            bw.w(1, 6)   # 2 floors: [floor0 (unused), floor1]
+            bw.w(0, 16)  # type 0
+            bw.w(8, 8)   # order
+            bw.w(8000, 16)
+            bw.w(64, 16)  # bark_map_size
+            bw.w(6, 6)    # amplitude_bits
+            bw.w(0, 8)    # amplitude_offset
+            bw.w(0, 4)    # 1 book
+            bw.w(0, 8)    # book 0
+        else:
+            bw.w(0, 6)
         bw.w(1, 16)
         bw.w(1, 5)  # partitions = 1
         bw.w(0, 4)  # partition class 0
@@ -235,7 +250,7 @@ class Fixture:
         bw.w(0, 2)
         # (submaps == 1: no mux)
         bw.w(0, 8)  # time config
-        bw.w(0, 8)  # floor 0
+        bw.w(1 if self.extra_floor0 else 0, 8)  # the floor1's index
         bw.w(0, 8)  # residue 0
         # modes
         n_modes = 2 if self.two_sizes else 1

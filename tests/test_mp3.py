@@ -283,3 +283,77 @@ def test_free_format_stream(rng):
     # f32 reassociation vs the facade's per-granule order; contract vs the
     # reference is 1e-4 (BASELINE.md)
     assert np.abs(o2 - out).max() / peak < 4e-6
+
+
+def _open_m2(data):
+    s = AudioStream().open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    return s
+
+
+def test_mpeg2_basic_decode(rng):
+    """MPEG-2 Layer III (22.05 kHz, 1 granule/frame, 9-bit
+    scalefac_compress partition machinery): the pure-Python and native
+    paths are independent implementations and must agree; the device
+    Huffman path covers the ngr=1 batch windows."""
+    import os
+
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    frames = []
+    for i in range(8):
+        q = np.zeros(576, np.int64)
+        q[rng.choice(400, 45, replace=False)] = rng.integers(-60, 61, 45)
+        bt = {"block_type": 2} if i % 4 == 2 else {}
+        frames.append([[dict(q=q, **bt)]])
+    data = mp3_ref.build_mp3_mpeg2(frames, channels=1)
+
+    s = _open_m2(data)
+    assert s.get_samplerate() == 22050
+    ref = s.read_samples_float(10 ** 6)
+    assert ref.shape[0] == 8 * 576
+    assert np.isfinite(ref).all() and np.abs(ref).max() > 1e-4
+
+    # native batch (device-Huffman, ngr=1) vs facade
+    out = np.asarray(BatchDecoder([data]).decode_all()[0])
+    assert out.shape == ref.shape
+    peak = np.abs(ref).max()
+    assert np.abs(out - ref).max() / peak < 4e-6
+
+    # pure-Python facade vs the default facade (cross-implementation A/B)
+    os.environ["AF_TPU_NO_NATIVE"] = "1"
+    try:
+        import audio_formats_tpu.host.native as _n
+        ref_py = _open_m2(data).read_samples_float(10 ** 6)
+    finally:
+        del os.environ["AF_TPU_NO_NATIVE"]
+    assert np.abs(ref_py - ref).max() / peak < 1e-6
+
+
+def test_mpeg2_intensity_stereo(rng):
+    """MPEG-2 intensity stereo (minimp3.d:963-1000 MPEG-2 variant: pan
+    gains 2^(-(ipos+1)/2 << sh / 4)): right-channel scalefactors become
+    ist positions; bands above the right channel's content pan."""
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    frames = []
+    for i in range(6):
+        ql = np.zeros(576, np.int64)
+        ql[rng.choice(500, 60, replace=False)] = rng.integers(-40, 41, 60)
+        qr = np.zeros(576, np.int64)
+        # right channel silent above coefficient 96 → upper bands intensity
+        qr[rng.choice(96, 25, replace=False)] = rng.integers(-30, 31, 25)
+        frames.append([[{"q": ql}, {"q": qr}]])
+    data = mp3_ref.build_mp3_mpeg2(
+        frames, channels=2, mode_ext=1, ch1_sfc=2 * 70,
+        ch1_iscf=[1, 3, 5, 2, 4, 6, 1, 2, 3, 4, 5, 6, 1, 2, 3, 4, 5, 6])
+
+    ref = _open_m2(data).read_samples_float(10 ** 6)
+    assert ref.shape == (6 * 576, 2)
+    assert np.isfinite(ref).all() and np.abs(ref).max() > 1e-4
+    # intensity must produce genuinely different L/R in the panned bands
+    assert np.abs(ref[:, 0] - ref[:, 1]).max() > 1e-4
+
+    out = np.asarray(BatchDecoder([data]).decode_all()[0])
+    peak = np.abs(ref).max()
+    assert np.abs(out - ref).max() / peak < 4e-6

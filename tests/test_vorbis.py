@@ -174,3 +174,17 @@ def test_seek_contract_and_accuracy(rng):
 def test_garbage_rejected():
     s = AudioStream().open_from_memory(b"OggS" + b"\x00" * 100)
     assert s.is_error()
+
+
+def test_unused_floor0_config_tolerated(rng):
+    """A setup header carrying a floor0 CONFIG that no mapping uses must
+    decode normally — stb_vorbis parses floor0 at setup and errors only
+    when a packet uses one (stb_vorbis2.d:3019-3031, :2260)."""
+    fix = vorbis_ref.Fixture(channels=1)
+    frames = _mk_frames(fix, rng, 6)
+    ref = _open(_encode(fix, frames)).read_samples_float(10 ** 6)
+
+    fix0 = vorbis_ref.Fixture(channels=1, extra_floor0=True)
+    data = _encode(fix0, frames)
+    out = _open(data).read_samples_float(10 ** 6)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-7)
