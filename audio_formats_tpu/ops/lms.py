@@ -157,9 +157,17 @@ def decode_slices(history, weights, scalefactors, codes):
     recurrence is per-step-overhead bound either way, unlike the 32-tap
     FLAC LPC where the Pallas kernel wins 1.6× (ops/lpc.py).
     """
-    deq = jnp.asarray(DEQUANT_TAB)[
-        scalefactors[..., None], codes
-    ]  # [L, S, 20]
+    # dequant via one-hot select over the 16x8 table (TPU element gathers
+    # run ~44 ns/element; compare+select rides the VPU instead).  Inputs
+    # may arrive as int8 (the batched scheduler ships compact payloads).
+    idx = (
+        scalefactors[..., None].astype(jnp.int32) * 8
+        + codes.astype(jnp.int32)
+    )  # [L, S, 20]
+    flat = DEQUANT_TAB.reshape(-1)
+    deq = jnp.zeros(idx.shape, jnp.int32)
+    for k in range(flat.shape[0]):
+        deq = deq + jnp.where(idx == k, np.int32(flat[k]), 0)
     L = codes.shape[0]
     return qoa_decode_scan(
         jnp.asarray(history), jnp.asarray(weights), deq.reshape(L, -1)

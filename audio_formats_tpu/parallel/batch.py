@@ -31,6 +31,9 @@ from ..io.source import ByteSource, FileSource, MemorySource
 from ..models.flac import FlacDecoder
 from ..models.mp3 import Mp3Decoder
 from ..models.opus import OpusDecoder, parse_packet as _opus_parse
+from ..models.qoa import QoaDecoder
+from ..models.wav import WavDecoder, _LINEAR_PCM
+from ..ops import lms as lms_ops
 from ..ops import lpc as lpc_ops
 from ..ops import mp3_dsp
 
@@ -38,6 +41,16 @@ from ..ops import mp3_dsp
 MP3_WINDOW_FRAMES = 24
 #: FLAC frames per device call
 FLAC_WINDOW_FRAMES = 12
+
+
+def pcm_ops_int_to_float_dev(seg, kind: str):
+    """Device-resident variant of ops.pcm.int_pcm_to_float (no download)."""
+    from ..ops import pcm as pcm_ops
+
+    n = seg.shape[0]
+    xp = np.zeros(pcm_ops._pad_len(n), np.int32)
+    xp[:n] = seg
+    return pcm_ops._int_to_f32(xp, kind)
 
 
 def _open_source(item) -> ByteSource:
@@ -82,6 +95,8 @@ class _PendingGroup:
             sr = max(1, d.sample_rate)
             if self.kind == "mp3":
                 tot += d._cur_sample / max(1, d.channels) / sr
+            elif self.kind == "qoa":
+                tot += d._pos / sr
             else:
                 tot += d._frame_pos / sr
         return tot
@@ -238,6 +253,8 @@ class BatchDecoder:
         mp3_groups = {}
         flac_groups = {}
         opus_groups = {}
+        qoa_groups = {}
+        wav_groups = {}
         for i, d in enumerate(self.decoders):
             if isinstance(d, Mp3Decoder) and d._layer == 3:
                 # Layers I/II use the per-stream path (different frame
@@ -247,6 +264,13 @@ class BatchDecoder:
                 flac_groups.setdefault(d.channels, []).append(i)
             elif isinstance(d, OpusDecoder) and self._opus_eligible(d):
                 opus_groups.setdefault(d.channels, []).append(i)
+            elif isinstance(d, QoaDecoder):
+                qoa_groups.setdefault(d.channels, []).append(i)
+            elif (isinstance(d, WavDecoder)
+                  and d._audio_format == _LINEAR_PCM):
+                kind = {1: "u8", 2: "s16", 3: "s24",
+                        4: "s32"}[d._byte_per_sample]
+                wav_groups.setdefault(kind, []).append(i)
 
         GROUP = self._group_size or (1024 if to_device else 256)
 
@@ -267,6 +291,12 @@ class BatchDecoder:
         for nch, lanes in flac_groups.items():
             for c in range(0, len(lanes), GROUP):
                 run(lanes[c : c + GROUP], self._decode_flac_group, nch)
+        for nch, lanes in qoa_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                run(lanes[c : c + GROUP], self._decode_qoa_group, nch)
+        for kind, lanes in wav_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                run(lanes[c : c + GROUP], self._decode_wav_group, kind)
         for nch, lanes in opus_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
@@ -872,6 +902,159 @@ class BatchDecoder:
                 np.float32
             )
             result.append(pcm)
+        return result
+
+    # --------------------------------------------------- batched WAV lanes
+    def _decode_wav_group(self, decs, kind: str, to_device: bool = False):
+        """WAV batching: the exact-rounding int→float kernel is elementwise,
+        so all lanes of one PCM kind concatenate into a few large flat
+        device calls (lane boundaries are irrelevant to the math)."""
+        from ..models.wav import _unpack_int_pcm
+
+        bps = {"u8": 1, "s16": 2, "s24": 3, "s32": 4}[kind]
+        t_host = time.perf_counter()
+        ints = []
+        counts = []
+        for d in decs:
+            frames = d.length_frames - d._frame_pos
+            n = frames * d.channels
+            raw = d._raw_frames(frames)
+            ints.append(_unpack_int_pcm(raw, bps, n))
+            counts.append((frames, d.channels))
+            d._frame_pos += frames
+        flat = np.concatenate(ints) if ints else np.zeros(0, np.int32)
+        self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+        CHUNK = 1 << 22
+        pending = []
+        for c0 in range(0, flat.shape[0], CHUNK):
+            t_enq = time.perf_counter()
+            seg = flat[c0 : c0 + CHUNK]
+            out = pcm_ops_int_to_float_dev(seg, kind)
+            pending.append((out, seg.shape[0]))
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += seg.nbytes
+            self.stats["windows"] += 1
+        group = _PendingGroup(self, "wav", decs, pending,
+                              self._wav_finalize, (decs, counts, pending))
+        return group if to_device else group.finalize()
+
+    def _wav_finalize(self, decs, counts, pending):
+        t0 = time.perf_counter()
+        parts = []
+        for out_dev, n in pending:
+            arr = np.asarray(out_dev)[:n]
+            self.stats["d2h_bytes"] += arr.nbytes
+            parts.append(arr)
+        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        result = []
+        off = 0
+        for frames, ch in counts:
+            n = frames * ch
+            result.append(flat[off : off + n].reshape(frames, ch))
+            off += n
+        return result
+
+    # --------------------------------------------------- batched QOA frames
+    def _decode_qoa_group(self, decs, nch: int, to_device: bool = False):
+        """QOA batching: LMS state is in-band per frame (qoa.d:488-503), so
+        every frame of every stream is an independent lane — the whole
+        group decodes as a few large [lanes, 5120] device calls.  Slice
+        payloads ship as int8 (3-bit codes, 4-bit scalefactors)."""
+        FULL_S = 256
+        t_host = time.perf_counter()
+        metas = []   # (stream index, f_samples)
+        H, Wt, SF, CD = [], [], [], []
+        for bi, d in enumerate(decs):
+            pos = d._byte_pos
+            got = 0
+            while True:
+                p = d._parse_frame_at(pos)
+                if p is None:
+                    break
+                h, w, sf, codes, f_samples, f_size = p
+                S = sf.shape[1]
+                if S < FULL_S:
+                    sf = np.pad(sf, ((0, 0), (0, FULL_S - S)))
+                    codes = np.pad(codes,
+                                   ((0, 0), (0, FULL_S - S), (0, 0)))
+                H.append(h)
+                Wt.append(w)
+                SF.append(sf.astype(np.int8))
+                CD.append(codes.astype(np.int8))
+                metas.append((bi, f_samples))
+                pos += f_size
+                got += f_samples
+            d._byte_pos = pos
+            d._pos += got
+        pending = []
+        if metas:
+            hist = np.concatenate(H).astype(np.int32)
+            wts = np.concatenate(Wt).astype(np.int32)
+            sf8 = np.concatenate(SF)
+            cd8 = np.concatenate(CD)
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            L = hist.shape[0]
+            CH = 8192  # lanes per device call (bounds upload + HBM)
+            for c0 in range(0, L, CH):
+                t_enq = time.perf_counter()
+                Lc = min(CH, L - c0)
+                Lp = max(8, 1 << (Lc - 1).bit_length()) if Lc <= 1024 \
+                    else -(-Lc // 1024) * 1024
+                sl = slice(c0, c0 + Lc)
+                hp = np.zeros((Lp, 4), np.int32)
+                wp = np.zeros((Lp, 4), np.int32)
+                sp = np.zeros((Lp, FULL_S), np.int8)
+                cp = np.zeros((Lp, FULL_S, 20), np.int8)
+                hp[:Lc] = hist[sl]
+                wp[:Lc] = wts[sl]
+                sp[:Lc] = sf8[sl]
+                cp[:Lc] = cd8[sl]
+                (hp_d, wp_d, sp_d, cp_d) = _shard_batch(
+                    self._mesh, hp, wp, sp, cp)
+                out = lms_ops.decode_slices(hp_d, wp_d, sp_d, cp_d)
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending.append((out, Lc))
+                self.stats["enqueue_ms"] += \
+                    (time.perf_counter() - t_enq) * 1e3
+                self.stats["h2d_bytes"] += (hp.nbytes + wp.nbytes
+                                            + sp.nbytes + cp.nbytes)
+                self.stats["windows"] += 1
+        group = _PendingGroup(self, "qoa", decs, pending,
+                              self._qoa_finalize,
+                              (decs, metas, pending, nch))
+        return group if to_device else group.finalize()
+
+    def _qoa_finalize(self, decs, metas, pending, nch):
+        t0 = time.perf_counter()
+        chunks = []
+        for out_dev, Lc in pending:
+            arr = np.asarray(out_dev)[:Lc]
+            self.stats["d2h_bytes"] += arr.nbytes
+            chunks.append(arr)
+        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        outputs = [[] for _ in decs]
+        row = 0
+        flat = np.concatenate(chunks) if chunks else \
+            np.zeros((0, 5120), np.int32)
+        for bi, f_samples in metas:
+            lanes = flat[row : row + nch]
+            row += nch
+            outputs[bi].append(
+                lanes[:, :f_samples].T.astype(np.int16)
+            )
+        from ..models.qoa import _F32_RECIP
+
+        result = []
+        for bi, d in enumerate(decs):
+            s16 = (np.concatenate(outputs[bi]) if outputs[bi]
+                   else np.zeros((0, nch), np.int16))
+            s16 = s16[: d.length_frames]
+            # same float conversion as the facade (qoa.d:825-834)
+            result.append(s16.astype(np.float32) * _F32_RECIP)
         return result
 
     # ------------------------------------------------- batched Opus lockstep

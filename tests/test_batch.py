@@ -157,3 +157,55 @@ def test_device_resident_output_equals_numpy(rng):
     assert dec.stats["host_ms"] > 0
     assert dec.stats["decoded_seconds"] > 0
     assert set(dec.stats["decoded_seconds_by_format"]) == {"mp3", "flac"}
+
+
+def test_qoa_batched_group_bit_exact(rng):
+    """QOA lanes decode through the frame-parallel device group (LMS state
+    is in-band, qoa.d:488-503) and must equal the facade bit-for-bit,
+    including short final frames and stereo."""
+    from golden import qoa_ref
+
+    streams = []
+    for i in range(4):
+        n = 4000 + 3333 * i  # exercises short final frames
+        ch = 2 if i % 2 else 1
+        t = np.arange(n)[:, None]
+        x = np.clip(np.round(
+            11000 * np.sin(2 * np.pi * (200 + 60 * i) * t
+                           * ([1, 1.3] if ch == 2 else [1]) / 44100)
+            + 500 * rng.standard_normal((n, ch))), -32768, 32767
+        ).astype(np.int16)
+        streams.append(qoa_ref.encode(x, 44100))
+    dec = BatchDecoder(streams)
+    out = dec.decode_all()
+    for data, got in zip(streams, out):
+        ref = _facade(data)
+        np.testing.assert_array_equal(got, ref)
+    assert dec.stats["decoded_seconds_by_format"].get("qoa", 0) > 0
+    assert dec.stats["windows"] > 0
+
+
+def test_wav_batched_group_bit_exact(rng):
+    """WAV integer-PCM lanes batch as concatenated flat device calls and
+    must equal the facade bit-for-bit (u8/s16/s24 kinds, ragged lengths)."""
+    from golden import wav_ref
+
+    streams = []
+    for bits in (8, 16, 24):
+        for k in range(2):
+            n = 2000 + 777 * k
+            x = np.clip(np.round(
+                (2 ** (bits - 1) - 1) * 0.7
+                * np.sin(2 * np.pi * 300 * np.arange(n) / 44100)),
+                -(2 ** (bits - 1)), 2 ** (bits - 1) - 1).astype(np.int64)
+            if bits == 8:
+                x = x + 128  # u8 storage
+            streams.append(wav_ref.build_wav(
+                wav_ref.pack_pcm(x, bits), fmt_tag=1, channels=1,
+                sample_rate=44100, bits=bits))
+    dec = BatchDecoder(streams)
+    out = dec.decode_all()
+    for data, got in zip(streams, out):
+        ref = _facade(data)
+        np.testing.assert_array_equal(got, ref)
+    assert dec.stats["decoded_seconds_by_format"].get("wav", 0) > 0
