@@ -281,54 +281,62 @@ def _interval_sum(key, starts, d_len, d_xy):
 
 
 # --------------------------------------------------------------- the decoder
+R_BUCKETS = (256, 512, 1024, 1536)
+_BP_CACHE = {}
+
+
+def breakpoints_for_window(cids):
+    """Host-side: concatenated breakpoint arrays for the window's distinct
+    code tables, padded to a static R bucket (so the compiled program is
+    reused across windows with different table sets — the breakpoints are
+    RUNTIME data, only their padded length is static).  Returns
+    (starts i32[R], d_len i32[R], d_xy i32[R], rank_of_table i32[32])."""
+    key = tuple(sorted(cids))
+    hit = _BP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    starts_np, dlen_np, dxy_np = _breakpoints_for(key)
+    R = next((r for r in R_BUCKETS if starts_np.size <= r), starts_np.size)
+    pad = R - starts_np.size
+    starts_np = np.concatenate(
+        [starts_np, np.full(pad, np.int32(0x7FFFFFFF), np.int32)])
+    dlen_np = np.concatenate([dlen_np, np.zeros(pad, np.int32)])
+    dxy_np = np.concatenate([dxy_np, np.zeros(pad, np.int32)])
+    rank_of = np.zeros(len(CODE_TABLES), np.int32)
+    for r, c in enumerate(key):
+        rank_of[c] = r
+    out = (starts_np, dlen_np, dxy_np, rank_of[CODE_ID[:32]])
+    _BP_CACHE[key] = out
+    return out
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("pats", "cid_set", "W", "NBIG", "NC1"),
+    static_argnames=("pats", "W", "NBIG", "NC1"),
 )
 def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
-                tab0, tab1, tab2, c1tab, pattern,
-                pats: tuple, cid_set: tuple, W: int, NBIG: int, NC1: int):
+                rank0, rank1, rank2, lin0, lin1, lin2, c1tab, pattern,
+                starts, d_len, d_xy,
+                pats: tuple, W: int, NBIG: int, NC1: int):
     """Decode big-values + count1 for L independent lanes.
 
     rows:      [L, >=W] uint32 big-endian words (lane bit regions)
     bit_start: [L] first Huffman bit;  bit_limit: [L] one past the region
     bv:        [L] big_values (pairs); bnd0/bnd1: [L] region band bounds
-    tab0..2:   [L] big-values table ids; c1tab: [L] count1 table (0/1)
+    rank0..2:  [L] per-region code-table RANK within this window's
+               breakpoint set (host maps table id -> rank)
+    lin0..2:   [L] per-region linbits; c1tab: [L] count1 table (0/1)
     pattern:   [L] sfb pattern id (kind*16 + sr_idx_my)
-    pats:      static tuple of pattern ids present
-    cid_set:   static tuple of distinct code-table ids present
+    starts/d_len/d_xy: [R] window breakpoint arrays (runtime data, padded
+               to a static R bucket by breakpoints_for_window)
+    pats:      static tuple of pattern ids present (sample-rate-dependent,
+               so the variant count stays tiny)
     W, NBIG, NC1: static row width / big-value steps / count1 steps
 
     Returns (q [L, 576] int32, err [L] bool).
     """
     L = rows.shape[0]
     rows = _u32(rows[:, :W])
-    starts_np, dlen_np, dxy_np = _breakpoints_for(cid_set)
-    starts = jnp.asarray(starts_np)
-    d_len = jnp.asarray(dlen_np)
-    d_xy = jnp.asarray(dxy_np)
-    # per-lane rank of each region's code table within cid_set (static map)
-    rank_of = np.full(len(CODE_TABLES), 0, np.int32)
-    for r, c in enumerate(cid_set):
-        rank_of[c] = r
-    cid_np = np.asarray(CODE_ID[:32], np.int32)
-    rank_np = rank_of[cid_np]  # table id -> rank
-
-    def tab_rank(tab):
-        out = jnp.zeros_like(tab)
-        for t in range(32):
-            if rank_np[t]:
-                out = out + jnp.where(tab == t, np.int32(rank_np[t]), 0)
-        return out
-
-    def tab_lin(tab):
-        out = jnp.zeros_like(tab)
-        for t in range(16, 32):
-            out = out + jnp.where(tab == t, np.int32(LINBITS_TAB[t]), 0)
-        return out
-
-    rank0, rank1, rank2 = tab_rank(tab0), tab_rank(tab1), tab_rank(tab2)
-    lin0, lin1, lin2 = tab_lin(tab0), tab_lin(tab1), tab_lin(tab2)
 
     bop = {p: jnp.asarray(BAND_OF_PAIR[p]) for p in pats}
     tw = jnp.zeros(L, jnp.int32)
@@ -491,11 +499,11 @@ WIN_NORMAL, WIN_START, WIN_SHORT, WIN_STOP = 0, 1, 2, 3
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pats", "cid_set", "spats", "W", "NBIG", "NC1",
+    static_argnames=("pats", "spats", "W", "NBIG", "NC1",
                      "B", "G", "nch"),
 )
-def packed_device_stage(bits, meta16, scfq,
-                        pats: tuple, cid_set: tuple, spats: tuple,
+def packed_device_stage(bits, meta16, scfq, starts, d_len, d_xy,
+                        pats: tuple, spats: tuple,
                         W: int, NBIG: int, NC1: int,
                         B: int, G: int, nch: int):
     """The full device entropy stage for one batch window: Huffman FSM →
@@ -504,21 +512,24 @@ def packed_device_stage(bits, meta16, scfq,
     ~100 bytes of side info per lane.
 
     bits:   [L, W] uint32 lane bit rows (L = B·G·nch)
-    meta16: [L, 12] int16 — bit_start, bit_limit, big_values, bnd0, bnd1,
-            tab0, tab1, tab2, count1_table, pattern, ms_flag, block_type
+    meta16: [L, 15] int16 — bit_start, bit_limit, big_values, bnd0, bnd1,
+            rank0, rank1, rank2, lin0, lin1, lin2, count1_table, pattern,
+            ms_flag, block_type
     scfq:   [L, 40] int16 quarter-exponent gains
+    starts/d_len/d_xy: the window's breakpoint arrays
+            (breakpoints_for_window)
 
     Returns (xq [B, G, nch, 576] f32, aa [B, G, nch] i32,
              wt [B, G, nch, 32] i32).
     """
     L = B * G * nch
-    cols = [meta16[:, i].astype(jnp.int32) for i in range(12)]
-    (bit_start, bit_limit, bv, bnd0, bnd1, tab0, tab1, tab2, c1tab,
-     pattern, ms, btype) = cols
+    cols = [meta16[:, i].astype(jnp.int32) for i in range(15)]
+    (bit_start, bit_limit, bv, bnd0, bnd1, rank0, rank1, rank2,
+     lin0, lin1, lin2, c1tab, pattern, ms, btype) = cols
     q, _err = huff_decode(bits, bit_start, bit_limit, bv, bnd0, bnd1,
-                          tab0, tab1, tab2, c1tab, pattern,
-                          pats=pats, cid_set=cid_set, W=W,
-                          NBIG=NBIG, NC1=NC1)
+                          rank0, rank1, rank2, lin0, lin1, lin2,
+                          c1tab, pattern, starts, d_len, d_xy,
+                          pats=pats, W=W, NBIG=NBIG, NC1=NC1)
     xq = dequant(q, scfq, pattern, pats=pats)
     if spats:
         xq = reorder_short(xq, pattern, spats=spats)
@@ -551,3 +562,61 @@ def packed_device_stage(bits, meta16, scfq,
     )
     aa = jnp.where(is_short, nlb - 1, 31)
     return xq, aa.reshape(B, G, nch), wt.reshape(B, G, nch, 32)
+
+
+# ------------------------------------------------------------ blob window
+# The dev link to the chip has a large PER-TRANSFER fixed cost (measured
+# 0.05–0.5 s RTT depending on tunnel weather), so the scheduler packs a
+# whole window's payload into ONE uint32 blob (bits rows ‖ meta ‖ scf ‖
+# breakpoints) and runs entropy+DSP as ONE fused jitted call: one upload,
+# one execute per window.
+
+def blob_layout(L: int, Wb: int, R: int):
+    """Static u32 offsets for the window blob."""
+    n_bits = L * Wb
+    n_meta = L * 8           # 16 int16 columns = 8 u32 per lane
+    n_scf = L * 20           # 40 int16 = 20 u32
+    n_bp = R * 3
+    total = n_bits + n_meta + n_scf + n_bp
+    return n_bits, n_meta, n_scf, n_bp, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pats", "spats", "L", "Wb", "R", "B", "G", "nch"),
+)
+def packed_window_blob(blob, overlap, shist, n_act,
+                       pats: tuple, spats: tuple,
+                       L: int, Wb: int, R: int, B: int, G: int, nch: int):
+    """One-shot MP3 window: unpack the blob, run the Huffman FSM + dequant
+    + reorder + MS mix, then the scan-free window DSP.  Returns
+    (pcm [B,G,nch,576], overlap', shist')."""
+    from . import mp3_dsp
+
+    n_bits, n_meta, n_scf, n_bp, _ = blob_layout(L, Wb, R)
+    o = 0
+    bits = blob[o : o + n_bits].reshape(L, Wb)
+    o += n_bits
+    meta16 = jax.lax.bitcast_convert_type(
+        blob[o : o + n_meta].reshape(L, 8), jnp.int16
+    ).reshape(L, 16)
+    o += n_meta
+    scfq = jax.lax.bitcast_convert_type(
+        blob[o : o + n_scf].reshape(L, 20), jnp.int16
+    ).reshape(L, 40)
+    o += n_scf
+    bp = jax.lax.bitcast_convert_type(
+        blob[o : o + n_bp].reshape(R, 3, 1), jnp.int32
+    ).reshape(R, 3)
+    starts, d_len, d_xy = bp[:, 0], bp[:, 1], bp[:, 2]
+    xq, aa, wt = packed_device_stage(
+        bits, meta16[:, :15], scfq, starts, d_len, d_xy,
+        pats=pats, spats=spats, W=Wb, NBIG=288, NC1=144,
+        B=B, G=G, nch=nch,
+    )
+    ph_f = jnp.zeros((1, G, 1, 1), jnp.float32)
+    ph_i = jnp.zeros((1, G, 1, 1), jnp.int32)
+    return mp3_dsp.mp3_window_dsp(
+        xq, ph_f, ph_f, ph_i, aa, wt, overlap, shist, n_act,
+        nch=nch, ngr=G, use_perm=False, dequant=False, use_mix=False,
+    )

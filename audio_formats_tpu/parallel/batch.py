@@ -422,7 +422,6 @@ class BatchDecoder:
         aa_c = np.zeros((G, nch), np.int32)   # C fills; device rebuilds
         wt_c = np.zeros((G, nch, 32), np.int32)
         pending = []
-        meta_cols = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
         while active.any():
             t_host = time.perf_counter()
             bits = np.empty((Bp, NL, LW), np.uint32)
@@ -472,52 +471,57 @@ class BatchDecoder:
             if not n_act.any():
                 break
             t_enq = time.perf_counter()
-            # static buckets: row words / big-value steps / count1 steps
+            # static buckets kept coarse (row words only) so the compiled
+            # variant count stays tiny; the window's Huffman breakpoint set
+            # rides as RUNTIME arrays padded to an R bucket
             Wb = next(w for w in (16, 32, 64, LW) if mw_max <= w)
             live = meta[:, :, 2] > 0
             pats = tuple(sorted(
                 int(p) for p in np.unique(meta[:, :, 10][live])
             )) or (0,)
-            tabs = np.unique(meta[:, :, 6:9][live])
-            cid_set = tuple(sorted(
-                {int(mp3_huff.CODE_ID[t]) for t in tabs} or {0}
-            ))
+            tabs = meta[:, :, 6:9]
+            cids = {int(mp3_huff.CODE_ID[t])
+                    for t in np.unique(tabs[live])} or {0}
+            starts, d_len, d_xy, rank_of = \
+                mp3_huff.breakpoints_for_window(cids)
             spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
-            bv_live = meta[:, :, 3][live]
-            max_bv = int(bv_live.max()) if bv_live.size else 0
-            NBIG = next(n for n in (96, 192, 288) if max_bv <= n)
-            maxq = int(((572 - 2 * bv_live.min()) // 4 + 1)) \
-                if bv_live.size else 144
-            NC1 = next(n for n in (48, 96, 144) if maxq <= n)
             L = Bp * NL
-            bits_w = np.ascontiguousarray(bits[:, :, :Wb]).reshape(L, Wb)
-            meta16 = np.ascontiguousarray(
-                meta[:, :, list(meta_cols)].astype(np.int16)
-            ).reshape(L, len(meta_cols))
-            scfq_f = scfq.reshape(L, 40)
-            (bits_d, meta_d, scfq_d, overlap, shist, n_act_d) = \
-                _shard_batch(self._mesh, bits_w, meta16, scfq_f,
-                             overlap, shist, n_act)
-            xq, aa_d, wt_d = mp3_huff.packed_device_stage(
-                bits_d, meta_d, scfq_d, pats=pats, cid_set=cid_set,
-                spats=spats, W=Wb, NBIG=NBIG, NC1=NC1,
-                B=Bp, G=G, nch=nch,
-            )
-            ph_f = np.zeros((1, G, 1, 1), np.float32)
-            ph_i = np.zeros((1, G, 1, 1), np.int32)
-            pcm, overlap, shist = mp3_dsp.mp3_window_dsp(
-                xq, ph_f, ph_f, ph_i, aa_d, wt_d, overlap, shist,
-                n_act_d, nch=nch, ngr=G, use_perm=False,
-                dequant=False, use_mix=False,
+            R = starts.size
+            # ONE u32 blob per window (bits ‖ meta ‖ scf ‖ breakpoints):
+            # the dev link charges a large fixed cost per transfer, so the
+            # whole window ships as one upload + one fused execute
+            ranks = rank_of[tabs]                      # [Bp, NL, 3]
+            lins = mp3_huff.LINBITS_TAB[tabs]
+            meta16 = np.concatenate([
+                meta[:, :, [1, 2, 3, 4, 5]], ranks, lins,
+                meta[:, :, [9, 10, 11, 12]],
+                np.zeros((Bp, NL, 1), meta.dtype),     # pad to 16 cols
+            ], axis=2).astype(np.int16).reshape(L, 16)
+            n_bits, n_meta, n_scf, n_bp, total = \
+                mp3_huff.blob_layout(L, Wb, R)
+            blob = np.empty(total, np.uint32)
+            o = 0
+            blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
+            o += n_bits
+            blob[o : o + n_meta] = meta16.reshape(-1).view(np.uint32)
+            o += n_meta
+            blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
+            o += n_scf
+            blob[o : o + n_bp] = np.ascontiguousarray(
+                np.stack([starts, d_len, d_xy], axis=1)
+            ).reshape(-1).view(np.uint32)
+            (blob_d, overlap, shist, n_act_d) = _shard_batch(
+                self._mesh, blob, overlap, shist, n_act)
+            pcm, overlap, shist = mp3_huff.packed_window_blob(
+                blob_d, overlap, shist, n_act_d, pats=pats, spats=spats,
+                L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch,
             )
             try:
                 pcm.copy_to_host_async()
             except AttributeError:
                 pass
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += (
-                bits_w.nbytes + meta16.nbytes + scfq_f.nbytes + n_act.nbytes
-            )
+            self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes
             self.stats["windows"] += 1
             pending.append((pcm, n_act.copy()))
         return pending, demoted

@@ -215,6 +215,88 @@ def build_corpus(n_mp3, n_flac, rng_seed=7):
 
 
 # --------------------------------------------------------------- diagnostics
+def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
+    """Full MP3 decode throughput with window payloads RESIDENT on device:
+    Huffman FSM + dequant + reorder + MS mix + window DSP, chained through
+    the carried state.  This is the chip's true decode rate — what a
+    training loop over a device-cached compressed dataset sees — measured
+    on REAL corpus windows (the end-to-end number also pays the dev
+    tunnel, which fluctuates 0.2–80 MB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_formats_tpu import models
+    from audio_formats_tpu.host import native as _native
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu.ops import mp3_huff
+
+    lib = _native.get_lib()
+    decs = [models.probe_all(MemorySource(m)) for m in mp3_streams[:B]]
+    B = len(decs)
+    W, ngr, nch = 24, 2, 2
+    G, NL, LW = W * ngr, W * ngr * nch, _native.LANE_WORDS
+    bits = np.empty((B, NL, LW), np.uint32)
+    meta = np.zeros((B, NL, 16), np.int32)
+    scfq = np.zeros((B, NL, 40), np.int16)
+    aa_c = np.zeros((G, nch), np.int32)
+    wt_c = np.zeros((G, nch, 32), np.int32)
+    flags = np.zeros(W, np.uint8)
+    states = []
+    for d in decs:
+        states.append((np.zeros(511, np.uint8), np.zeros(1, np.int32),
+                       d._ist_pos))
+    n_act = np.zeros(B, np.int32)
+    mw_max = 16
+    for bi, d in enumerate(decs):
+        n, off, mw, _ = _native.mp3_parse_window_packed(
+            lib, d._view, d._offset, d._hdr0, W, ngr, nch, states[bi],
+            bits[bi], meta[bi], scfq[bi], aa_c, wt_c, flags)
+        n_act[bi] = n * ngr
+        mw_max = max(mw_max, mw)
+    Wb = next(w for w in (16, 32, 64, LW) if mw_max <= w)
+    live = meta[:, :, 2] > 0
+    pats = tuple(sorted(int(p) for p in np.unique(meta[:, :, 10][live])))
+    cids = {int(mp3_huff.CODE_ID[t])
+            for t in np.unique(meta[:, :, 6:9][live])}
+    starts, d_len, d_xy, rank_of = mp3_huff.breakpoints_for_window(cids)
+    spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
+    L, R = B * NL, starts.size
+    tabs = meta[:, :, 6:9]
+    meta16 = np.concatenate([
+        meta[:, :, [1, 2, 3, 4, 5]], rank_of[tabs],
+        mp3_huff.LINBITS_TAB[tabs], meta[:, :, [9, 10, 11, 12]],
+        np.zeros((B, NL, 1), meta.dtype),
+    ], axis=2).astype(np.int16).reshape(L, 16)
+    n_bits, n_meta, n_scf, n_bp, total = mp3_huff.blob_layout(L, Wb, R)
+    blob = np.empty(total, np.uint32)
+    o = 0
+    blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
+    o += n_bits
+    blob[o : o + n_meta] = meta16.reshape(-1).view(np.uint32)
+    o += n_meta
+    blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
+    o += n_scf
+    blob[o : o + n_bp] = np.ascontiguousarray(
+        np.stack([starts, d_len, d_xy], axis=1)).reshape(-1).view(np.uint32)
+    blob_d = jax.device_put(blob)
+    overlap = jnp.zeros((B, nch, 32, 18), jnp.float32)
+    shist = jnp.zeros((B, nch, 16, 32), jnp.float32)
+    na = jax.device_put(n_act)
+    pcm, overlap, shist = mp3_huff.packed_window_blob(
+        blob_d, overlap, shist, na, pats=pats, spats=spats,
+        L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
+    _ = np.asarray(pcm[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        pcm, overlap, shist = mp3_huff.packed_window_blob(
+            blob_d, overlap, shist, na, pats=pats, spats=spats,
+            L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
+    _ = np.asarray(pcm[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    audio = float(n_act.sum()) * 576 / 44100.0
+    return audio / dt, blob.nbytes, audio
+
+
 def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
     """Device ceiling: the MP3 window DSP alone (inputs device-resident),
     timed with chained state and a forced element fetch (block_until_ready
@@ -307,6 +389,7 @@ def main():
     dl_rtx = dec_np.stats["decoded_seconds"] / (time.perf_counter() - t0)
 
     dsp_rtx = bench_device_dsp_only()
+    res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3)
     up_bw, down_bw = measure_link()
 
     by = {k: round(v, 1) for k, v in
@@ -334,6 +417,11 @@ def main():
                           "down": round(down_bw / 1e6, 1)},
             "full_download_rtx": round(dl_rtx, 2),
             "device_dsp_only_rtx_mp3_b1024": round(dsp_rtx, 2),
+            # full decode (entropy FSM + DSP) with inputs device-resident:
+            # the chip's true rate, independent of the dev tunnel weather
+            "device_resident_full_decode_rtx_mp3_b512": round(res_rtx, 2),
+            "device_resident_window": {
+                "bytes": res_bytes, "audio_s": round(res_audio, 1)},
             "backend": jax.default_backend(),
         },
     }

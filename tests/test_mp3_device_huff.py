@@ -83,15 +83,19 @@ def test_fsm_q_bit_exact(rng):
             if n == 0:
                 break
             pats = tuple(sorted(set(int(p) for p in meta[:, 10])))
-            cid_set = tuple(sorted(
-                {int(mp3_huff.CODE_ID[t]) for t in meta[:, 6:9].ravel()}
-            ))
+            cids = {int(mp3_huff.CODE_ID[t]) for t in meta[:, 6:9].ravel()}
+            starts, d_len, d_xy, rank_of = \
+                mp3_huff.breakpoints_for_window(cids)
+            ranks = rank_of[meta[:, 6:9]]
+            lins = mp3_huff.LINBITS_TAB[meta[:, 6:9]]
             Wb = max(16, int(mw))
             q, _ = mp3_huff.huff_decode(
                 bits[:, :Wb], meta[:, 1], meta[:, 2], meta[:, 3],
-                meta[:, 4], meta[:, 5], meta[:, 6], meta[:, 7],
-                meta[:, 8], meta[:, 9], meta[:, 10],
-                pats=pats, cid_set=cid_set, W=Wb, NBIG=288, NC1=144)
+                meta[:, 4], meta[:, 5],
+                ranks[:, 0], ranks[:, 1], ranks[:, 2],
+                lins[:, 0], lins[:, 1], lins[:, 2],
+                meta[:, 9], meta[:, 10], starts, d_len, d_xy,
+                pats=pats, W=Wb, NBIG=288, NC1=144)
             q = np.asarray(q)
             for w in range(n):
                 if not (flags[w] & 1):
