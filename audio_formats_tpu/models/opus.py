@@ -16,9 +16,12 @@ Parity target: dopus.d.  Implemented this round:
   silence with exact sample accounting
 
 CELT-only streams (music; configs 16-31) decode fully via models/celt.py.
-SILK-only streams (speech; configs 0-11) decode fully via models/silk.py
-with polyphase upsampling to 48 kHz (ops/resample.py), aligned to the
-libopus decoder's SILK-path delay.  Hybrid streams (configs 12-15)
+SILK-only streams (speech; configs 0-11) decode fully via models/silk.py,
+upsampled to 48 kHz with the libopus-identified resampler kernels
+(ops/resample.py FittedUpsampler, ~81 dB vs the oracle's own resampler;
+AF_TPU_REFERENCE_RESAMPLER=1 selects the exact mirror of the reference's
+speex quality-3 path instead, dopus.d:5381+).  Hybrid streams (configs
+12-15)
 decode SILK WB + the CELT layer from band 17 on the shared range
 decoder, including mode-transition redundancy crossfades.  NOT yet
 implemented: LBRR redundancy frames and multistream channel mappings;
@@ -425,9 +428,48 @@ class OpusStreamDecoder:
         self._silk = None
         self._silk_rs = None
         self._silk_bw = None
+        #: CELT delay FIFO for hybrid (av_audio_fifo celt_delay,
+        #: dopus.d:6424-6466) + resampler deficit + unfinished tail fade
+        self._celt_hyb_delay = np.zeros((0, output_channels), np.float32)
+        self._delayed = 0
+        self._red_carry = None
+        self._silk_drop = 0
+
+    #: initial 48 kHz output samples to drop per SILK bandwidth (NB/MB/WB),
+    #: calibrated so the speex-Q3 resampled stream aligns at zero lag with
+    #: libopus decoding the same packets at 48 kHz
+    _SILK_DROP_48 = [2, 2, 2]
+
+    def _flush_silk_resampler(self):
+        """Drain the resampler's delayed samples (+ the hybrid CELT FIFO)
+        when leaving SILK/hybrid mode or changing the SILK rate
+        (opus_flush_resample, dopus.d:6280-6312 / flush_needed
+        dopus.d:6520-6553).  Returns the flushed PCM (possibly empty)."""
+        n = self._delayed
+        if self._silk_rs is None or n <= 0:
+            self._silk_rs = None
+            self._silk_bw = None
+            self._delayed = 0
+            self._celt_hyb_delay = self._celt_hyb_delay[:0]
+            return np.zeros((0, self.channels), np.float32)
+        cols = [rs.flush(n) for rs in self._silk_rs]
+        fl = np.stack(cols, 1).astype(np.float32)
+        if self._celt_hyb_delay.shape[0]:
+            m = min(n, self._celt_hyb_delay.shape[0])
+            fl[:m] += self._celt_hyb_delay[:m]
+        self._celt_hyb_delay = self._celt_hyb_delay[:0]
+        self._apply_red_carry(fl)
+        self._silk_rs = None
+        self._silk_bw = None
+        self._delayed = 0
+        return fl
 
     def decode_packet(self, pk) -> np.ndarray:
         out = []
+        if pk["mode"] == "celt" and self._silk_rs is not None:
+            fl = self._flush_silk_resampler()
+            if fl.shape[0]:
+                out.append(fl)
         for frame in pk["frames"]:
             n = pk["frame_size"]
             if len(frame) == 0:
@@ -442,8 +484,13 @@ class OpusStreamDecoder:
                 coded = 2 if pk["stereo"] else 1
                 if self._silk is not None:
                     self._silk.flush()  # mode switch (dopus.d:6396)
-                pcm = self._celt.decode_frame(rd, coded, n, 0, endband)
-                out.append(pcm.astype(np.float32))
+                pcm = self._celt.decode_frame(
+                    rd, coded, n, 0, endband).astype(np.float32)
+                if self._celt_hyb_delay.shape[0]:
+                    # spurious hybrid delay samples: drained (dopus.d:6439)
+                    self._celt_hyb_delay = self._celt_hyb_delay[:0]
+                self._apply_red_carry(pcm)
+                out.append(pcm)
                 continue
             if pk["mode"] in ("silk", "hybrid"):
                 pcm = self._decode_silk_frame(pk, frame)
@@ -455,14 +502,7 @@ class OpusStreamDecoder:
         return np.concatenate(out) if out else \
             np.zeros((0, self.channels), np.float32)
 
-    #: alignment delay of the libopus decoder's SILK path in 48 kHz
-    #: samples, measured against opus_decode_float per bandwidth
-    #: (NB/MB/WB); applied via the resampler so Ogg preskip trims the same
-    #: audio a libopus-based player would
-    _SILK_DELAY_48 = [15, 27, 29]
-
     def _decode_silk_frame(self, pk, frame: bytes) -> np.ndarray:
-        from ..ops.resample import PolyphaseUpsampler
         from .silk import SilkDecoder
 
         hybrid = pk["mode"] == "hybrid"
@@ -476,23 +516,63 @@ class OpusStreamDecoder:
         coded = 2 if pk["stereo"] else 1
         if self._silk is None:
             self._silk = SilkDecoder(output_channels=self.channels)
+        flush_pcm = None
+        if self._silk_rs is not None and self._silk_bw != bw:
+            # SILK rate change: flush the old-rate tail first
+            # (flush_needed on cur_samplerate != silk_samplerate,
+            # dopus.d:6521)
+            flush_pcm = self._flush_silk_resampler()
         if self._silk_rs is None or self._silk_bw != bw:
-            ratio = [6, 4, 3][bw]
-            # the stereo unmix path has one native sample less intrinsic
-            # delay than the mono copy path (mid[i-1] vs output-2)
-            extra = self._SILK_DELAY_48[bw] + \
-                (ratio if self.channels == 2 else 0)
-            self._silk_rs = [
-                PolyphaseUpsampler(ratio, extra)
-                for _ in range(self.channels)
-            ]
+            import os as _os
+
+            if _os.environ.get("AF_TPU_REFERENCE_RESAMPLER"):
+                # the reference's own path: speex quality-3 mirror
+                # (dopus.d:6326) with its initial-silence alignment feed
+                from ..ops.resample import SpeexResampler
+
+                rate = [8000, 12000, 16000][bw]
+                self._silk_rs = [SpeexResampler(rate)
+                                 for _ in range(self.channels)]
+                delay = [4, 8, 11][bw] + (1 if self.channels == 2 else 0)
+                for rs in self._silk_rs:
+                    rs.process(np.zeros(delay, np.float32), 128)
+                self._silk_drop = self._SILK_DROP_48[bw]
+            else:
+                # production path: libopus-identified kernels (~81 dB vs
+                # the oracle's own resampler, tools/fit_silk_resampler.py);
+                # alignment is inherent in the fit.  Stereo feeds one
+                # native zero: the unmix path has one sample less
+                # intrinsic delay than the mono copy path (mid[i-1])
+                from ..ops.resample import FittedUpsampler
+
+                self._silk_rs = [FittedUpsampler(bw)
+                                 for _ in range(self.channels)]
+                # our native SILK stream leads libopus' 16 kHz output by
+                # silk_resample_delay[bw] samples (measured; dopus.d:6243
+                # feeds the same counts as silence) — plus one for stereo:
+                # the unmix path has one sample less intrinsic delay
+                feed = [3, 8, 11][bw] + (1 if self.channels == 2 else 0)
+                for rs in self._silk_rs:
+                    rs.process(np.zeros(feed, np.float32), 0)
+                self._silk_drop = 0
             self._silk_bw = bw
         rd = RangeDecoder(frame)
         native = self._silk.decode_superframe(rd, bw, coded, dur_ms)
-        cols = [rs.process(native[:, c])
+        cols = [rs.process(native[:, c], pk["frame_size"])
                 for c, rs in enumerate(self._silk_rs)]
         n48 = min(c.shape[0] for c in cols)
         pcm = np.stack([c[:n48] for c in cols], 1)
+        if self._silk_drop:
+            # initial alignment drop (calibrated against libopus decoding
+            # at 48 kHz: the speex-Q3 chain runs this many samples late);
+            # early packets run short — the reference tracks the same
+            # shortfall as delayed_samples (dopus.d:6393) and the stream
+            # layer's EOS drain makes the count up from the tail
+            k = min(self._silk_drop, pcm.shape[0])
+            pcm = pcm[k:]
+            self._silk_drop -= k
+        delayed = self._delayed  # pre-frame value (dopus.d:6374)
+        self._delayed += pk["frame_size"] - pcm.shape[0]
 
         if hybrid:
             # redundancy flag + size (dopus.d:6400-6420), then the CELT
@@ -501,7 +581,7 @@ class OpusStreamDecoder:
             size = len(frame)
             redundancy = 0
             redundancy_pos = 0
-            red_size = 0
+            red = None
             if rd.tell() + 37 <= size * 8:
                 redundancy = rd.dec_bit_logp(12)
             if redundancy:
@@ -513,17 +593,27 @@ class OpusStreamDecoder:
                 rd.rebound_end(size)
                 if redundancy_pos:
                     self._celt.flush()
-                    self._decode_redundancy(frame[size:], coded, bw,
-                                            pcm, at_start=True)
+                    red = self._decode_red_frame(frame[size:], coded, bw)
             endband = 19 if pk["config"] < 14 else 21
             celt_pcm = self._celt.decode_frame(
-                rd, coded, pk["frame_size"], 17, endband)
-            m = min(pcm.shape[0], celt_pcm.shape[0])
-            pcm[:m] += celt_pcm[:m]
-            if redundancy and not redundancy_pos:
+                rd, coded, pk["frame_size"], 17, endband
+            ).astype(np.float32)
+            # CELT delay FIFO (dopus.d:6424-6466): the CELT layer is
+            # re-aligned to the (resampler-delayed) SILK timeline — only
+            # the first len(pcm) samples add now, the tail carries over
+            comb = np.concatenate([self._celt_hyb_delay, celt_pcm])
+            n = pcm.shape[0]
+            pcm += comb[:n, : pcm.shape[1]]
+            self._celt_hyb_delay = comb[n:]
+            self._apply_red_carry(pcm)
+            if red is not None:  # redundancy at frame start (dopus.d:6497)
+                self._paste_red_start(pcm, red, delayed)
+            elif redundancy:
                 self._celt.flush()
-                self._decode_redundancy(frame[size:], coded, bw,
-                                        pcm, at_start=False)
+                red = self._decode_red_frame(frame[size:], coded, bw)
+                self._fade_red_tail(pcm, red, delayed)
+            if flush_pcm is not None and flush_pcm.shape[0]:
+                pcm = np.concatenate([flush_pcm, pcm])
             return pcm
 
         # SILK-only: the CELT layer is flushed while SILK packets play
@@ -532,33 +622,75 @@ class OpusStreamDecoder:
         # fresh state so a following CELT packet starts from the same
         # energy/overlap memory as libopus
         self._celt.flush()
+        self._apply_red_carry(pcm)
         consumed = rd.tell()
         if consumed + 17 <= len(frame) * 8 and pcm.shape[0] >= 240:
             redundancy_pos = rd.dec_bit_logp(1)
             red_size = len(frame) - (consumed + 7) // 8
             if red_size > 0:
-                self._decode_redundancy(frame[len(frame) - red_size :],
-                                        coded, bw, pcm,
-                                        at_start=bool(redundancy_pos))
+                red = self._decode_red_frame(
+                    frame[len(frame) - red_size :], coded, bw)
+                if redundancy_pos:
+                    self._paste_red_start(pcm, red, delayed)
+                else:
+                    self._fade_red_tail(pcm, red, delayed)
+        if flush_pcm is not None and flush_pcm.shape[0]:
+            pcm = np.concatenate([flush_pcm, pcm])
         return pcm
 
-    def _decode_redundancy(self, data: bytes, coded: int, bw: int,
-                           pcm: np.ndarray, at_start: bool) -> None:
-        """Decode a 5 ms CELT redundancy frame and crossfade it with the
-        main output (opus_decode_redundancy dopus.d:6340, fades
-        dopus.d:6480-6505).  SILK MB redundancy uses the WB CELT layout."""
-        if len(data) < 1 or pcm.shape[0] < 240:
-            return
+    def _decode_red_frame(self, data: bytes, coded: int, bw: int):
+        """Decode a 5 ms CELT redundancy frame (opus_decode_redundancy
+        dopus.d:6340).  SILK MB redundancy uses the WB CELT layout."""
+        if len(data) < 1:
+            return None
         endband = [13, 17, 17, 19, 21][min(bw, 4)]
         rd2 = RangeDecoder(data)
         red = self._celt.decode_frame(rd2, coded, 240, 0, endband)
-        red = red[:, : pcm.shape[1]]
+        return red[:, : self.channels].astype(np.float32)
+
+    def _paste_red_start(self, pcm, red, delayed: int) -> None:
+        """Redundancy at frame start (dopus.d:6497-6502): memcpy the first
+        120 samples at the delayed offset, then fade the next 120
+        (out·w² + red·(1−w²))."""
+        if red is None or pcm.shape[0] < delayed + 240:
+            return
         w2 = self._celt_w2()
-        if at_start:
-            pcm[:120] = red[:120]
-            pcm[120:240] = pcm[120:240] * w2 + red[120:240] * (1 - w2)
-        else:
-            pcm[-120:] = red[120:240] * w2 + pcm[-120:] * (1 - w2)
+        pcm[delayed : delayed + 120] = red[:120]
+        seg = slice(delayed + 120, delayed + 240)
+        pcm[seg] = pcm[seg] * w2 + red[120:240] * (1 - w2)
+
+    def _fade_red_tail(self, pcm, red, delayed: int) -> None:
+        """Redundancy at frame end (dopus.d:6487-6494): fade
+        red·w² + out·(1−w²) over the last 120−delayed samples; the
+        unfinished part of the fade carries into the NEXT frame
+        (redundancy_idx, dopus.d:6471-6478)."""
+        if red is None:
+            return
+        n = pcm.shape[0]
+        delayed = min(delayed, 119)
+        ln = 120 - delayed
+        start = n - 120 + delayed
+        if start < 0 or n < ln:
+            return
+        w2 = self._celt_w2()
+        pcm[start : start + ln] = (red[120 : 120 + ln] * w2[:ln]
+                                   + pcm[start : start + ln] * (1 - w2[:ln]))
+        if delayed:
+            self._red_carry = (red, ln)
+
+    def _apply_red_carry(self, pcm) -> None:
+        """Continue an unfinished tail fade on the next frame
+        (s.redundancy_idx block, dopus.d:6471-6478)."""
+        if self._red_carry is None:
+            return
+        red, idx = self._red_carry
+        self._red_carry = None
+        ln = 120 - idx
+        if ln <= 0 or pcm.shape[0] < ln:
+            return
+        w2 = self._celt_w2()
+        pcm[:ln] = (red[120 + idx : 240] * w2[idx:]
+                    + pcm[:ln] * (1 - w2[idx:]))
 
     @staticmethod
     def _celt_w2():

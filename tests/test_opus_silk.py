@@ -201,9 +201,10 @@ def test_ogg_silk_facade_48k():
     err = out[300 : m - 300] - ref[300 : m - 300]
     snr = 10 * np.log10((ref[300 : m - 300] ** 2).mean() /
                         (err ** 2).mean())
-    # aligned at zero shift; level limited by resampler differences
-    # (this decoder: linear-phase polyphase sinc; libopus: IIR/FIR hybrid)
-    assert snr > 18.0, snr
+    # aligned at zero shift; the resampler is system-identified from
+    # libopus itself (~81 dB, tools/fit_silk_resampler.py), so the level
+    # is limited by the native SILK decode accuracy
+    assert snr > 45.0, snr
     # sample-accurate seek from the page anchor
     st.seek_position(3000)
     chunk = st.read_samples_float(500)
@@ -269,7 +270,9 @@ def test_hybrid_facade(bw_ctl, channels, bitrate):
     m = min(len(out), len(ref))
     err = out[300 : m - 300] - ref[300 : m - 300]
     snr = 10 * np.log10((ref[300 : m - 300] ** 2).mean() / (err ** 2).mean())
-    assert snr > 18.0, snr
+    # the SILK layer rides the libopus-identified resampler; the stereo
+    # case is limited by native stereo-SILK accuracy
+    assert snr > 25.0, snr
 
 
 @needs_oracle
