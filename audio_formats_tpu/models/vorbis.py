@@ -673,6 +673,19 @@ class VorbisDecoder:
         ``pcm`` is None for lap-priming packets (no previous window);
         ``virtual_ret`` is the sample count the packet *would* have returned
         — needed for position accounting after a seek."""
+        ent = self._packet_entropy(packet)
+        if ent is None:
+            return None, 0
+        spec, geom = ent
+        y = mdct_ops.imdct_host(spec, geom[0])  # [ch, n] raw (writable)
+        return self._finish_packet(y, geom, granule)
+
+    def _packet_entropy(self, packet: bytes):
+        """Host entropy half of one audio packet: floors, residues,
+        coupling, floor-dot — everything up to the IMDCT.  Returns
+        (spec [ch, n/2] f32, (n, left_start, right_start, right_end)) or
+        None for non-audio/invalid packets.  The batched scheduler stacks
+        many lanes' spectra into one device IMDCT matmul."""
         br = BitReaderLSB(packet)
         try:
             if br.read(1) != 0:
@@ -757,7 +770,7 @@ class VorbisDecoder:
             residues[m.coupling_mag[i]] = newM
             residues[m.coupling_ang[i]] = newA
 
-        # floor dot + IMDCT (device)
+        # floor dot
         spec = np.zeros((ch, n2), dtype=np.float32)
         for c in range(ch):
             if not really_zero[c] and curves[c] is not None:
@@ -766,9 +779,13 @@ class VorbisDecoder:
                 # channel pulled in by coupling but its own floor unused:
                 # spectrum stays zero (stb: really_zero suppresses output)
                 pass
-        y = mdct_ops.imdct_host(spec, n)  # [ch, n] raw (writable)
+        return spec, (n, left_start, right_start, right_end)
 
-        # lapped windowing (finish_frame contract)
+    def _finish_packet(self, y, geom, granule):
+        """Lapped-windowing half (finish_frame contract): overlap-add with
+        the carried half-window, slice the returned region, save the lap."""
+        n, left_start, right_start, right_end = geom
+        ch = self.channels
         had_prev = self._prev is not None
         if had_prev and self._prev.shape[1] > 0:
             mdct_ops.overlap_add(y, self._prev, left_start)

@@ -104,3 +104,11 @@ def overlap_add(y: np.ndarray, prev: np.ndarray, left_start: int) -> None:
     seg = y[:, left_start : left_start + Lu]
     y[:, left_start : left_start + Lu] = (seg * w[:Lu] +
                                           prev[:, :Lu] * w[::-1][:Lu])
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def imdct_batch(X, n: int):
+    """Batched IMDCT for the lockstep scheduler: [L, n/2] spectra (stacked
+    lane-channels) → [L, n] raw time windows in one MXU matmul."""
+    M = jnp.asarray(imdct_matrix(n))
+    return jnp.dot(X, M, precision=jax.lax.Precision.HIGHEST)

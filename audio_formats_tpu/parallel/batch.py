@@ -32,6 +32,7 @@ from ..models.flac import FlacDecoder
 from ..models.mp3 import Mp3Decoder
 from ..models.opus import OpusDecoder, parse_packet as _opus_parse
 from ..models.qoa import QoaDecoder
+from ..models.vorbis import VorbisDecoder
 from ..models.wav import WavDecoder, _LINEAR_PCM
 from ..ops import lms as lms_ops
 from ..ops import lpc as lpc_ops
@@ -255,6 +256,7 @@ class BatchDecoder:
         opus_groups = {}
         qoa_groups = {}
         wav_groups = {}
+        vorbis_groups = {}
         for i, d in enumerate(self.decoders):
             if isinstance(d, Mp3Decoder) and d._layer == 3:
                 # Layers I/II use the per-stream path (different frame
@@ -271,6 +273,8 @@ class BatchDecoder:
                 kind = {1: "u8", 2: "s16", 3: "s24",
                         4: "s32"}[d._byte_per_sample]
                 wav_groups.setdefault(kind, []).append(i)
+            elif isinstance(d, VorbisDecoder):
+                vorbis_groups.setdefault(d.channels, []).append(i)
 
         GROUP = self._group_size or (1024 if to_device else 256)
 
@@ -297,6 +301,9 @@ class BatchDecoder:
         for kind, lanes in wav_groups.items():
             for c in range(0, len(lanes), GROUP):
                 run(lanes[c : c + GROUP], self._decode_wav_group, kind)
+        for nch, lanes in vorbis_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                run(lanes[c : c + GROUP], self._decode_vorbis_group, nch)
         for nch, lanes in opus_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
@@ -1060,6 +1067,74 @@ class BatchDecoder:
             # same float conversion as the facade (qoa.d:825-834)
             result.append(s16.astype(np.float32) * _F32_RECIP)
         return result
+
+    # ------------------------------------------------ batched Vorbis lanes
+    def _decode_vorbis_group(self, decs, key, to_device: bool = False):
+        """Vorbis lockstep: host entropy (codebooks/floors/residues) per
+        lane packet, then ONE device IMDCT matmul per (window-step, block
+        size) bucket over all lanes' stacked channel spectra; the lapped
+        windowing finishes on the host (per-lane carried half-window).
+        K packets per lane per step amortize the device round trip."""
+        from ..ops import mdct as mdct_ops
+
+        B = len(decs)
+        nch = decs[0].channels
+        outputs = [[] for _ in range(B)]
+        active = np.ones(B, bool)
+        K = 8  # packets per lane per step
+        while active.any():
+            t_host = time.perf_counter()
+            entries = []  # (bi, spec, geom, granule)
+            for bi, d in enumerate(decs):
+                for _ in range(K):
+                    if not active[bi]:
+                        break
+                    if d.length_frames and d._pos >= d.length_frames:
+                        active[bi] = False
+                        break
+                    pk = d._reader.next_packet()
+                    if pk is None:
+                        active[bi] = False
+                        break
+                    ent = d._packet_entropy(pk[0])
+                    if ent is None:
+                        continue
+                    entries.append((bi, ent[0], ent[1], pk[1]))
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            if not entries:
+                break
+            # device IMDCT per block size over stacked lane-channels
+            t_enq = time.perf_counter()
+            y_by_entry = [None] * len(entries)
+            for n in sorted({e[2][0] for e in entries}):
+                idxs = [i for i, e in enumerate(entries) if e[2][0] == n]
+                X = np.concatenate([entries[i][1] for i in idxs])
+                (X_d,) = _shard_batch(self._mesh, X)
+                Y = np.asarray(mdct_ops.imdct_batch(X_d, n))
+                self.stats["h2d_bytes"] += X.nbytes
+                self.stats["d2h_bytes"] += Y.nbytes
+                row = 0
+                for i in idxs:
+                    y_by_entry[i] = Y[row : row + nch].copy()
+                    row += nch
+                self.stats["windows"] += 1
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            # host: lapped windowing + per-lane assembly (order preserved:
+            # entries are in (lane, packet) order per step)
+            for (bi, _spec, geom, granule), y in zip(entries, y_by_entry):
+                d = decs[bi]
+                pcm, _virtual = d._finish_packet(y, geom, granule)
+                if pcm is None or pcm.shape[0] == 0:
+                    continue
+                if d.length_frames:
+                    pcm = pcm[: max(0, d.length_frames - d._pos)]
+                d._pos += pcm.shape[0]
+                outputs[bi].append(np.ascontiguousarray(pcm, np.float32))
+        return [
+            np.concatenate(outputs[bi]) if outputs[bi]
+            else np.zeros((0, nch), np.float32)
+            for bi in range(B)
+        ]
 
     # ------------------------------------------------- batched Opus lockstep
     @staticmethod

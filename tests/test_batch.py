@@ -209,3 +209,78 @@ def test_wav_batched_group_bit_exact(rng):
         ref = _facade(data)
         np.testing.assert_array_equal(got, ref)
     assert dec.stats["decoded_seconds_by_format"].get("wav", 0) > 0
+
+
+def test_vorbis_batched_group_equals_facade(rng):
+    """Vorbis lanes decode via the lockstep group (host entropy + batched
+    device IMDCT + host lap) and must match the facade, including mixed
+    long/short windows and ragged lane lengths."""
+    from golden import vorbis_ref
+
+    streams = []
+    for i in range(3):
+        fix = vorbis_ref.Fixture(channels=1, bs0=512, bs1=2048)
+        count = 6 + 2 * i
+        pattern = [(j // 2) % 2 for j in range(count)]
+        frames = []
+        ch = fix.channels
+        for j in range(count):
+            lb = bool(pattern[j])
+            n2 = (fix.bs1 if lb else fix.bs0) // 2
+            posts = [[int(rng.integers(40, 100)) for _ in range(4)]]
+            r = np.zeros(n2)
+            idx = rng.choice(n2, size=n2 // 4, replace=False)
+            r[idx] = rng.integers(-5, 6, size=idx.size) * fix.vq_delta
+            prev_long = bool(pattern[j - 1]) if j > 0 else True
+            next_long = bool(pattern[j + 1]) if j + 1 < count else True
+            frames.append(fix.audio_packet(
+                posts, [r], long_block=lb,
+                prev_flag=1 if prev_long else 0,
+                next_flag=1 if next_long else 0))
+        streams.append(fix.build(frames))
+    dec = BatchDecoder(streams)
+    out = dec.decode_all()
+    for data, got in zip(streams, out):
+        ref = _facade(data)
+        assert got.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / peak < 4e-6
+    assert dec.stats["decoded_seconds_by_format"].get("vorbis", 0) > 0
+
+
+def test_mixed_batch_no_per_stream_fallback(rng, monkeypatch):
+    """A mixed MP3/FLAC/QOA/WAV/Vorbis batch must decode entirely through
+    the device groups: the per-stream fallback (decoder.read) must never
+    run (SURVEY §2.4 uniform-dispatch requirement)."""
+    from golden import qoa_ref, vorbis_ref, wav_ref
+
+    s16 = np.clip(np.round(
+        11000 * np.sin(2 * np.pi * 440 * np.arange(4000) / 44100)),
+        -32768, 32767).astype(np.int64)
+    fix = vorbis_ref.Fixture(channels=1)
+    posts = [[60, 70, 80, 90]]
+    r = np.zeros(fix.bs0 // 2)
+    r[rng.choice(len(r), 40, replace=False)] = \
+        rng.integers(-5, 6, 40) * fix.vq_delta
+    vorbis_data = fix.build([fix.audio_packet(posts, [r])
+                             for _ in range(5)])
+    items = [
+        _mp3(rng, n_frames=4, channels=2),
+        _flac(rng, 4000),
+        qoa_ref.encode(s16.reshape(-1, 1).astype(np.int16), 44100),
+        wav_ref.build_wav(wav_ref.pack_pcm(s16, 16), fmt_tag=1,
+                          channels=1, sample_rate=44100, bits=16),
+        vorbis_data,
+    ]
+    dec = BatchDecoder(items)
+    for d in dec.decoders:
+        monkeypatch.setattr(
+            type(d), "read",
+            lambda self, *a, **k: (_ for _ in ()).throw(
+                AssertionError("per-stream fallback used")),
+        )
+    out = dec.decode_all()
+    for data, got in zip(items, out):
+        assert got is not None and got.shape[0] > 0
+    assert set(dec.stats["decoded_seconds_by_format"]) >= \
+        {"mp3", "flac", "qoa", "wav", "vorbis"}
