@@ -226,6 +226,32 @@ class QoaDecoder:
         return self._pos
 
 
+def pack_qoa_frame(sample_rate: int, ch: int, frame_len: int,
+                   history: np.ndarray, weights: np.ndarray,
+                   sf: np.ndarray, codes: np.ndarray) -> bytes:
+    """Serialize one QOA frame (header + PRE-frame LMS state + slice words,
+    qoa.d:295-399); shared by the streaming encoder and the batched one."""
+    n_slices = (frame_len + QOA_SLICE_LEN - 1) // QOA_SLICE_LEN
+    f_size = _frame_size(ch, n_slices)
+    hdr = (ch << 56) | (sample_rate << 32) | (frame_len << 16) | f_size
+    out = bytearray(hdr.to_bytes(8, "big"))
+    # LMS state words: history then weights, 4 x s16 BE (qoa.d:315-326)
+    for c in range(ch):
+        for arr in (history, weights):
+            w = 0
+            for i in range(QOA_LMS_LEN):
+                w = (w << 16) | (int(arr[c, i]) & 0xFFFF)
+            out += w.to_bytes(8, "big")
+    sfu = sf[:, :n_slices].astype(np.uint64)
+    cdu = codes[:, :n_slices].astype(np.uint64)
+    words = sfu << np.uint64(60)
+    shifts = np.uint64(57) - np.uint64(3) * np.arange(20, dtype=np.uint64)
+    words |= np.bitwise_or.reduce(cdu << shifts[None, None, :], axis=2)
+    # interleaved on slice level: (ch0,s0),(ch1,s0),(ch0,s1)… (qoa.d:330)
+    out += np.ascontiguousarray(words.T).astype(">u8").tobytes()
+    return bytes(out)
+
+
 class QoaEncoder:
     format = AudioFileFormat.qoa
 
@@ -281,40 +307,17 @@ class QoaEncoder:
 
     def _output_frame(self, frame_len: int) -> None:
         ch = self.channels
-        n_slices = (frame_len + QOA_SLICE_LEN - 1) // QOA_SLICE_LEN
-        f_size = _frame_size(ch, n_slices)
-        hdr = (
-            (ch << 56)
-            | (self.sample_rate << 32)
-            | (frame_len << 16)
-            | f_size
-        )
-        out = bytearray(hdr.to_bytes(8, "big"))
-        # LMS state words: history then weights, 4 x s16 BE (qoa.d:315-326).
-        for c in range(ch):
-            for arr in (self._history, self._weights):
-                w = 0
-                for i in range(QOA_LMS_LEN):
-                    w = (w << 16) | (int(arr[c, i]) & 0xFFFF)
-                out += w.to_bytes(8, "big")
-
         samples = np.zeros((ch, QOA_FRAME_LEN), dtype=np.int32)
         samples[:, :frame_len] = self._staged[:frame_len].T
         sf, codes, h, w = lms.qoa_encode_frame_scan(
             samples, self._history, self._weights, np.int32(frame_len)
         )
-        sf = np.asarray(sf)[:, :n_slices].astype(np.uint64)  # [ch, S]
-        codes = np.asarray(codes)[:, :n_slices].astype(np.uint64)  # [ch,S,20]
+        out = pack_qoa_frame(
+            self.sample_rate, ch, frame_len, self._history, self._weights,
+            np.asarray(sf), np.asarray(codes))
         self._history = np.asarray(h)
         self._weights = np.asarray(w)
-
-        words = sf << np.uint64(60)
-        shifts = np.uint64(57) - np.uint64(3) * np.arange(20, dtype=np.uint64)
-        words |= np.bitwise_or.reduce(codes << shifts[None, None, :], axis=2)
-        # interleaved on slice level: (ch0,s0),(ch1,s0),(ch0,s1)… (qoa.d:330)
-        interleaved = np.ascontiguousarray(words.T).astype(">u8")
-        out += interleaved.tobytes()
-        self._sink.write(bytes(out))
+        self._sink.write(out)
         self._frames_encoded += frame_len
         self._count = 0
 

@@ -188,3 +188,26 @@ def quantize_float_to_int_np(x: np.ndarray, kind: str) -> np.ndarray:
     k = np.floor(xd * scale + 0.5)
     k = np.clip(k, -scale, scale)
     return k.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "dither"))
+def _quantize_rows(x, seeds, kind: str, dither: bool):
+    if dither and kind != "s32":
+        return jax.vmap(lambda r, s: _quantize_dither(r, s, kind))(x, seeds)
+    return jax.vmap(lambda r: _quantize_nodither(r, kind))(x)
+
+
+def quantize_float_to_int_batch(rows, lens, kinds_seed, kind: str, *,
+                                dither: bool):
+    """Batched encode quantize: rows [L, n_pad] float32 (zero-padded),
+    lens [L] valid counts, kinds_seed [L] per-lane dither seeds.  The
+    dither noise at position p is seed+position-determined (length
+    invariant), so each lane reproduces the single-stream encoder's bytes
+    exactly.  Returns a list of [len_i] int32 arrays."""
+    L, n = rows.shape
+    npad = _pad_len(n)
+    xp = np.zeros((L, npad), np.float32)
+    xp[:, :n] = rows
+    out = np.asarray(_quantize_rows(
+        xp, np.asarray(kinds_seed, np.uint32), kind, dither))
+    return [out[i, : lens[i]] for i in range(L)]

@@ -1,0 +1,142 @@
+"""Batched encoders — N independent streams encode in lockstep on device.
+
+The reference encodes one stream at a time (QOAEncoder qoa.d:538,
+WAVEncoder wav.d:365).  Here the per-frame device work — QOA's brute-force
+16-scalefactor LMS search (qoa.d:345-383, already a vectorized axis in
+ops/lms.py) and WAV's TPDF dither + exact round-half-up quantize
+(wav.d:679-701) — lifts to a [streams × channels] lane axis: one device
+call per frame window (QOA) or per batch (WAV) serves every stream.
+
+Outputs are byte-exact vs the streaming single-stream encoders (tested):
+full frames run in lockstep; each stream's final partial frame (per-lane
+length would break the static frame shape) finishes with a per-stream
+call using identical kernels.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..config import EncodingOptions
+from ..models import qoa as qoa_mod
+from ..models.qoa import QOA_FRAME_LEN, QOA_LMS_LEN, QOA_MAGIC
+from ..ops import lms as lms_ops
+from ..ops import pcm as pcm_ops
+
+
+def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int
+                     ) -> List[bytes]:
+    """Encode N streams of float PCM [(frames, ch)] to QOA byte streams.
+
+    Channel counts may differ per stream; lanes = Σ channels.  Byte-exact
+    vs models/qoa.py QoaEncoder."""
+    n = len(pcms)
+    chans = [p.shape[1] for p in pcms]
+    lengths = [p.shape[0] for p in pcms]
+    # quantize float input exactly like QoaEncoder.write
+    s16 = []
+    for p in pcms:
+        if p.dtype == np.float64:
+            q = pcm_ops.quantize_float_to_int_np(p.reshape(-1), "s16")
+        else:
+            q = pcm_ops.quantize_float_to_int(
+                p.reshape(-1).astype(np.float32), "s16", dither=False)
+        s16.append(q.reshape(-1, p.shape[1]).astype(np.int32))
+    L = sum(chans)
+    lane_of = np.cumsum([0] + chans)
+    hist = np.zeros((L, QOA_LMS_LEN), np.int32)
+    wts = np.tile(np.array([0, 0, -(1 << 13), 1 << 14], np.int32), (L, 1))
+    outs = [bytearray(b"\0" * 8) for _ in range(n)]
+
+    n_full = [ln // QOA_FRAME_LEN for ln in lengths]
+    W = max(n_full) if n_full else 0
+    for w in range(W):
+        lanes = np.zeros((L, QOA_FRAME_LEN), np.int32)
+        active = np.zeros(n, bool)
+        for i in range(n):
+            if w < n_full[i]:
+                active[i] = True
+                seg = s16[i][w * QOA_FRAME_LEN : (w + 1) * QOA_FRAME_LEN]
+                lanes[lane_of[i] : lane_of[i + 1]] = seg.T
+        sf, codes, h2, w2 = lms_ops.qoa_encode_frame_scan(
+            lanes, hist, wts, np.int32(QOA_FRAME_LEN))
+        sf, codes, h2, w2 = map(np.asarray, (sf, codes, h2, w2))
+        for i in range(n):
+            if not active[i]:
+                continue
+            sl = slice(lane_of[i], lane_of[i + 1])
+            outs[i] += qoa_mod.pack_qoa_frame(
+                sample_rate, chans[i], QOA_FRAME_LEN,
+                hist[sl], wts[sl], sf[sl], codes[sl])
+        upd = np.repeat(active, chans)
+        hist[upd] = h2[upd]
+        wts[upd] = w2[upd]
+
+    # final partial frames: per-lane lengths break the lockstep shape, so
+    # each finishes with its own (identical-kernel) call
+    for i in range(n):
+        rem = lengths[i] - n_full[i] * QOA_FRAME_LEN
+        if rem <= 0:
+            continue
+        sl = slice(lane_of[i], lane_of[i + 1])
+        lanes = np.zeros((chans[i], QOA_FRAME_LEN), np.int32)
+        lanes[:, :rem] = s16[i][n_full[i] * QOA_FRAME_LEN :].T
+        sf, codes, h2, w2 = lms_ops.qoa_encode_frame_scan(
+            lanes, hist[sl], wts[sl], np.int32(rem))
+        outs[i] += qoa_mod.pack_qoa_frame(
+            sample_rate, chans[i], rem, hist[sl], wts[sl],
+            np.asarray(sf), np.asarray(codes))
+
+    for i in range(n):
+        outs[i][0:8] = ((QOA_MAGIC << 32) | lengths[i]).to_bytes(8, "big")
+    return [bytes(o) for o in outs]
+
+
+def encode_wav_batch(pcms: Sequence[np.ndarray], sample_rate: int,
+                     options: EncodingOptions = None) -> List[bytes]:
+    """Encode N float streams to WAV, batching the TPDF-dither + exact
+    round-half-up quantize into ONE padded [streams, n] device call (the
+    dither noise is seed+position determined, so each lane reproduces the
+    single-stream encoder's bytes exactly).  Byte-exact vs WavEncoder."""
+    import struct
+
+    from ..config import AudioSampleFormat
+    from ..models.wav import _FMT_INFO, _pack_int_pcm
+
+    options = options or EncodingOptions()
+    fmt = options.sample_format
+    sample_size, wformat, qkind = _FMT_INFO[fmt]
+    n = len(pcms)
+    if fmt in (AudioSampleFormat.fp32, AudioSampleFormat.fp64):
+        kindstr = "<f4" if fmt == AudioSampleFormat.fp32 else "<f8"
+        bodies = [np.ascontiguousarray(p).reshape(-1).astype(kindstr)
+                  .tobytes() for p in pcms]
+    else:
+        flats = [np.ascontiguousarray(p, np.float32).reshape(-1)
+                 for p in pcms]
+        lens = [f.shape[0] for f in flats]
+        maxn = max(lens) if lens else 0
+        rows = np.zeros((n, maxn), np.float32)
+        for i, f in enumerate(flats):
+            rows[i, : lens[i]] = f
+        seeds = [(options.dither_seed + 0) & 0xFFFFFFFF] * n
+        ints = pcm_ops.quantize_float_to_int_batch(
+            rows, lens, seeds, qkind,
+            dither=options.enable_dither and qkind != "s32")
+        bodies = [_pack_int_pcm(k, sample_size) for k in ints]
+    outs = []
+    for i, p in enumerate(pcms):
+        ch = p.shape[1]
+        frame_size = sample_size * ch
+        data = bodies[i]
+        riff_length = 4 + (4 + 4 + 16) + (4 + 4 + len(data))
+        hdr = (b"RIFF" + struct.pack("<I", riff_length & 0xFFFFFFFF)
+               + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", wformat, ch, sample_rate,
+                             sample_rate * frame_size, frame_size,
+                             sample_size * 8)
+               + b"data" + struct.pack("<I", len(data) & 0xFFFFFFFF))
+        outs.append(hdr + data)
+    return outs
