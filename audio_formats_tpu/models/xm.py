@@ -15,6 +15,23 @@ detection, and the module API incl. pattern/row seek (libxm.d:951-1071).
 Playback renders 44.1 kHz stereo float with amplification 0.25 and sample
 ramping, matching the reference's build options (XM_RAMPING on, linear
 interpolation off, libxm.d:46-51).
+
+Effect coverage enumeration vs libxm (xm_handle_note_and_instrument,
+libxm.d:1465+, and xm_tick) — every effect the reference implements is
+implemented here:
+
+  0 arpeggio · 1/2 porta up/down · 3 tone porta · 4 vibrato · 5/6 porta/
+  vibrato + vol slide · 7 tremolo · 8 set pan · 9 sample offset ·
+  A vol slide · B position jump · C set volume · D pattern break ·
+  E1/E2 fine porta · E4 vibrato ctl · E5 finetune · E6 pattern loop (FT2
+  E60 bug) · E7 tremolo ctl · E9 retrig · EA/EB fine vol slides ·
+  EC note cut · ED note delay · EE pattern delay · F tempo/BPM ·
+  G global vol · H gvol slide · K key off · L set envelope pos ·
+  P pan slide · R multi retrig · T tremor · X1/X2 extra-fine porta ·
+  volume column 1-5/6/7/8/9/A/B/C/D/E/F (incl. tick-time slides).
+
+Effects the reference does NOT implement (and neither does this engine,
+by parity): E3 glissando control, E8 (FT2 set-panning variant), W (sync).
 """
 
 from __future__ import annotations

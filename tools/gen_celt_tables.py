@@ -25,6 +25,19 @@ OUT = os.path.join(
 )
 REF = "/root/reference/source/audioformats/dopus.d"
 
+def _source():
+    """The reference tree when mounted (cross-validation), else the
+    checked-in spec-constant declarations (tools/spec_constants.py) so the
+    generator runs standalone."""
+    import os as _os
+    import sys as _sys
+    if not _os.environ.get("AF_TOOLS_NO_REF") and _os.path.exists(REF):
+        return open(REF).read()
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from spec_constants import SNIPPETS
+    return SNIPPETS[_os.path.basename(REF)]
+
+
 # ---------------------------------------------------------------- derived
 
 def pvq_u_table(nmax=176, kmax=176):
@@ -240,7 +253,7 @@ def verify_against_reference():
     if not os.path.exists(REF):
         print("reference not available; skipping cross-check")
         return
-    src = open(REF).read()
+    src = _source()
 
     def check_ints(name, flat):
         toks = _extract_ref_ints(src, name)

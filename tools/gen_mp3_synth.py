@@ -15,7 +15,14 @@ The extracted [17, 32, 32] float32 tensor is written to
 audio_formats_tpu/utils/tables/mp3_synth_fir.npz, with structural checks:
 time-invariance, tap decay to exactly zero beyond r=16, and DCT-II symmetry.
 
-Run: python tools/gen_mp3_synth.py
+Run: python tools/gen_mp3_synth.py  (standalone: the g_sec/g_win
+constants — ISO/IEC 11172-3 Table 3-B.3 window values in minimp3's folded
+layout — are checked in via tools/spec_constants.py; the reference tree,
+when mounted, is used for cross-validation only).  The simulation follows
+minimp3's evaluation ORDER rather than the raw ISO formulation on purpose:
+the accuracy contract is 1e-4 vs the reference's float output, so the
+extracted FIR must reproduce its rounding behavior, not the ideal
+filterbank's.
 """
 
 import re
@@ -23,6 +30,19 @@ import re
 import numpy as np
 
 REF = "/root/reference/source/audioformats/minimp3.d"
+
+def _source():
+    """The reference tree when mounted (cross-validation), else the
+    checked-in spec-constant declarations (tools/spec_constants.py) so the
+    generator runs standalone."""
+    import os as _os
+    import sys as _sys
+    if not _os.environ.get("AF_TOOLS_NO_REF") and _os.path.exists(REF):
+        return open(REF).read()
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from spec_constants import SNIPPETS
+    return SNIPPETS[_os.path.basename(REF)]
+
 OUT = "audio_formats_tpu/utils/tables/mp3_synth_fir.npz"
 
 
@@ -36,7 +56,7 @@ def _extract_float_array(src, name):
 
 
 def load_tables():
-    src = open(REF).read()
+    src = _source()
     g_sec = _extract_float_array(src, "static immutable float[24] g_sec")
     g_win = _extract_float_array(src, "static immutable float[] g_win")
     return g_sec, g_win

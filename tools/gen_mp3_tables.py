@@ -20,6 +20,19 @@ import sys
 from fractions import Fraction
 
 REF = "/root/reference/source/audioformats/minimp3.d"
+
+def _source():
+    """The reference tree when mounted (cross-validation), else the
+    checked-in spec-constant declarations (tools/spec_constants.py) so the
+    generator runs standalone."""
+    import os as _os
+    import sys as _sys
+    if not _os.environ.get("AF_TOOLS_NO_REF") and _os.path.exists(REF):
+        return open(REF).read()
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from spec_constants import SNIPPETS
+    return SNIPPETS[_os.path.basename(REF)]
+
 OUT = "audio_formats_tpu/utils/tables/mp3_tables.py"
 
 
@@ -119,7 +132,7 @@ def check_prefix_free(codes):
 
 
 def main():
-    src = open(REF).read()
+    src = _source()
     tabs = [int(v) for v in extract_array(src, "static immutable int16_t[] tabs")]
     tabindex = [int(v) for v in extract_array(src, "static immutable int16_t[2*16] tabindex")]
     linbits = [int(v) for v in extract_array(src, "static immutable uint8_t[] g_linbits")]

@@ -13,6 +13,19 @@ import os
 import re
 
 REF = "/root/reference/source/audioformats/dopus.d"
+
+def _source():
+    """The reference tree when mounted (cross-validation), else the
+    checked-in spec-constant declarations (tools/spec_constants.py) so the
+    generator runs standalone."""
+    import os as _os
+    import sys as _sys
+    if not _os.environ.get("AF_TOOLS_NO_REF") and _os.path.exists(REF):
+        return open(REF).read()
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from spec_constants import SNIPPETS
+    return SNIPPETS[_os.path.basename(REF)]
+
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "audio_formats_tpu", "utils", "tables", "silk_tables.py",
@@ -68,7 +81,7 @@ def parse_tables(src):
 
 
 def main():
-    src = open(REF).read()
+    src = _source()
     tables = parse_tables(src)
     expected = [
         "silk_model_stereo_s1", "silk_model_stereo_s2",
