@@ -429,6 +429,32 @@ class BatchDecoder:
         aa_c = np.zeros((G, nch), np.int32)   # C fills; device rebuilds
         wt_c = np.zeros((G, nch, 32), np.int32)
         pending = []
+        # host/device overlap: the worker thread owns the device dispatch
+        # (arg upload over the link blocks; network IO releases the GIL),
+        # so window t+1's C parse overlaps window t's upload+dispatch —
+        # the SURVEY §2.4 host-pool/pipelining requirement, sized for the
+        # single-core host (the pool widens when cores exist)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        dev_state = {"overlap": overlap, "shist": shist}
+
+        def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R):
+            (blob_d, ov, sh, n_act_d) = _shard_batch(
+                self._mesh, blob, dev_state["overlap"], dev_state["shist"],
+                n_act_arr)
+            pcm, ov2, sh2 = mp3_huff.packed_window_blob(
+                blob_d, ov, sh, n_act_d, pats=pats, spats=spats,
+                L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch,
+            )
+            dev_state["overlap"] = ov2
+            dev_state["shist"] = sh2
+            try:
+                pcm.copy_to_host_async()
+            except AttributeError:
+                pass
+            return pcm
+
         while active.any():
             t_host = time.perf_counter()
             bits = np.empty((Bp, NL, LW), np.uint32)
@@ -517,20 +543,14 @@ class BatchDecoder:
             blob[o : o + n_bp] = np.ascontiguousarray(
                 np.stack([starts, d_len, d_xy], axis=1)
             ).reshape(-1).view(np.uint32)
-            (blob_d, overlap, shist, n_act_d) = _shard_batch(
-                self._mesh, blob, overlap, shist, n_act)
-            pcm, overlap, shist = mp3_huff.packed_window_blob(
-                blob_d, overlap, shist, n_act_d, pats=pats, spats=spats,
-                L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch,
-            )
-            try:
-                pcm.copy_to_host_async()
-            except AttributeError:
-                pass
+            fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
+                              L, Wb, R)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes
             self.stats["windows"] += 1
-            pending.append((pcm, n_act.copy()))
+            pending.append((fut, n_act.copy()))
+        pool.shutdown(wait=True)
+        pending = [(f.result(), n) for f, n in pending]
         return pending, demoted
 
     def _decode_mp3_group_native(self, decs, nch: int, ngr: int, lib):
