@@ -330,6 +330,50 @@ def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
     return B * G * 576 / 44100.0 / dt
 
 
+def measure_accuracy():
+    """Continuous accuracy gauge (the BASELINE metric, measured every bench
+    run): max-abs PCM difference of the decode pipeline against the
+    INDEPENDENT golden implementations — integer codecs must be exactly 0,
+    MP3 within the 1e-4 contract (relative to a normalized peak)."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+    from golden import flac_ref, mp3_ref, qoa_ref
+
+    rng = np.random.default_rng(99)
+    out = {}
+    # MP3: facade vs the independent numpy pipeline (f64, from-spec)
+    qs = [np.zeros(576, np.int64) for _ in range(8)]
+    for q in qs:
+        q[rng.choice(400, 40, replace=False)] = rng.integers(-40, 41, 40)
+    data = mp3_ref.build_mp3(
+        [[[{"q": qs[i]}], [{"q": qs[i + 1]}]] for i in range(0, 8, 2)],
+        channels=1)
+    got = af.AudioStream().open_from_memory(data) \
+        .read_samples_float(10 ** 6).reshape(-1)
+    ref = mp3_ref.decode_mono(qs)
+    out["mp3_rel_vs_golden"] = float(
+        np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12))
+    # FLAC + QOA: batch vs golden (integer paths: must be exact)
+    t = np.arange(4000)[:, None]
+    x = np.clip(np.round(
+        9000 * np.sin(2 * np.pi * 300 * t * [1, 1.4] / 44100)),
+        -32768, 32767).astype(np.int64)
+    fd = flac_ref.build_flac(x, 44100, 16, block_size=1024,
+                             stereo_mode="mid_side",
+                             modes=["lpc8", "fixed3"])
+    qd = qoa_ref.encode(x[:, :1].astype(np.int16), 44100)
+    res = BatchDecoder([fd, qd]).decode_all()
+    fref = (x.astype(np.float64) * (2 ** 16)
+            / 2147483647.0).astype(np.float32)
+    out["flac_max_abs_vs_golden"] = float(np.abs(res[0] - fref).max())
+    qref = (qoa_ref.decode(qd)[0].astype(np.float32)
+            * (np.float32(1.0) / np.float32(32767.0)))
+    m = min(len(qref), len(res[1]))
+    out["qoa_max_abs_vs_golden"] = float(
+        np.abs(res[1][:m] - qref[:m]).max())
+    return out
+
+
 def measure_link():
     import jax
 
@@ -388,6 +432,7 @@ def main():
     dec_np.decode_all(output="numpy")
     dl_rtx = dec_np.stats["decoded_seconds"] / (time.perf_counter() - t0)
 
+    accuracy = measure_accuracy()
     dsp_rtx = bench_device_dsp_only()
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3)
     up_bw, down_bw = measure_link()
@@ -422,6 +467,7 @@ def main():
             "device_resident_full_decode_rtx_mp3_b512": round(res_rtx, 2),
             "device_resident_window": {
                 "bytes": res_bytes, "audio_s": round(res_audio, 1)},
+            "accuracy_vs_golden": accuracy,
             "backend": jax.default_backend(),
         },
     }
