@@ -571,32 +571,80 @@ def packed_device_stage(bits, meta16, scfq, starts, d_len, d_xy,
 # breakpoints) and runs entropy+DSP as ONE fused jitted call: one upload,
 # one execute per window.
 
-def blob_layout(L: int, Wb: int, R: int):
-    """Static u32 offsets for the window blob."""
+def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0):
+    """Static u32 offsets for the window blob.
+
+    With Lb > 0 the bit rows ship SPLIT: a tight [L, Wb] plane plus an
+    overflow plane [Lb, Wext] holding words Wb.. of only the lanes whose
+    bit region overflows Wb (per-lane row index rides meta col 15; row 0
+    is all-zero for non-overflowing lanes).  The bit reservoir makes lane
+    sizes heavy-tailed, so padding every lane to the window max (the
+    Lb == 0 layout) uploads ~4x the real payload; the split plane cuts
+    h2d traffic to near the compressed size."""
     n_bits = L * Wb
+    n_ovf = Lb * Wext
     n_meta = L * 8           # 16 int16 columns = 8 u32 per lane
     n_scf = L * 20           # 40 int16 = 20 u32
     n_bp = R * 3
-    total = n_bits + n_meta + n_scf + n_bp
-    return n_bits, n_meta, n_scf, n_bp, total
+    total = n_bits + n_ovf + n_meta + n_scf + n_bp
+    return n_bits, n_ovf, n_meta, n_scf, n_bp, total
+
+
+#: overflow-plane row buckets (static jit arg -> keep the set tiny);
+#: row indices ride an int16 meta column, so the top bucket is 32768
+OVF_BUCKETS = (2048, 8192, 32768)
+
+
+def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
+    """Pick the cheapest bit-plane layout for a window.
+
+    lanew: [L] per-lane span in words (0 for inactive lanes)
+    Returns (Ws, Lb, Wext): plain [L, Ws] rows when Lb == 0, else the
+    split layout (blob_layout) with overflow rows bucketed to Lb.
+    Minimizes uploaded words over the static bucket grid."""
+    plans = []
+    for w in (16, 32, 64, lane_words):
+        if mw_max <= w:
+            plans.append((L * w, w, 0))
+            break
+    for ws in (16, 32, 64):
+        if mw_max <= ws:
+            break
+        nov = int(np.count_nonzero(lanew > ws))
+        for lb in OVF_BUCKETS:
+            if nov + 1 <= lb:
+                plans.append((L * ws + lb * (lane_words - ws), ws, lb))
+                break
+    _, ws, lb = min(plans)
+    return ws, lb, (lane_words - ws) if lb else 0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pats", "spats", "L", "Wb", "R", "B", "G", "nch"),
+    static_argnames=("pats", "spats", "L", "Wb", "R", "B", "G", "nch",
+                     "Lb", "Wext"),
 )
 def packed_window_blob(blob, overlap, shist, n_act,
                        pats: tuple, spats: tuple,
-                       L: int, Wb: int, R: int, B: int, G: int, nch: int):
+                       L: int, Wb: int, R: int, B: int, G: int, nch: int,
+                       Lb: int = 0, Wext: int = 0):
     """One-shot MP3 window: unpack the blob, run the Huffman FSM + dequant
     + reorder + MS mix, then the scan-free window DSP.  Returns
-    (pcm [B,G,nch,576], overlap', shist')."""
+    (pcm [B,G,nch,576], overlap', shist').
+
+    With Lb > 0 the full bit rows are rebuilt on device from the split
+    upload (see blob_layout): a row gather stitches each overflowing
+    lane's tail plane back on — one [L, Wext]-element gather per window,
+    far cheaper than shipping the padding over the link."""
     from . import mp3_dsp
 
-    n_bits, n_meta, n_scf, n_bp, _ = blob_layout(L, Wb, R)
+    n_bits, n_ovf, n_meta, n_scf, n_bp, _ = blob_layout(L, Wb, R, Lb, Wext)
     o = 0
     bits = blob[o : o + n_bits].reshape(L, Wb)
     o += n_bits
+    if Lb:
+        ovf = blob[o : o + n_ovf].reshape(Lb, Wext)
+        o += n_ovf
     meta16 = jax.lax.bitcast_convert_type(
         blob[o : o + n_meta].reshape(L, 8), jnp.int16
     ).reshape(L, 16)
@@ -609,9 +657,14 @@ def packed_window_blob(blob, overlap, shist, n_act,
         blob[o : o + n_bp].reshape(R, 3, 1), jnp.int32
     ).reshape(R, 3)
     starts, d_len, d_xy = bp[:, 0], bp[:, 1], bp[:, 2]
+    if Lb:
+        idx = meta16[:, 15].astype(jnp.int32)
+        bits = jnp.concatenate(
+            [bits, jnp.take(ovf, idx, axis=0)], axis=1)
     xq, aa, wt = packed_device_stage(
         bits, meta16[:, :15], scfq, starts, d_len, d_xy,
-        pats=pats, spats=spats, W=Wb, NBIG=288, NC1=144,
+        pats=pats, spats=spats, W=Wb + (Wext if Lb else 0),
+        NBIG=288, NC1=144,
         B=B, G=G, nch=nch,
     )
     ph_f = jnp.zeros((1, G, 1, 1), jnp.float32)

@@ -439,13 +439,13 @@ class BatchDecoder:
         pool = ThreadPoolExecutor(max_workers=1)
         dev_state = {"overlap": overlap, "shist": shist}
 
-        def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R):
+        def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R, Lb, Wext):
             (blob_d, ov, sh, n_act_d) = _shard_batch(
                 self._mesh, blob, dev_state["overlap"], dev_state["shist"],
                 n_act_arr)
             pcm, ov2, sh2 = mp3_huff.packed_window_blob(
                 blob_d, ov, sh, n_act_d, pats=pats, spats=spats,
-                L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch,
+                L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch, Lb=Lb, Wext=Wext,
             )
             dev_state["overlap"] = ov2
             dev_state["shist"] = sh2
@@ -504,10 +504,12 @@ class BatchDecoder:
             if not n_act.any():
                 break
             t_enq = time.perf_counter()
-            # static buckets kept coarse (row words only) so the compiled
-            # variant count stays tiny; the window's Huffman breakpoint set
-            # rides as RUNTIME arrays padded to an R bucket
-            Wb = next(w for w in (16, 32, 64, LW) if mw_max <= w)
+            # static buckets kept coarse (row words / overflow rows) so the
+            # compiled variant count stays tiny; the window's Huffman
+            # breakpoint set rides as RUNTIME arrays padded to an R bucket
+            lanew = meta[:, :, 0].reshape(-1)
+            Wb, Lb, Wext = mp3_huff.bits_plan(
+                lanew, mw_max, Bp * NL, LW)
             live = meta[:, :, 2] > 0
             pats = tuple(sorted(
                 int(p) for p in np.unique(meta[:, :, 10][live])
@@ -528,14 +530,25 @@ class BatchDecoder:
             meta16 = np.concatenate([
                 meta[:, :, [1, 2, 3, 4, 5]], ranks, lins,
                 meta[:, :, [9, 10, 11, 12]],
-                np.zeros((Bp, NL, 1), meta.dtype),     # pad to 16 cols
+                np.zeros((Bp, NL, 1), meta.dtype),     # col 15: ovf row
             ], axis=2).astype(np.int16).reshape(L, 16)
-            n_bits, n_meta, n_scf, n_bp, total = \
-                mp3_huff.blob_layout(L, Wb, R)
+            n_bits, n_ovf, n_meta, n_scf, n_bp, total = \
+                mp3_huff.blob_layout(L, Wb, R, Lb, Wext)
             blob = np.empty(total, np.uint32)
             o = 0
             blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
             o += n_bits
+            if Lb:
+                # tail words of the overflowing lanes (row 0 stays zero
+                # so non-overflowing lanes read zeros past their span)
+                flat = bits.reshape(L, LW)
+                over = np.flatnonzero(lanew > Wb)
+                ovf = np.zeros((Lb, Wext), np.uint32)
+                ovf[1 : 1 + over.size] = flat[over, Wb:]
+                meta16[over, 15] = np.arange(
+                    1, 1 + over.size, dtype=np.int16)
+                blob[o : o + n_ovf] = ovf.reshape(-1)
+                o += n_ovf
             blob[o : o + n_meta] = meta16.reshape(-1).view(np.uint32)
             o += n_meta
             blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
@@ -544,7 +557,7 @@ class BatchDecoder:
                 np.stack([starts, d_len, d_xy], axis=1)
             ).reshape(-1).view(np.uint32)
             fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
-                              L, Wb, R)
+                              L, Wb, R, Lb, Wext)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes
             self.stats["windows"] += 1

@@ -167,3 +167,38 @@ def test_packed_disabled_env_matches(rng, monkeypatch):
     b = BatchDecoder([data]).decode_all()[0]
     peak = np.abs(a).max() + 1e-9
     assert np.abs(a - b).max() / peak < 4e-6
+
+
+def test_split_bit_plane_matches_plain(rng, monkeypatch):
+    """The split bit-plane upload (tight [L, Ws] rows + overflow plane,
+    blob_layout Lb > 0) must reproduce the plain full-width layout
+    exactly.  Small test windows never trigger the split on cost, so
+    force a tiny-Ws plan: every lane overflows into the gather plane."""
+    data = _build(rng, channels=2, mode_ext=[2, 0] * 5)
+    ref = BatchDecoder([data]).decode_all()[0]
+
+    real_plan = mp3_huff.bits_plan
+
+    def forced(lanew, mw_max, L, lane_words):
+        assert real_plan(lanew, mw_max, L, lane_words)[0] >= 16
+        return 16, 128, lane_words - 16
+
+    monkeypatch.setattr(mp3_huff, "bits_plan", forced)
+    got = BatchDecoder([data]).decode_all()[0]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bits_plan_cost_model():
+    """bits_plan picks the split exactly when it uploads fewer words."""
+    L, LW = 4096, native.LANE_WORDS
+    lanew = np.full(L, 20, np.int32)
+    lanew[:100] = 130              # heavy tail: 100 lanes overflow 32
+    ws, lb, wext = mp3_huff.bits_plan(lanew, 130, L, LW)
+    assert (ws, lb, wext) == (32, 2048, LW - 32)
+    # no tail -> plain bucket
+    ws, lb, wext = mp3_huff.bits_plan(np.full(L, 20, np.int32), 20, L, LW)
+    assert (ws, lb, wext) == (32, 0, 0)
+    # tiny windows: padding is cheaper than an overflow plane
+    ws, lb, wext = mp3_huff.bits_plan(
+        np.full(64, 130, np.int32), 130, 64, LW)
+    assert lb == 0 and ws == LW
