@@ -311,3 +311,30 @@ def flac_unpack_residuals(packed, warm, order, w: int, n: int):
     warm_full = jnp.pad(warm, ((0, 0), (0, n - 32)))
     zu = jnp.minimum(order, 32)
     return jnp.where(pos < zu[:, None], warm_full, res)
+
+
+@functools.partial(jax.jit, static_argnames=("Lb",))
+def flac_merge_overflow(res_small, raw, idx, Lb: int):
+    """Merge the raw overflow plane into the width-packed residual rows.
+
+    A few rows per window need a wider residual width than the window's
+    packed width (high-order partitions, verbatim blocks); padding EVERY
+    row to that width would multiply the upload.  Those rows
+    ship raw int32 in raw [Lb, n] (row 0 all-zero) and are selected back
+    by idx [L] (0 = not overflowing) here.  The select is an exact
+    one-hot matmul over two uint16 planes (values < 2^16 are exact in
+    f32 and each one-hot row has a single 1, so no rounding anywhere);
+    a per-row dynamic gather would be slower on this chip.
+    """
+    L = res_small.shape[0]
+    ru = jax.lax.bitcast_convert_type(raw, jnp.uint32)
+    hi = (ru >> jnp.uint32(16)).astype(jnp.float32)
+    lo = (ru & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    oh = (idx[:, None] == jnp.arange(Lb, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    mhi = jnp.dot(oh, hi, precision=jax.lax.Precision.HIGHEST)
+    mlo = jnp.dot(oh, lo, precision=jax.lax.Precision.HIGHEST)
+    merged = jax.lax.bitcast_convert_type(
+        (mhi.astype(jnp.uint32) << jnp.uint32(16))
+        | mlo.astype(jnp.uint32), jnp.int32)
+    return jnp.where((idx > 0)[:, None], merged, res_small)

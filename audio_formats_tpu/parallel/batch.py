@@ -54,6 +54,36 @@ def pcm_ops_int_to_float_dev(seg, kind: str):
     return pcm_ops._int_to_f32(xp, kind)
 
 
+#: FLAC packed-residual width buckets (static jit arg)
+_FLAC_W_BUCKETS = (4, 6, 8, 10, 12, 14, 17, 20, 26, 32)
+#: overflow raw-plane row buckets for _flac_width_plan
+_FLAC_OVF_BUCKETS = (128, 512, 2048)
+
+
+def _flac_width_plan(w_l, wmax: int, Ln: int, bs: int):
+    """Pick the packed residual width for a FLAC window: (wb, Lb).
+
+    Lb == 0: every row packs at wb (the max-width bucket, today's plain
+    layout).  Lb > 0: rows pack at the smaller wb and the few rows wider
+    than wb ship raw int32 in an [Lb, bs] plane (flac_merge_overflow).
+    Minimizes uploaded words over the static bucket grid."""
+    def stride(w):
+        return (bs * w + 31) // 32 + 1
+
+    wb_plain = next((x for x in _FLAC_W_BUCKETS if wmax <= x), 32)
+    plans = [(Ln * stride(wb_plain), wb_plain, 0)]
+    for ws in _FLAC_W_BUCKETS:
+        if ws >= wb_plain:
+            break
+        nov = int(np.count_nonzero(w_l > ws))
+        for lb in _FLAC_OVF_BUCKETS:
+            if nov + 1 <= lb:
+                plans.append((Ln * stride(ws) + lb * bs, ws, lb))
+                break
+    _, wb, lb = min(plans)
+    return wb, lb
+
+
 def _open_source(item) -> ByteSource:
     if isinstance(item, (bytes, bytearray, memoryview)):
         return MemorySource(item)
@@ -864,8 +894,11 @@ class BatchDecoder:
                 wmax = lib.af_flac_widths(
                     residual.ctypes.data_as(_i32p), Ln, max_bs,
                     order.ctypes.data_as(_i32p), w_l.ctypes.data_as(_i32p))
-                wb = next((x for x in (4, 6, 8, 10, 12, 14, 17, 20, 26)
-                           if wmax <= x), 32)
+                # residual widths are heavy-tailed (verbatim blocks,
+                # high-order partitions); pick the cheapest of "pad all
+                # rows to the max bucket" vs "pack small + ship the few
+                # wide rows raw" (device re-merges: flac_merge_overflow)
+                wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
                 stride = (max_bs * wb + 31) // 32 + 1
                 packed = np.empty((Ln, stride), np.uint32)
                 lib.af_flac_pack(
@@ -873,6 +906,12 @@ class BatchDecoder:
                     order.ctypes.data_as(_i32p), wb,
                     packed.ctypes.data_as(_u32p), stride)
                 warm = np.ascontiguousarray(residual[:, :32])
+                if Lb:
+                    over = np.flatnonzero(w_l > wb)
+                    raw_ovf = np.zeros((Lb, max_bs), np.int32)
+                    raw_ovf[1 : 1 + over.size] = residual[over]
+                    ovf_idx = np.zeros(Ln, np.int32)
+                    ovf_idx[over] = np.arange(1, 1 + over.size)
             # chain unpack -> LPC -> stereo decorrelation on device (no host
             # round trip between stages), then fetch asynchronously so the
             # tunnel transfer overlaps the next window's host entropy stage
@@ -884,6 +923,13 @@ class BatchDecoder:
                 residual_d = lpc_ops.flac_unpack_residuals(
                     packed_d, warm_d, order, w=wb, n=max_bs)
                 self.stats["h2d_bytes"] += packed.nbytes + warm.nbytes
+                if Lb:
+                    raw_d, idx_d = _shard_batch(
+                        self._mesh, raw_ovf, ovf_idx)
+                    residual_d = lpc_ops.flac_merge_overflow(
+                        residual_d, raw_d, idx_d, Lb=Lb)
+                    self.stats["h2d_bytes"] += (raw_ovf.nbytes
+                                                + ovf_idx.nbytes)
             else:
                 (residual_d, coeffs, order, shift, exact, assigns,
                  wasteds, out_shifts) = _shard_batch(

@@ -284,3 +284,38 @@ def test_mixed_batch_no_per_stream_fallback(rng, monkeypatch):
         assert got is not None and got.shape[0] > 0
     assert set(dec.stats["decoded_seconds_by_format"]) >= \
         {"mp3", "flac", "qoa", "wav", "vorbis"}
+
+
+def test_flac_split_width_plane_matches_plain(rng, monkeypatch):
+    """The split residual upload (pack-small + raw overflow plane merged
+    by flac_merge_overflow) must stay bit-exact vs the plain max-width
+    packing.  Test windows are too small to trigger the split on cost,
+    so force a tiny packed width: the loud lanes overflow into the raw
+    plane while quiet ones stay packed."""
+    from audio_formats_tpu.parallel import batch as batch_mod
+
+    streams = [_flac(rng, frames=4000 + 997 * i) for i in range(3)]
+    ref = BatchDecoder(streams).decode_all()
+
+    def forced(w_l, wmax, Ln, bs):
+        assert wmax > 4
+        return 4, 512
+    monkeypatch.setattr(batch_mod, "_flac_width_plan", forced)
+    got = BatchDecoder(streams).decode_all()
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_flac_width_plan_cost_model():
+    from audio_formats_tpu.parallel.batch import _flac_width_plan
+
+    bs = 4096
+    w_l = np.full(512, 9, np.int32)
+    w_l[:6] = 25                 # heavy tail forces bucket 26 when plain
+    wb, lb = _flac_width_plan(w_l, 25, 512, bs)
+    assert (wb, lb) == (10, 128)
+    wb, lb = _flac_width_plan(np.full(512, 9, np.int32), 9, 512, bs)
+    assert (wb, lb) == (10, 0)
+    # tiny windows: padding beats a whole raw plane
+    wb, lb = _flac_width_plan(np.full(8, 25, np.int32), 25, 8, bs)
+    assert lb == 0 and wb == 26
