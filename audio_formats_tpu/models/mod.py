@@ -208,6 +208,7 @@ class ModDecoder:
         self.sample_in_tick = 0.0
         self._tick_buf = np.zeros((0, 2), np.float32)
         self._tick_pos = 0
+        self._frames_told = 0
         self._next_tick()
 
     # -- line/tick state machine (pocketmod.d:354-662) ------------------------
@@ -512,6 +513,7 @@ class ModDecoder:
             chunks.append(self._tick_buf[self._tick_pos : self._tick_pos + take])
             self._tick_pos += take
             got += take
+        self._frames_told += got
         if not chunks:
             return np.zeros((0, 2), dtype=dtype)
         return np.concatenate(chunks).astype(dtype)
@@ -561,7 +563,12 @@ class ModDecoder:
         self.sample_in_tick = 0.0
         self._tick_buf = np.zeros((0, 2), np.float32)
         self._tick_pos = 0
+        self._frames_told = 0
         return True
 
     def tell(self) -> int:
-        return -1
+        # the reference ASSERTS !isModule() here (stream.d:1209:
+        # "seeking doesn't have the same meaning with modules");
+        # we return frames emitted since open / last seek_pattern
+        # instead -- a strict superset of that contract
+        return self._frames_told

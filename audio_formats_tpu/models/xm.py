@@ -374,6 +374,7 @@ class XmDecoder:
         self.jump_dest = 0
         self.jump_row = 0
         self.loop_count = 0
+        self._frames_told = 0
         self.row_loop_count = np.zeros(
             (256, MAX_NUM_ROWS), dtype=np.int32
         )
@@ -1192,6 +1193,7 @@ class XmDecoder:
         if self.loop_count >= self.max_loop_count:
             return np.zeros((0, 2), dtype=dtype)  # stream.d:598-600
         out = self._generate(max_frames)
+        self._frames_told += out.shape[0]
         return out.astype(dtype)
 
     # -- module API ------------------------------------------------------------
@@ -1222,7 +1224,12 @@ class XmDecoder:
         self.current_row = row
         self.current_tick = 0
         self.remaining_samples_in_tick = 0.0
+        self._frames_told = 0
         return True
 
     def tell(self) -> int:
-        return -1
+        # the reference ASSERTS !isModule() here (stream.d:1209:
+        # "seeking doesn't have the same meaning with modules");
+        # we return frames emitted since open / last seek_pattern
+        # instead -- a strict superset of that contract
+        return self._frames_told

@@ -292,11 +292,12 @@ class AudioStream:
             return False
 
     def tell_position(self) -> int:
-        # modules: the reference's tellPosition asserts !isModule()
+        # modules: the reference's tellPosition ASSERTS !isModule()
         # ("seeking doesn't have the same meaning with modules",
-        # stream.d:1209-1211) — returning UNKNOWN is the graceful
-        # equivalent of that contract violation
-        if self.is_error() or self._decoder is None or self.is_module():
+        # stream.d:1209-1211); instead of that contract violation we
+        # report frames emitted since open / last (pattern,row) seek —
+        # a strict superset (module decoders track _frames_told)
+        if self.is_error() or self._decoder is None:
             return AUDIOSTREAM_UNKNOWN_LENGTH
         return self._decoder.tell()
 

@@ -116,3 +116,18 @@ def test_seek_pattern_row():
 def test_not_a_mod_rejected():
     s = AudioStream().open_from_memory(bytes(range(256)) * 10)
     assert s.is_error()
+
+
+def test_tell_position_tracks_module_playback():
+    """The reference ASSERTS !isModule() in tellPosition (stream.d:1209);
+    here modules report frames emitted since open / last seek instead."""
+    s = _open(_simple_mod(periods=(428, 320), n_orders=2))
+    assert s.tell_position() == 0
+    a = s.read_samples_float(1000)
+    assert s.tell_position() == len(a) == 1000
+    b = s.read_samples_float(500)
+    assert s.tell_position() == 1000 + len(b)
+    assert s.seek_position(0, 0)
+    assert s.tell_position() == 0
+    c = s.read_samples_float(64)
+    assert s.tell_position() == len(c)

@@ -182,3 +182,16 @@ def test_vectorized_mixer_matches_scalar():
         finally:
             K._chan_segment = orig
         assert np.array_equal(v, ref), loop_type
+
+
+def test_tell_position_tracks_module_playback():
+    """Modules report frames emitted since open / last (pattern,row) seek
+    (the reference asserts !isModule() at stream.d:1209 instead)."""
+    s = _open(_simple_xm(rows=32))
+    assert s.tell_position() == 0
+    a = s.read_samples_float(777)
+    assert s.tell_position() == len(a)
+    assert s.seek_position(0, 0)
+    assert s.tell_position() == 0
+    b = s.read_samples_float(128)
+    assert s.tell_position() == len(b)
