@@ -295,3 +295,86 @@ class FittedUpsampler:
     def reset(self):
         self._hist[:] = 0
         self._pending = np.zeros(0, np.float64)
+
+
+class BatchedFittedUpsampler:
+    """N FittedUpsampler lanes in lockstep — the SILK group's device DSP.
+
+    The per-lane polyphase dot products (FittedUpsampler.process) become
+    ONE device convolution per block over a [rows, T] native-rate batch:
+    lhs [rows, 1, W] * rhs [den, 1, L] cross-correlation with the tap
+    axis reversed reproduces out[n·den+p] = Σ_k h[p,k]·x[n+A−k] for every
+    lane at once.  State (hist+pending) stays uniform across rows because
+    lockstep groups feed uniform block lengths; a lane that ends early is
+    drained with flush_row (exact f64 per-row math) BEFORE later blocks
+    zero-feed its row, so its tail equals the single-stream decoder's."""
+
+    def __init__(self, bandwidth: int, rows: int, feed: int = 0):
+        t = _fit_tables()
+        self.h = np.asarray(
+            [t["h_nb"], t["h_mb"], t["h_wb"]][bandwidth], np.float64)
+        self.den = self.h.shape[0]
+        self.L = int(t["L"])
+        self.A = int(t["A"])
+        self.rows = rows
+        self._hist = np.zeros((rows, self.L), np.float64)
+        self._pending = np.zeros((rows, 0), np.float64)
+        if feed:
+            self.process(np.zeros((rows, feed), np.float64), 0)
+
+    def process(self, x: np.ndarray, out_max: int) -> np.ndarray:
+        buf = np.concatenate(
+            [self._hist, self._pending, np.asarray(x, np.float64)], axis=1)
+        P = buf.shape[1] - self.L
+        n_groups = max(0, min(P - self.A, out_max // self.den))
+        if n_groups:
+            y = np.asarray(_poly_conv_rows(
+                buf[:, self.A + 1 : self.A + 1 + n_groups + self.L - 1]
+                .astype(np.float32),
+                self.h[:, ::-1].astype(np.float32),
+                G=n_groups))
+        else:
+            y = np.zeros((self.rows, 0), np.float32)
+        rest = buf[:, n_groups:]
+        self._hist = rest[:, : self.L]
+        self._pending = rest[:, self.L :]
+        return y
+
+    def flush_row(self, r: int, count: int) -> np.ndarray:
+        """Drain row r's delayed tail (FittedUpsampler.flush, f64)."""
+        pad = (count + self.den - 1) // self.den + self.A + 1
+        buf = np.concatenate(
+            [self._hist[r], self._pending[r], np.zeros(pad)])
+        P = buf.shape[0] - self.L
+        n_groups = max(0, min(P - self.A, count // self.den))
+        if not n_groups:
+            return np.zeros(0, np.float32)
+        W = np.lib.stride_tricks.sliding_window_view(
+            buf, self.L)[self.A + 1 : self.A + 1 + n_groups]
+        y = (W @ self.h[:, ::-1].T).reshape(-1).astype(np.float32)
+        return y[:count]
+
+
+def _poly_conv_rows(x, h_rev, G: int):
+    """jitted [rows, W] x [den, L] polyphase conv -> [rows, G*den]."""
+    import functools
+
+    global _POLY_CONV_JIT
+    try:
+        fn = _POLY_CONV_JIT
+    except NameError:
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("G",))
+        def fn(x, h_rev, G):
+            import jax.numpy as jnp
+
+            out = jax.lax.conv_general_dilated(
+                x[:, None, :], h_rev[:, None, :],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                precision=jax.lax.Precision.HIGHEST)
+            return jnp.swapaxes(out, 1, 2).reshape(x.shape[0], -1)
+
+        _POLY_CONV_JIT = fn
+    return fn(x, h_rev, G=G)

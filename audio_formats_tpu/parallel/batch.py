@@ -284,6 +284,7 @@ class BatchDecoder:
         mp3_groups = {}
         flac_groups = {}
         opus_groups = {}
+        silk_groups = {}
         qoa_groups = {}
         wav_groups = {}
         vorbis_groups = {}
@@ -292,10 +293,18 @@ class BatchDecoder:
                 # Layers I/II use the per-stream path (different frame
                 # structure; rare in practice)
                 mp3_groups.setdefault((d.channels, d._mpeg1), []).append(i)
-            elif isinstance(d, FlacDecoder) and d.bits_per_sample <= 16:
+            elif isinstance(d, FlacDecoder):
+                # >16 bps lanes ride the exact int32-limb LPC path and the
+                # full-width output; frames beyond the device limb range
+                # (shift > 18) demote per-frame inside the group
                 flac_groups.setdefault(d.channels, []).append(i)
             elif isinstance(d, OpusDecoder) and self._opus_eligible(d):
                 opus_groups.setdefault(d.channels, []).append(i)
+            elif isinstance(d, OpusDecoder) and self._silk_eligible(d):
+                pk0 = d._silk_lockstep[0]
+                silk_groups.setdefault(
+                    (d.channels, pk0["config"], pk0["stereo"]), []
+                ).append(i)
             elif isinstance(d, QoaDecoder):
                 qoa_groups.setdefault(d.channels, []).append(i)
             elif (isinstance(d, WavDecoder)
@@ -338,6 +347,13 @@ class BatchDecoder:
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
                 res = self._run_group(self._decode_opus_group, chunk)
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
+        for (nch, config, stereo), lanes in silk_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                chunk = lanes[c : c + GROUP]
+                res = self._run_group(
+                    self._decode_silk_group, chunk, nch, config, stereo)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
 
@@ -1240,6 +1256,110 @@ class BatchDecoder:
                 return False
         d._lockstep_packets = pkts
         return True
+
+    @staticmethod
+    def _silk_eligible(d) -> bool:
+        """Lockstep-eligible SILK: mapping-0 stream whose packets are all
+        single non-empty SILK-mode frames with one (config, stereo) — the
+        common VoIP shape.  Hybrid and mode-switching streams keep the
+        per-stream path (their CELT layer and redundancy crossfades
+        interleave on the same range coder, dopus.d:6400)."""
+        import os
+
+        if os.environ.get("AF_TPU_REFERENCE_RESAMPLER"):
+            return False  # speex-mirror path is per-stream only
+        if getattr(d, "channel_mapping", 1) != 0:
+            return False
+        try:
+            pkts = d._collect_packets()
+        except Exception:
+            return False
+        if not pkts:
+            return False
+        key = None
+        parsed = []
+        for data in pkts:
+            pk = _opus_parse(data)
+            if (pk is None or pk["mode"] != "silk"
+                    or len(pk["frames"]) != 1 or len(pk["frames"][0]) == 0):
+                return False
+            k = (pk["config"], pk["stereo"])
+            if key is None:
+                key = k
+            elif k != key:
+                return False
+            parsed.append(pk)
+        d._silk_lockstep = parsed
+        return True
+
+    def _decode_silk_group(self, decs, nch: int, config: int, stereo: bool,
+                           to_device: bool = False):
+        """Batched SILK-only Opus: per-lane host entropy+synthesis at the
+        native rate (the same SilkDecoder the facade uses), then ONE
+        device polyphase conv per packet step upsamples every lane to
+        48 kHz (ops/resample.BatchedFittedUpsampler) — the SILK analogue
+        of the MP3/FLAC host-entropy -> device-DSP split.  Lanes that end
+        early drain their delayed tail immediately (flush_row) so ragged
+        batches match the facade's EOS drain (opus.py read())."""
+        from ..models.opus import RangeDecoder
+        from ..models.silk import SilkDecoder
+        from ..ops.resample import BatchedFittedUpsampler
+
+        B = len(decs)
+        bw = config // 4
+        dur_ms = [10, 20, 40, 60][config & 3]
+        frame48 = dur_ms * 48
+        rate = [8000, 12000, 16000][bw]
+        T = dur_ms * rate // 1000
+        coded = 2 if stereo else 1
+        rows = B * nch
+        feed = [3, 8, 11][bw] + (1 if nch == 2 else 0)
+        rs = BatchedFittedUpsampler(bw, rows, feed=feed)
+        silks = [SilkDecoder(output_channels=nch) for _ in decs]
+        outs = [[] for _ in range(B)]
+        steps = max(len(d._silk_lockstep) for d in decs)
+        for s in range(steps):
+            t_host = time.perf_counter()
+            X = np.zeros((rows, T), np.float32)
+            for bi, d in enumerate(decs):
+                if s >= len(d._silk_lockstep):
+                    continue
+                pk = d._silk_lockstep[s]
+                rd = RangeDecoder(pk["frames"][0])
+                native = silks[bi].decode_superframe(rd, bw, coded, dur_ms)
+                X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            t_enq = time.perf_counter()
+            Y = rs.process(X, frame48)
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += X.nbytes
+            self.stats["windows"] += 1
+            for bi, d in enumerate(decs):
+                if s >= len(d._silk_lockstep):
+                    continue
+                pcm = np.ascontiguousarray(Y[bi * nch : (bi + 1) * nch].T)
+                g = np.float32(d._gain)
+                outs[bi].append(pcm * g if d._gain != 1.0 else pcm)
+                if s == len(d._silk_lockstep) - 1:
+                    # EOS: drain the delayed tail NOW, before later steps
+                    # zero-feed this lane's resampler rows
+                    total = sum(o.shape[0] for o in outs[bi])
+                    want = d.preskip + d.length_frames - total
+                    if want > 0:
+                        cols = [rs.flush_row(bi * nch + c, want)
+                                for c in range(nch)]
+                        tail = np.stack(cols, 1).astype(np.float32)
+                        outs[bi].append(
+                            tail * g if d._gain != 1.0 else tail)
+        result = []
+        for bi, d in enumerate(decs):
+            pcm = np.concatenate(outs[bi]) if outs[bi] else \
+                np.zeros((0, nch), np.float32)
+            pcm = pcm[d.preskip :]
+            if d.length_frames:
+                pcm = pcm[: d.length_frames]
+            result.append(pcm)
+        return result
 
     def _decode_opus_group(self, decs, to_device: bool = False):
         # to_device accepted for interface parity; the CELT lockstep path

@@ -319,3 +319,44 @@ def test_flac_width_plan_cost_model():
     # tiny windows: padding beats a whole raw plane
     wb, lb = _flac_width_plan(np.full(8, 25, np.int32), 25, 8, bs)
     assert lb == 0 and wb == 26
+
+
+def test_flac_24bit_batch_equals_facade(rng):
+    """>16 bps FLAC lanes batch through the exact int32-limb LPC path
+    instead of falling back to the per-stream loop."""
+    t = np.arange(6000)[:, None]
+    pcm = np.clip(
+        np.round(2_000_000 * np.sin(2 * np.pi * 220 * t * [1, 1.3] / 44100)
+                 + 50_000 * rng.standard_normal((6000, 2))),
+        -(1 << 23), (1 << 23) - 1,
+    ).astype(np.int64)
+    data = flac_ref.build_flac(pcm, 44100, 24, block_size=1024,
+                               stereo_mode="left_side",
+                               modes=["lpc8", "fixed2"])
+    got = BatchDecoder([data]).decode_all()[0]
+    ref = _facade(data)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_silk_batch_equals_facade():
+    """SILK-only Opus lanes batch: host entropy+synth per lane, ONE device
+    polyphase conv per packet step (BatchedFittedUpsampler).  Ragged
+    lengths exercise the early per-lane EOS drain."""
+    from test_opus_silk import SILK_PACKETS
+    from golden import opus_ref
+
+    pkts = [(bytes.fromhex(h), 960) for h in SILK_PACKETS]
+    streams = [
+        opus_ref.build_ogg_opus(pkts, channels=1, preskip=0),
+        opus_ref.build_ogg_opus(pkts[:3], channels=1, preskip=0),
+        opus_ref.build_ogg_opus(pkts[:2], channels=1, preskip=100),
+    ]
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert dec.stats["windows"] >= 4  # the conv path actually ran
+    for data, g in zip(streams, got):
+        ref = _facade(data)
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        # facade resamples per-lane in f64; the batched conv runs f32
+        assert np.abs(g - ref).max() / peak < 1e-5

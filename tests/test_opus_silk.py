@@ -410,3 +410,45 @@ def test_multistream_surround_51():
     snr = 10 * np.log10((refc[300 : m - 300] ** 2).mean() /
                         (errv ** 2).mean())
     assert snr > 60.0, snr
+
+
+@needs_oracle
+def test_silk_stereo_batch_equals_facade():
+    """Stereo SILK streams through the lockstep batch group (the batched
+    device conv resampler) vs the single-stream facade."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    O = opus_oracle
+    rng = np.random.default_rng(5)
+    N = 960
+    t = np.arange(N * 8) / 48000.0
+    sig = np.stack([
+        6000 * np.sin(2 * np.pi * 220 * t) + 700 * rng.standard_normal(t.size),
+        5000 * np.sin(2 * np.pi * 300 * t) + 700 * rng.standard_normal(t.size),
+    ], 1)
+    sig = np.clip(sig, -32000, 32000).astype(np.int16)
+    enc = O.OracleEncoder(48000, 2, bitrate=48000,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE,
+                          bandwidth=O.OPUS_BANDWIDTH_WIDEBAND)
+    pkts = []
+    for n in range(8):
+        pkt = enc.encode(sig[n * N : (n + 1) * N])
+        info = parse_packet(pkt)
+        if info["config"] >= 12 or len(info["frames"]) != 1:
+            pytest.skip("encoder did not produce single-frame SILK packets")
+        pkts.append((pkt, N))
+    streams = [opus_ref.build_ogg_opus(pkts, channels=2, preskip=312),
+               opus_ref.build_ogg_opus(pkts[:5], channels=2, preskip=312)]
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert dec.stats["windows"] >= 5
+    for data, g in zip(streams, got):
+        st = af.AudioStream()
+        st.open_from_memory(data)
+        n = st.get_length_in_frames()
+        ref = st.read_samples_float(n)
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(g - ref).max() / peak < 1e-5
