@@ -84,6 +84,21 @@ def _flac_width_plan(w_l, wmax: int, Ln: int, bs: int):
     return wb, lb
 
 
+
+def _prefetch(arr, to_device: bool):
+    """Start the async device->host PCM copy ONLY when the caller will
+    download it.  With output="device" the copy must NOT start: the PCM
+    windows are huge and the background transfers saturate the downlink,
+    serializing everything behind them (measured ~200 s of hidden wall at
+    batch 1024)."""
+    if to_device:
+        return
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
 def _open_source(item) -> ByteSource:
     if isinstance(item, (bytes, bytearray, memoryview)):
         return MemorySource(item)
@@ -234,6 +249,7 @@ class BatchDecoder:
             "h2d_bytes": 0,
             "d2h_bytes": 0,
             "windows": 0,
+            "group_demotions": 0,
         }
 
     def _note_seconds(self, fmt: str, seconds: float):
@@ -251,6 +267,7 @@ class BatchDecoder:
             return fn([self.decoders[i] for i in chunk], *args,
                       to_device=to_device)
         except Exception:
+            self.stats["group_demotions"] += 1
             for i in chunk:
                 d = self.decoders[i]
                 try:
@@ -395,7 +412,7 @@ class BatchDecoder:
 
         lib = _native.get_lib()
         if lib is None:
-            pending = self._decode_mp3_group_py(decs, nch, ngr)
+            pending = self._decode_mp3_group_py(decs, nch, ngr, to_device)
             group = _PendingGroup(self, "mp3", decs, pending,
                                   self._mp3_finalize, (decs, pending, nch))
             return group if to_device else group.finalize()
@@ -410,7 +427,7 @@ class BatchDecoder:
         pending, demoted = ([], [])
         if packed:
             pending, demoted = self._decode_mp3_group_packed(
-                packed, nch, ngr, lib)
+                packed, nch, ngr, lib, to_device)
         # demoted lanes hit a mid-stream intensity frame: their partial
         # packed output is discarded and the stream re-decodes classically
         # from a fresh probe (rare; correctness over throughput)
@@ -438,7 +455,8 @@ class BatchDecoder:
                     results[id(d)] = pcm
         return [results[id(d)] for d in decs]
 
-    def _decode_mp3_group_packed(self, decs, nch: int, ngr: int, lib):
+    def _decode_mp3_group_packed(self, decs, nch: int, ngr: int, lib,
+                                 to_device: bool = False):
         """Device-Huffman scheduling: the host emits per-lane Huffman bit
         rows + side info (~compressed size); the device runs the vectorized
         Huffman FSM, dequant, reorder, mid/side mix and the window DSP
@@ -495,10 +513,7 @@ class BatchDecoder:
             )
             dev_state["overlap"] = ov2
             dev_state["shist"] = sh2
-            try:
-                pcm.copy_to_host_async()
-            except AttributeError:
-                pass
+            _prefetch(pcm, to_device)
             return pcm
 
         while active.any():
@@ -612,7 +627,8 @@ class BatchDecoder:
         pending = [(f.result(), n) for f, n in pending]
         return pending, demoted
 
-    def _decode_mp3_group_native(self, decs, nch: int, ngr: int, lib):
+    def _decode_mp3_group_native(self, decs, nch: int, ngr: int, lib,
+                                 to_device: bool = False):
         """Window-at-a-time native host stage: ONE C call per
         (stream, window) does header walk, side info, reservoir splice,
         scalefactors, Huffman, and stereo/reorder/window tensor assembly
@@ -696,10 +712,7 @@ class BatchDecoder:
                 n_act_d, nch=nch, ngr=G, use_perm=False,
                 dequant=False, use_mix=False,
             )
-            try:
-                pcm.copy_to_host_async()
-            except AttributeError:
-                pass
+            _prefetch(pcm, to_device)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["h2d_bytes"] += (
                 xq.nbytes + aa.nbytes + wt.nbytes + n_act.nbytes
@@ -739,7 +752,7 @@ class BatchDecoder:
         return result
 
     def _decode_mp3_group_py(self, decs: List[Mp3Decoder], nch: int,
-                             ngr: int):
+                             ngr: int, to_device: bool = False):
         B = len(decs)
         # pad the batch axis to power-of-two buckets: XLA specializes on B,
         # so buckets keep the compile cache hot across batch sizes
@@ -809,10 +822,7 @@ class BatchDecoder:
             # start the device->host copy in the background and keep parsing
             # the next window; the tunnel transfer overlaps the host entropy
             # stage instead of serializing after it
-            try:
-                pcm.copy_to_host_async()
-            except AttributeError:
-                pass
+            _prefetch(pcm, to_device)
             self.stats["windows"] += 1
             pending.append((pcm, n_act.copy()))
             for bi in range(B):
@@ -827,6 +837,9 @@ class BatchDecoder:
         outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
         pending = []  # (device out32, [(slot, si, blocksize), ...])
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
 
         while active.any():
             # host entropy stage: parse up to W frames per stream
@@ -893,80 +906,89 @@ class BatchDecoder:
                 assigns[si] = ca
                 wasteds[si] = wa
                 out_shifts[si] = 32 - decs[bi].bits_per_sample
-            # upload diet: pack residuals at the window's uniform bit width
-            # (warm-ups ride an int32 side channel); the device unpacks with
-            # static shift arithmetic — ~2.5-4x fewer host->device bytes
+            # upload diet: pack residuals at the window's uniform bit
+            # width (warm-ups ride an int32 side channel); the device
+            # unpacks with static shift arithmetic.  The pack + upload +
+            # device chain runs on the worker thread (ctypes releases the
+            # GIL, the tunnel upload is network IO) so window t+1's host
+            # frame parse overlaps window t's transfer — same pipelining
+            # as the MP3 scheduler.
             from ..host import native as _native
 
             lib = _native.get_lib()
             Ln = S * nch
-            packed = None
-            if lib is not None:
-                import ctypes as _ct
-
-                _i32p = _ct.POINTER(_ct.c_int32)
-                _u32p = _ct.POINTER(_ct.c_uint32)
-                w_l = np.zeros(Ln, np.int32)
-                wmax = lib.af_flac_widths(
-                    residual.ctypes.data_as(_i32p), Ln, max_bs,
-                    order.ctypes.data_as(_i32p), w_l.ctypes.data_as(_i32p))
-                # residual widths are heavy-tailed (verbatim blocks,
-                # high-order partitions); pick the cheapest of "pad all
-                # rows to the max bucket" vs "pack small + ship the few
-                # wide rows raw" (device re-merges: flac_merge_overflow)
-                wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
-                stride = (max_bs * wb + 31) // 32 + 1
-                packed = np.empty((Ln, stride), np.uint32)
-                lib.af_flac_pack(
-                    residual.ctypes.data_as(_i32p), Ln, max_bs,
-                    order.ctypes.data_as(_i32p), wb,
-                    packed.ctypes.data_as(_u32p), stride)
-                warm = np.ascontiguousarray(residual[:, :32])
-                if Lb:
-                    over = np.flatnonzero(w_l > wb)
-                    raw_ovf = np.zeros((Lb, max_bs), np.int32)
-                    raw_ovf[1 : 1 + over.size] = residual[over]
-                    ovf_idx = np.zeros(Ln, np.int32)
-                    ovf_idx[over] = np.arange(1, 1 + over.size)
-            # chain unpack -> LPC -> stereo decorrelation on device (no host
-            # round trip between stages), then fetch asynchronously so the
-            # tunnel transfer overlaps the next window's host entropy stage
-            if packed is not None:
-                (packed_d, warm_d, coeffs, order, shift, exact, assigns,
-                 wasteds, out_shifts) = _shard_batch(
-                    self._mesh, packed, warm, coeffs, order, shift, exact,
-                    assigns, wasteds, out_shifts)
-                residual_d = lpc_ops.flac_unpack_residuals(
-                    packed_d, warm_d, order, w=wb, n=max_bs)
-                self.stats["h2d_bytes"] += packed.nbytes + warm.nbytes
-                if Lb:
-                    raw_d, idx_d = _shard_batch(
-                        self._mesh, raw_ovf, ovf_idx)
-                    residual_d = lpc_ops.flac_merge_overflow(
-                        residual_d, raw_d, idx_d, Lb=Lb)
-                    self.stats["h2d_bytes"] += (raw_ovf.nbytes
-                                                + ovf_idx.nbytes)
-            else:
-                (residual_d, coeffs, order, shift, exact, assigns,
-                 wasteds, out_shifts) = _shard_batch(
-                    self._mesh, residual, coeffs, order, shift, exact,
-                    assigns, wasteds, out_shifts)
-                self.stats["h2d_bytes"] += residual.nbytes
-            samples = lpc_ops.flac_lpc(
-                residual_d, coeffs, order, shift, exact
-            ).reshape(S, nch, max_bs)
-            # <=16-bit lanes (out_shift >= 16): ship int16 losslessly to
-            # halve device->host bytes on the tunnel-limited link
             use_s16 = all(decs[bi].bits_per_sample <= 16 for bi, _ in lanes)
-            post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
-                else lpc_ops.flac_post_stereo_batch
-            out32 = post(
-                samples, assigns, wasteds, out_shifts
-            )  # [S, nch, max_bs] device array (int16 when use_s16)
-            try:
-                out32.copy_to_host_async()
-            except AttributeError:
-                pass
+
+            def _flac_dispatch(residual, coeffs, order, shift, exact,
+                               assigns, wasteds, out_shifts, max_bs, S,
+                               use_s16):
+                # NOTE: everything per-window must arrive as an argument —
+                # the enclosing loop rebinds its locals while this runs
+                Ln = residual.shape[0]
+                h2d = 0
+                packed = None
+                if lib is not None:
+                    import ctypes as _ct
+
+                    _i32p = _ct.POINTER(_ct.c_int32)
+                    _u32p = _ct.POINTER(_ct.c_uint32)
+                    w_l = np.zeros(Ln, np.int32)
+                    wmax = lib.af_flac_widths(
+                        residual.ctypes.data_as(_i32p), Ln, max_bs,
+                        order.ctypes.data_as(_i32p),
+                        w_l.ctypes.data_as(_i32p))
+                    # residual widths are heavy-tailed (verbatim blocks,
+                    # high-order partitions); pick the cheapest of "pad
+                    # all rows to the max bucket" vs "pack small + ship
+                    # the few wide rows raw" (flac_merge_overflow)
+                    wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
+                    stride = (max_bs * wb + 31) // 32 + 1
+                    packed = np.empty((Ln, stride), np.uint32)
+                    lib.af_flac_pack(
+                        residual.ctypes.data_as(_i32p), Ln, max_bs,
+                        order.ctypes.data_as(_i32p), wb,
+                        packed.ctypes.data_as(_u32p), stride)
+                    warm = np.ascontiguousarray(residual[:, :32])
+                    if Lb:
+                        over = np.flatnonzero(w_l > wb)
+                        raw_ovf = np.zeros((Lb, max_bs), np.int32)
+                        raw_ovf[1 : 1 + over.size] = residual[over]
+                        ovf_idx = np.zeros(Ln, np.int32)
+                        ovf_idx[over] = np.arange(1, 1 + over.size)
+                if packed is not None:
+                    (packed_d, warm_d, coeffs, order, shift, exact,
+                     assigns, wasteds, out_shifts) = _shard_batch(
+                        self._mesh, packed, warm, coeffs, order, shift,
+                        exact, assigns, wasteds, out_shifts)
+                    residual_d = lpc_ops.flac_unpack_residuals(
+                        packed_d, warm_d, order, w=wb, n=max_bs)
+                    h2d += packed.nbytes + warm.nbytes
+                    if Lb:
+                        raw_d, idx_d = _shard_batch(
+                            self._mesh, raw_ovf, ovf_idx)
+                        residual_d = lpc_ops.flac_merge_overflow(
+                            residual_d, raw_d, idx_d, Lb=Lb)
+                        h2d += raw_ovf.nbytes + ovf_idx.nbytes
+                else:
+                    (residual_d, coeffs, order, shift, exact, assigns,
+                     wasteds, out_shifts) = _shard_batch(
+                        self._mesh, residual, coeffs, order, shift, exact,
+                        assigns, wasteds, out_shifts)
+                    h2d += residual.nbytes
+                samples = lpc_ops.flac_lpc(
+                    residual_d, coeffs, order, shift, exact
+                ).reshape(S, nch, max_bs)
+                # <=16-bit lanes (out_shift >= 16): ship int16 losslessly
+                # to halve device->host bytes on the tunnel-limited link
+                post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
+                    else lpc_ops.flac_post_stereo_batch
+                out32 = post(samples, assigns, wasteds, out_shifts)
+                _prefetch(out32, to_device)
+                return out32, h2d
+
+            fut = pool.submit(
+                _flac_dispatch, residual, coeffs, order, shift, exact,
+                assigns, wasteds, out_shifts, max_bs, S, use_s16)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["windows"] += 1
             slots = []
@@ -974,8 +996,15 @@ class BatchDecoder:
                 slot = [None]
                 outputs[bi].append(slot)  # placeholder keeps stream order
                 slots.append((slot, si, p[0]))
-            pending.append((out32, slots))
+            pending.append((fut, slots))
 
+        pool.shutdown(wait=True)
+        resolved = []
+        for fut, slots in pending:
+            out32, h2d = fut.result()
+            self.stats["h2d_bytes"] += h2d
+            resolved.append((out32, slots))
+        pending[:] = resolved
         group = _PendingGroup(self, "flac", decs, pending,
                               self._flac_finalize,
                               (decs, outputs, pending, nch))
@@ -1119,10 +1148,7 @@ class BatchDecoder:
                 (hp_d, wp_d, sp_d, cp_d) = _shard_batch(
                     self._mesh, hp, wp, sp, cp)
                 out = lms_ops.decode_slices(hp_d, wp_d, sp_d, cp_d)
-                try:
-                    out.copy_to_host_async()
-                except AttributeError:
-                    pass
+                _prefetch(out, to_device)
                 pending.append((out, Lc))
                 self.stats["enqueue_ms"] += \
                     (time.perf_counter() - t_enq) * 1e3

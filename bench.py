@@ -458,6 +458,17 @@ def main():
                 "windows": best_stats["windows"],
             },
             "h2d_bytes": best_stats["h2d_bytes"],
+            # honest speed-of-light: even uploading NOTHING but the
+            # compressed bytes, the measured uplink caps end-to-end at
+            # audio_s / (compressed_bytes / up_MBps); the inflation factor
+            # says how close the wire format gets to that bound
+            "compressed_bytes": sum(len(b) for b in mp3 + flac),
+            "h2d_inflation": round(
+                best_stats["h2d_bytes"]
+                / max(1, sum(len(b) for b in mp3 + flac)), 2),
+            "link_bound_ceiling_rtx": round(
+                audio / (sum(len(b) for b in mp3 + flac) / max(1.0, up_bw)),
+                1),
             "link_MBps": {"up": round(up_bw / 1e6, 1),
                           "down": round(down_bw / 1e6, 1)},
             "full_download_rtx": round(dl_rtx, 2),

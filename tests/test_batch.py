@@ -266,6 +266,9 @@ def test_mixed_batch_no_per_stream_fallback(rng, monkeypatch):
                              for _ in range(5)])
     items = [
         _mp3(rng, n_frames=4, channels=2),
+        # multi-window ragged FLAC: the last window's smaller lane bucket
+        # caught a worker-closure capture bug once — keep it ragged
+        _flac(rng, 30000),
         _flac(rng, 4000),
         qoa_ref.encode(s16.reshape(-1, 1).astype(np.int16), 44100),
         wav_ref.build_wav(wav_ref.pack_pcm(s16, 16), fmt_tag=1,
@@ -280,6 +283,7 @@ def test_mixed_batch_no_per_stream_fallback(rng, monkeypatch):
                 AssertionError("per-stream fallback used")),
         )
     out = dec.decode_all()
+    assert dec.stats["group_demotions"] == 0
     for data, got in zip(items, out):
         assert got is not None and got.shape[0] > 0
     assert set(dec.stats["decoded_seconds_by_format"]) >= \
