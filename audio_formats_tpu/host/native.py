@@ -113,6 +113,10 @@ def get_lib():
                                      i32p, ctypes.c_int32, u32p,
                                      ctypes.c_int32]
         lib.af_flac_pack.restype = ctypes.c_int
+        lib.af_mp3_index.argtypes = [
+            i8p, ctypes.c_int64, i8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p]
+        lib.af_mp3_index.restype = ctypes.c_int64
 
         # install the MP3 Huffman tables
         from ..utils.tables import mp3_tables as T
@@ -626,3 +630,19 @@ def mp3_parse_window_packed(lib, view, off: int, hdr0: bytes, W: int,
     )
     intensity_stop = n < W and bool(flags[n] & 4)
     return n, new_off.value, int(max_words[0]), intensity_stop
+
+
+def mp3_index(lib, view, hdr0: bytes, free_format_bytes: int, layer: int,
+              spf_ch: int, state, offsets, samples) -> int:
+    """Native frame-index walk (af_mp3_index): fills per-frame offsets +
+    cumulative samples while headers match hdr0; state [4] int64 carries
+    (total, reserv, had_success, off) across calls so the python caller
+    can chunk the walk and take over on resync."""
+    ptr, nbytes, _keep = _buf_ptr(view)
+    _I64P = ctypes.POINTER(ctypes.c_int64)
+    return int(lib.af_mp3_index(
+        ptr, nbytes, _u8ptr(hdr0), free_format_bytes, layer, spf_ch,
+        offsets.shape[0],
+        offsets.ctypes.data_as(_I64P),
+        samples.ctypes.data_as(_I64P),
+        state.ctypes.data_as(_I64P)))

@@ -792,6 +792,71 @@ static inline int hdr_padding(const uint8_t* h) {
   return 0;
 }
 
+// Frame-index walk with side-info-only reservoir simulation (the hot loop
+// of models/mp3.py Mp3Decoder._index_and_detect; shape from
+// minimp3_ex.d:mp3dec_iterate).  Walks from state[3] while headers match
+// hdr0, filling per-frame byte offsets and cumulative output samples.
+// Stops at the first non-matching header or stream end -- the python
+// caller continues its (rare) resync logic from state[3] with the carried
+// reservoir state.  Returns the number of frames indexed.
+int64_t af_mp3_index(const uint8_t* data, int64_t nbytes,
+                     const uint8_t* hdr0, int32_t free_format_bytes,
+                     int32_t layer, int32_t spf_ch, int64_t max_frames,
+                     int64_t* offsets, int64_t* samples_acc,
+                     int64_t* state /* [4] total, reserv, had_success, off */) {
+  int64_t total = state[0];
+  int reserv = (int)state[1];
+  int had_success = (int)state[2];
+  int64_t off = state[3];
+  int64_t count = 0;
+  while (count < max_frames && off + 4 <= nbytes) {
+    const uint8_t* h = data + off;
+    if (!hdr_compare(hdr0, h)) break;
+    int fb = hdr_frame_bytes(h, free_format_bytes) + hdr_padding(h);
+    if (fb <= 0 || off + fb > nbytes) break;
+    offsets[count] = off;
+    samples_acc[count] = total;
+    int ok = 1, avail = 0;
+    if (layer == 3 && fb > 4) {
+      Mp3Bits bs = {data + off + 4, 0, (int64_t)(fb - 4) * 8};
+      if (!(h[1] & 1)) mp3_get(&bs, 16);
+      GrInfo grs[4];
+      int mdb = mp3_side_info(&bs, grs, h);
+      if (mdb < 0) {
+        ok = 0;
+        avail = 0;
+      } else {
+        ok = reserv >= mdb;
+        int gr_count = (((h[3] & 0xC0) == 0xC0) ? 1 : 2) *
+                       ((h[1] & 0x8) ? 2 : 1);
+        int used_bits = 0;
+        for (int g = 0; g < gr_count; g++) used_bits += grs[g].part_23_length;
+        int frame_main = (int)((bs.limit - bs.pos) / 8);
+        int have = reserv < mdb ? reserv : mdb;
+        int64_t total_bits = (int64_t)(have + frame_main) * 8;
+        int consumed = ok ? (int)((8 * have + used_bits + 7) / 8) : 0;
+        int64_t a = total_bits / 8 - consumed;
+        avail = a > 0 ? (int)a : 0;
+      }
+    } else if (layer == 3) {
+      ok = 0;
+      avail = 0;
+    }
+    if (ok || had_success) {
+      total += spf_ch;
+      had_success = 1;
+    }
+    reserv = avail < 511 ? avail : 511;
+    off += fb;
+    count++;
+  }
+  state[0] = total;
+  state[1] = reserv;
+  state[2] = had_success;
+  state[3] = off;
+  return count;
+}
+
 // intensity pan gains (minimp3.d:930-952)
 static void mp3_pan_gains(int ipos, int mpeg1, int mpeg2_sh, float* kl,
                           float* kr) {

@@ -751,6 +751,29 @@ class Mp3Decoder:
         had_success = False
         p = start
         n = len(view)
+        # native fast path: the C walk (af_host.cc:af_mp3_index) indexes
+        # matching-header runs with the same side-info reservoir
+        # simulation; python takes over only at resync points (below)
+        import os as _os
+
+        from ..host import native as _native
+
+        _lib = _native.get_lib()
+        if _lib is not None and not _os.environ.get("AF_TPU_NO_NATIVE_INDEX"):
+            state = np.array([0, 0, 0, start], np.int64)
+            buf_o = np.empty(65536, np.int64)
+            buf_s = np.empty(65536, np.int64)
+            while True:
+                cnt = _native.mp3_index(
+                    _lib, view, self._hdr0, self._free_format_bytes,
+                    self._layer, self._spf * self.channels,
+                    state, buf_o, buf_s)
+                offsets.extend(buf_o[:cnt].tolist())
+                samples_acc.extend(buf_s[:cnt].tolist())
+                if cnt < buf_o.shape[0]:
+                    break
+            total, reserv, hs, p = (int(x) for x in state)
+            had_success = bool(hs)
         while p + HDR_SIZE <= n:
             h = view[p : p + 4]
             if not _hdr_compare(self._hdr0, h):

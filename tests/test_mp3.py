@@ -357,3 +357,38 @@ def test_mpeg2_intensity_stereo(rng):
     out = np.asarray(BatchDecoder([data]).decode_all()[0])
     peak = np.abs(ref).max()
     assert np.abs(out - ref).max() / peak < 4e-6
+
+
+def test_native_index_matches_python(rng, monkeypatch):
+    """The C frame-index walk (af_mp3_index) must produce the identical
+    offset/sample index and total as the python reservoir simulation,
+    including streams with junk tails (python handles the resync)."""
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu import models as _models
+    from audio_formats_tpu.host import native as _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    def _rand_stream(channels, n_frames):
+        qs = []
+        for _ in range(2 * n_frames):
+            q = np.zeros(576, np.int64)
+            idx = rng.choice(300, 40, replace=False)
+            q[idx] = rng.integers(-15, 16, 40)
+            qs.append(q)
+        frames = _frames_mono(qs)
+        if channels == 2:
+            frames = [[[g[0], dict(g[0])] for g in fr]
+                      for fr in frames]
+        return mp3_ref.build_mp3(frames, channels=channels)
+
+    base = [_rand_stream(2, 25), _rand_stream(1, 13)]
+    base.append(base[0] + b"\x00\x41" * 300)  # junk tail -> resync path
+    for i, data in enumerate(base):
+        monkeypatch.delenv("AF_TPU_NO_NATIVE_INDEX", raising=False)
+        d1 = _models.probe_all(MemorySource(data))
+        monkeypatch.setenv("AF_TPU_NO_NATIVE_INDEX", "1")
+        d2 = _models.probe_all(MemorySource(data))
+        assert np.array_equal(d1._index_offsets, d2._index_offsets), i
+        assert np.array_equal(d1._index_samples, d2._index_samples), i
+        assert d1._total_samples == d2._total_samples, i
