@@ -27,11 +27,19 @@ _tables_loaded = False
 def _build() -> bool:
     try:
         src_mtime = os.path.getmtime(_SRC)
-        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+        tag = _SO + ".flags"
+        cur = os.environ.get("AF_TPU_NATIVE_CFLAGS", "")
+        prev = open(tag).read() if os.path.exists(tag) else ""
+        if (os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime
+                and cur == prev):
             return True
         # -ffp-contract=off: no FMA contraction, so float expressions round
         # exactly like the numpy reference paths (bit-for-bit A/B tests)
         flags = ["-O3", "-ffp-contract=off", "-shared", "-fPIC"]
+        extra = os.environ.get("AF_TPU_NATIVE_CFLAGS")
+        if extra:
+            # sanitizer / instrumentation hook (tools/native_sanitize.sh)
+            flags += extra.split()
         res = subprocess.run(
             ["g++", "-march=native"] + flags + ["-o", _SO, _SRC],
             capture_output=True,
@@ -43,6 +51,9 @@ def _build() -> bool:
                 capture_output=True,
                 timeout=120,
             )
+        if res.returncode == 0:
+            with open(tag, "w") as f:
+                f.write(cur)
         return res.returncode == 0
     except Exception:
         return False

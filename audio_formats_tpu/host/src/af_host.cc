@@ -1641,7 +1641,7 @@ static inline int celt_log2tan_c(int isin, int icos) {
   int b = ((isin * (a + 7932)) + 16384) >> 15;
   int c = ((icos * -2597) + 16384) >> 15;
   int e = ((icos * (c + 7932)) + 16384) >> 15;
-  return ((ls - lc) << 11) + b - e;
+  return (ls - lc) * 2048 + b - e;  // ls-lc may be negative: no << (UB)
 }
 
 static inline int cdiv_c(int a, int b) { return a / b; }

@@ -122,6 +122,59 @@ def _shard_batch(mesh, *arrays):
     return tuple(out)
 
 
+class _StageTrace:
+    """Chrome-trace (Perfetto) recorder for the batch scheduler's stage
+    timers (SURVEY §5.1).  Spans derive from the same accumulators as
+    ``BatchDecoder.stats`` — the trace and the reported split always
+    agree.  Written on decode_all exit as trace-event JSON."""
+
+    _TIDS = {"host_ms": 1, "enqueue_ms": 2, "fetch_ms": 3}
+
+    def __init__(self, path: str):
+        self.path = path
+        self.events = []
+        self.t0 = time.perf_counter()
+        self.xla = False
+
+    def wrap(self, stats):
+        trace = self
+
+        class _Recording(dict):
+            def __setitem__(self, key, value):
+                if key in _StageTrace._TIDS:
+                    old = self.get(key, 0.0)
+                    dur_us = (value - old) * 1e3
+                    if dur_us > 0:
+                        now_us = (time.perf_counter() - trace.t0) * 1e6
+                        trace.events.append({
+                            "name": key[:-3], "ph": "X", "pid": 1,
+                            "tid": _StageTrace._TIDS[key],
+                            "ts": now_us - dur_us, "dur": dur_us,
+                        })
+                dict.__setitem__(self, key, value)
+
+        return _Recording(stats)
+
+    def flush(self):
+        import json
+        import os as _os
+
+        if self.xla:
+            import jax as _jax
+
+            _jax.profiler.stop_trace()
+            self.xla = False
+        d = _os.path.dirname(self.path)
+        if d:
+            _os.makedirs(d, exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump({
+                "traceEvents": self.events,
+                "metadata": {"tool": "audio_formats_tpu BatchDecoder",
+                             "tids": {v: k for k, v in self._TIDS.items()}},
+            }, f)
+
+
 class _PendingGroup:
     """A lockstep group whose PCM windows are still device-resident.
     ``finalize()`` downloads and assembles the per-lane numpy PCM (cached)."""
@@ -217,6 +270,7 @@ class BatchDecoder:
     def __init__(self, items: Sequence, mesh=None, group_size: int = None):
         self.decoders: List[Optional[object]] = []
         self.errors: List[Optional[str]] = []
+        self._trace = None
         self._mesh = mesh  # jax.sharding.Mesh: batch axis shards on 'data'
         #: lockstep group width.  With device-resident output the whole
         #: batch can ride one group (no per-window PCM download); when PCM
@@ -294,6 +348,32 @@ class BatchDecoder:
         to block until all device work is done, ``.to_numpy()`` to download
         and get exactly the output="numpy" result.
         """
+        import os as _os
+
+        trace_path = _os.environ.get("AF_TPU_PROFILE")
+        if trace_path and self._trace is None:
+            # SURVEY §5.1 tracing: record per-stage spans (host parse,
+            # enqueue, fetch, per group kind) as a Chrome-trace JSON --
+            # open in Perfetto / chrome://tracing.  Events piggyback on
+            # the stats stage timers, so the trace and the JSON split
+            # always agree.  (jax.profiler device traces hang over the
+            # axon tunnel transport; on a directly-attached host set
+            # AF_TPU_PROFILE_XLA to also capture an XLA trace.)
+            self._trace = _StageTrace(trace_path)
+            self.stats = self._trace.wrap(self.stats)
+            xla_dir = _os.environ.get("AF_TPU_PROFILE_XLA")
+            if xla_dir:
+                import jax as _jax
+
+                _jax.profiler.start_trace(xla_dir)
+                self._trace.xla = True
+        try:
+            return self._decode_all_impl(output)
+        finally:
+            if self._trace is not None:
+                self._trace.flush()
+
+    def _decode_all_impl(self, output: str = "numpy"):
         to_device = output == "device"
         out: List[Optional[object]] = [None] * len(self.decoders)
         finalizers = []

@@ -364,3 +364,24 @@ def test_silk_batch_equals_facade():
         peak = np.abs(ref).max() + 1e-9
         # facade resamples per-lane in f64; the batched conv runs f32
         assert np.abs(g - ref).max() / peak < 1e-5
+
+
+def test_profile_trace_capture(rng, monkeypatch, tmp_path):
+    """AF_TPU_PROFILE records the scheduler's stage spans as Chrome-trace
+    JSON (SURVEY §5.1): the file materializes, spans cover every stage
+    that reported time, and the decode result is unchanged."""
+    import json
+
+    data = _flac(rng, 3000)
+    ref = BatchDecoder([data]).decode_all()[0]
+    path = tmp_path / "trace.json"
+    monkeypatch.setenv("AF_TPU_PROFILE", str(path))
+    dec = BatchDecoder([data])
+    got = dec.decode_all()[0]
+    np.testing.assert_array_equal(got, ref)
+    tr = json.loads(path.read_text())
+    names = {e["name"] for e in tr["traceEvents"]}
+    assert "host" in names and "enqueue" in names
+    total = sum(e["dur"] for e in tr["traceEvents"]
+                if e["name"] == "host") / 1e3
+    assert abs(total - dec.stats["host_ms"]) < 1.0
