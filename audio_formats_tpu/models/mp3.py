@@ -1106,6 +1106,26 @@ class Mp3Decoder:
 
     # -- Layer I/II decode (minimp3.d:286-486) --------------------------------
     def _decode_l12_frame_at(self, off: int):
+        S2, fb = self._l12_parse_subbands(off)
+        if S2 is None:
+            if fb:
+                return np.zeros((0, self.channels), np.float32), fb
+            return None, 0
+        nch = self.channels
+        pcm, self._shist = mp3_dsp.mp3_synth_slots(
+            S2[None], self._shist, nch=nch
+        )
+        pcm = np.asarray(pcm)[0]  # [nch, slots*32]
+        return pcm.T.astype(np.float32), fb
+
+    def _l12_parse_subbands(self, off: int):
+        """Host entropy stage for one Layer I/II frame: bit allocation +
+        scale info + subband sample decode + scalefactor application
+        (minimp3.d:286-486) WITHOUT the synthesis filterbank — the batch
+        scheduler stacks these blocks and synthesizes a whole window with
+        one device call.  Returns (S [nch, slots, 32] | None, frame_bytes);
+        (None, fb>0) marks a corrupt frame (facade emits no output and the
+        slot history does not advance)."""
         view = self._view
         h = view[off : off + 4]
         if not _hdr_compare(self._hdr0, h):
@@ -1119,7 +1139,7 @@ class Mp3Decoder:
         try:
             sci = _l12_read_scale_info(h, bs)
         except AudioFormatError:
-            return np.zeros((0, self.channels), np.float32), fb
+            return None, fb
         layer = _layer(h)
         group_size = 1 if layer == 1 else 3
         n_granules = 3
@@ -1169,11 +1189,7 @@ class Mp3Decoder:
                 grbuf[:nch, :, :nslots], (0, 2, 1)
             )
             slot = s0 + nslots
-        pcm, self._shist = mp3_dsp.mp3_synth_slots(
-            S[:, :, :slot], self._shist, nch=nch
-        )
-        pcm = np.asarray(pcm)[0]  # [nch, slots*32]
-        return pcm.T.astype(np.float32), fb
+        return S[0, :, :slot], fb
 
     # -- streaming read (mp3dec_ex_read, minimp3_ex.d:787-888) ---------------
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:

@@ -379,6 +379,7 @@ class BatchDecoder:
         finalizers = []
 
         mp3_groups = {}
+        l12_groups = {}
         flac_groups = {}
         opus_groups = {}
         silk_groups = {}
@@ -387,9 +388,11 @@ class BatchDecoder:
         vorbis_groups = {}
         for i, d in enumerate(self.decoders):
             if isinstance(d, Mp3Decoder) and d._layer == 3:
-                # Layers I/II use the per-stream path (different frame
-                # structure; rare in practice)
                 mp3_groups.setdefault((d.channels, d._mpeg1), []).append(i)
+            elif isinstance(d, Mp3Decoder):
+                # Layers I/II: no bit reservoir, so frames are independent
+                # subband blocks — host parses, ONE synthesis FIR per window
+                l12_groups.setdefault((d.channels, d._layer), []).append(i)
             elif isinstance(d, FlacDecoder):
                 # >16 bps lanes ride the exact int32-limb LPC path and the
                 # full-width output; frames beyond the device limb range
@@ -428,6 +431,9 @@ class BatchDecoder:
             for c in range(0, len(lanes), GROUP):
                 run(lanes[c : c + GROUP], self._decode_mp3_group, nch,
                     2 if mpeg1 else 1)
+        for (nch, layer), lanes in l12_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                run(lanes[c : c + GROUP], self._decode_l12_group, nch)
         for nch, lanes in flac_groups.items():
             for c in range(0, len(lanes), GROUP):
                 run(lanes[c : c + GROUP], self._decode_flac_group, nch)
@@ -484,6 +490,90 @@ class BatchDecoder:
         return out
 
     # ------------------------------------------------- batched MP3 lockstep
+    def _decode_l12_group(self, decs, nch: int, to_device: bool = False):
+        """Layer I/II lockstep: no bit reservoir, so frames are independent
+        subband blocks (minimp3.d:286-486).  The host parses W frames per
+        lane into scf-applied slot tensors; ONE batched synthesis FIR per
+        window (ops/mp3_dsp.mp3_synth_slots) with carried slot history
+        turns the whole group into PCM.  Corrupt frames vanish from a
+        lane's slot sequence exactly like the facade (shist untouched)."""
+        W = 24
+        layer = decs[0]._layer
+        spf_slots = 12 if layer == 1 else 36
+        TS = W * spf_slots
+        B = len(decs)
+        Bp = max(8, 1 << (B - 1).bit_length()) if B <= 128 \
+            else -(-B // 128) * 128
+        shist = np.zeros((Bp, nch, 16, 32), np.float32)
+        dev_state = {"shist": shist}
+        offs = [d._offset for d in decs]
+        active = np.ones(B, bool)
+        pending = []
+        while active.any():
+            t_host = time.perf_counter()
+            Sarr = np.zeros((Bp, nch, TS, 32), np.float32)
+            n_slots = np.zeros(Bp, np.int32)
+            for bi, d in enumerate(decs):
+                if not active[bi]:
+                    continue
+                got = 0
+                while got < W:
+                    if offs[bi] >= len(d._view) - 4:
+                        active[bi] = False
+                        break
+                    S2, fb = d._l12_parse_subbands(offs[bi])
+                    if S2 is None:
+                        if fb:
+                            offs[bi] += fb
+                            continue
+                        active[bi] = False
+                        break
+                    offs[bi] += fb
+                    Sarr[bi, :, got * spf_slots : got * spf_slots
+                         + S2.shape[1]] = S2
+                    got += 1
+                n_slots[bi] = got * spf_slots
+                d._cur_sample += got * d._spf * nch
+                d._offset = offs[bi]
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            if not n_slots.any():
+                break
+            t_enq = time.perf_counter()
+            (S_d, sh_d) = _shard_batch(self._mesh, Sarr,
+                                       dev_state["shist"])
+            pcm, sh2 = mp3_dsp.mp3_synth_slots(S_d, sh_d, nch=nch)
+            dev_state["shist"] = sh2
+            _prefetch(pcm, to_device)
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += Sarr.nbytes
+            self.stats["windows"] += 1
+            pending.append((pcm, n_slots.copy()))
+        group = _PendingGroup(self, "mp3", decs, pending,
+                              self._l12_finalize, (decs, pending, nch))
+        return group if to_device else group.finalize()
+
+    def _l12_finalize(self, decs, pending, nch):
+        t0 = time.perf_counter()
+        outs = [[] for _ in decs]
+        for pcm_dev, n_slots in pending:
+            arr = np.asarray(pcm_dev)  # [Bp, nch, TS*32]
+            self.stats["d2h_bytes"] += arr.nbytes
+            for bi in range(len(decs)):
+                k = int(n_slots[bi]) * 32
+                if k:
+                    outs[bi].append(arr[bi, :, :k].T)
+        t_res = []
+        for bi, d in enumerate(decs):
+            full = np.concatenate(outs[bi]) if outs[bi] else \
+                np.zeros((0, nch), np.float32)
+            skip = d._start_delay // max(1, nch)
+            full = full[skip:]
+            if d._total_samples:
+                full = full[: d._total_samples // max(1, nch)]
+            t_res.append(np.ascontiguousarray(full.astype(np.float32)))
+        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        return t_res
+
     def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int,
                           to_device: bool = False):
         import os

@@ -289,13 +289,22 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
         blob_d, overlap, shist, na, pats=pats, spats=spats,
         L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
     _ = np.asarray(pcm[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        pcm, overlap, shist = mp3_huff.packed_window_blob(
-            blob_d, overlap, shist, na, pats=pats, spats=spats,
-            L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
-    _ = np.asarray(pcm[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0) / reps
+
+    def run(k):
+        nonlocal overlap, shist
+        t0 = time.perf_counter()
+        for _ in range(k):
+            pcm, o2, s2 = mp3_huff.packed_window_blob(
+                blob_d, overlap, shist, na, pats=pats, spats=spats,
+                L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
+            overlap, shist = o2, s2
+        _ = np.asarray(pcm[0, 0, 0, 0])
+        return time.perf_counter() - t0
+    # two-point slope removes the noisy tunnel fetch cost from dt
+    lo, hi = reps, reps * 3
+    t_lo = min(run(lo) for _ in range(2))
+    t_hi = min(run(hi) for _ in range(2))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
     audio = float(n_act.sum()) * 576 / 44100.0
     return audio / dt, blob.nbytes, audio
 
@@ -324,12 +333,22 @@ def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
                            use_perm=False, dequant=False, use_mix=False)
     pcm, overlap, shist = fn(xq, ph_f, ph_f, ph_i, aa, wt, overlap, shist, na)
     _ = np.asarray(pcm[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        pcm, overlap, shist = fn(xq, ph_f, ph_f, ph_i, aa, wt, overlap,
-                                 shist, na)
-    _ = np.asarray(pcm[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0) / reps
+
+    def run(k):
+        nonlocal overlap, shist
+        t0 = time.perf_counter()
+        for _ in range(k):
+            pcm, o2, s2 = fn(xq, ph_f, ph_f, ph_i, aa, wt, overlap,
+                             shist, na)
+            overlap, shist = o2, s2
+        _ = np.asarray(pcm[0, 0, 0, 0])
+        return time.perf_counter() - t0
+    # two-point slope removes the (noisy, 0.1-400 ms) tunnel fetch cost
+    # that a single timed loop folds into dt
+    lo, hi = reps, reps * 4
+    t_lo = min(run(lo) for _ in range(2))
+    t_hi = min(run(hi) for _ in range(2))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
     return B * G * 576 / 44100.0 / dt
 
 
