@@ -410,3 +410,59 @@ def test_layer12_batch_equals_facade(rng):
         peak = np.abs(ref).max() + 1e-9
         # same einsum, different batch shape: XLA reduction order differs
         assert np.abs(g - ref).max() / peak < 4e-6
+
+
+def test_opus_celt_batch_equals_facade():
+    """CELT-only Opus lanes through the lockstep group vs the facade
+    (completes batch==facade coverage across the decode formats)."""
+    from test_opus_celt import PACKETS
+    from golden import opus_ref
+
+    pkts = [(bytes.fromhex(h), 480) for h in PACKETS]
+    streams = [opus_ref.build_ogg_opus(pkts, channels=1, preskip=130),
+               opus_ref.build_ogg_opus(pkts[:2], channels=1, preskip=0)]
+    got = BatchDecoder(streams).decode_all()
+    for data, g in zip(streams, got):
+        ref = _facade(data)
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(g - ref).max() / peak < 1e-5
+
+
+def test_module_batch_equals_facade(rng):
+    """MOD/XM modules decode through BatchDecoder (per-stream synthesis
+    engines — inherently sequential tracker playback) identically to the
+    facade, mixed with device-group formats in one batch."""
+    from golden import mod_ref, xm_ref
+
+    pat = mod_ref.empty_pattern()
+    pat[0][0] = mod_ref.cell(sample=1, period=428, effect=0, param=0)
+    mod_data = mod_ref.build_mod(
+        [pat], [0], [(mod_ref.saw_sample(64), 64, 0, 0, 64)])
+    xm_data = _xm_fixture(rng)
+    streams = [mod_data, xm_data, _flac(rng, 3000)]
+    got = BatchDecoder(streams).decode_all()
+    for data, g in zip(streams, got):
+        # modules are length-fuzzy by reference design (XM reads zero-pad
+        # to the requested count, stream.d:604) -> chunk like the batch
+        s = AudioStream().open_from_memory(data)
+        chunks = []
+        while True:
+            c = s.read_samples_float(1 << 16)
+            if len(c) == 0:
+                break
+            chunks.append(np.asarray(c))
+        ref = np.concatenate(chunks)
+        assert g.shape == ref.shape
+        np.testing.assert_allclose(g, ref, rtol=0, atol=1e-7)
+
+
+def _xm_fixture(rng):
+    from golden import xm_ref
+    import importlib.util as _iu
+
+    spec = _iu.spec_from_file_location(
+        "txm", __file__.replace("test_batch.py", "test_xm.py"))
+    m = _iu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m._simple_xm(rows=16)
