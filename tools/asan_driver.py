@@ -97,6 +97,33 @@ def drive_flac(data):
                          packed.ctypes.data_as(u32p), stride)
 
 
+def drive_threaded():
+    """Concurrent host-stage calls: the batch scheduler parses window t+1
+    on the main thread while a worker uploads/packs window t, so the C
+    stage must be reentrant across threads (per-call state only).  TSAN
+    (AF_SAN=tsan) checks this interleaving."""
+    import threading
+
+    datas = [mp3_ref.build_mp3(frames_for(12, ch), channels=ch)
+             for ch in (1, 2)]
+    errs = []
+
+    def work(d, ch):
+        try:
+            for _ in range(4):
+                drive_mp3(d, ch)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(d, ch))
+          for d, ch in zip(datas, (1, 2))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+
 for ch in (1, 2):
     data = mp3_ref.build_mp3(frames_for(16, ch), channels=ch)
     drive_mp3(data, ch)
@@ -119,4 +146,5 @@ bad = bytearray(fd)
 for pos in rng.integers(200, len(bad), 64):
     bad[pos] ^= 0xFF
 drive_flac(bytes(bad))
+drive_threaded()
 print("asan driver OK")

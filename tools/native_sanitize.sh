@@ -18,13 +18,21 @@ if [ "${AF_SAN:-ubsan}" = "asan" ]; then
   ASAN_RT=$(g++ -print-file-name=libasan.so)
   export LD_PRELOAD="$ASAN_RT"
   export ASAN_OPTIONS="detect_leaks=0:log_path=/tmp/af_asan"   # CPython itself "leaks" arenas
+elif [ "${AF_SAN:-ubsan}" = "tsan" ]; then
+  # thread sanitizer over the concurrent host-stage driver (the batch
+  # scheduler calls the C stage from main + worker threads)
+  export AF_TPU_NATIVE_CFLAGS="-fsanitize=thread -g -O1"
+  TSAN_RT=$(g++ -print-file-name=libtsan.so)
+  export LD_PRELOAD="$TSAN_RT"
+  export TSAN_OPTIONS="log_path=/tmp/af_tsan:report_signal_unsafe=0"
 else
   export AF_TPU_NATIVE_CFLAGS="-fsanitize=undefined -fno-sanitize-recover=all -g -O1"
   export UBSAN_OPTIONS="print_stacktrace=1:log_path=/tmp/af_ubsan"
 fi
-if [ "${AF_SAN:-ubsan}" = "asan" ]; then
-  # jax-free driver: ASan's preloaded runtime clashes with jaxlib's C++
-  # exception handling, so ASan exercises the C surface directly
+if [ "${AF_SAN:-ubsan}" = "asan" ] || [ "${AF_SAN:-ubsan}" = "tsan" ]; then
+  # jax-free driver: ASan/TSan preloaded runtimes clash with jaxlib's C++
+  # exception handling, so they exercise the C surface directly (the
+  # driver includes a concurrent two-thread section for TSAN)
   python tools/asan_driver.py
   status=$?
 else
