@@ -606,21 +606,21 @@ def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
     Returns (Ws, Lb, Wext): plain [L, Ws] rows when Lb == 0, else the
     split layout (blob_layout) with overflow rows bucketed to Lb.
     Minimizes uploaded words over the static bucket grid."""
-    plans = []
-    for w in (16, 32, 64, lane_words):
-        if mw_max <= w:
-            plans.append((L * w, w, 0))
-            break
+    # the overflow plane only needs to reach the window's max bucket,
+    # not the absolute LANE_WORDS ceiling
+    wtop = next(w for w in (16, 32, 64, lane_words) if mw_max <= w)
+    plans = [(L * wtop, wtop, 0, 0)]
     for ws in (16, 32, 64):
         if mw_max <= ws:
             break
         nov = int(np.count_nonzero(lanew > ws))
         for lb in OVF_BUCKETS:
             if nov + 1 <= lb:
-                plans.append((L * ws + lb * (lane_words - ws), ws, lb))
+                plans.append(
+                    (L * ws + lb * (wtop - ws), ws, lb, wtop - ws))
                 break
-    _, ws, lb = min(plans)
-    return ws, lb, (lane_words - ws) if lb else 0
+    _, ws, lb, wext = min(plans)
+    return ws, lb, wext
 
 
 @functools.partial(
@@ -665,9 +665,14 @@ def packed_window_blob(blob, overlap, shist, n_act,
         idx = meta16[:, 15].astype(jnp.int32)
         bits = jnp.concatenate(
             [bits, jnp.take(ovf, idx, axis=0)], axis=1)
+    # 4 zero words of tail: peeks past a lane's span read deterministic
+    # zeros, and max_pos=(W-3)*32 can never clamp below a bit_limit that
+    # ends inside the last words of the widest bucket
+    bits = jnp.concatenate(
+        [bits, jnp.zeros((L, 4), blob.dtype)], axis=1)
     xq, aa, wt = packed_device_stage(
         bits, meta16[:, :15], scfq, starts, d_len, d_xy,
-        pats=pats, spats=spats, W=Wb + (Wext if Lb else 0),
+        pats=pats, spats=spats, W=Wb + (Wext if Lb else 0) + 4,
         NBIG=288, NC1=144,
         B=B, G=G, nch=nch,
     )

@@ -78,7 +78,8 @@ def _flac_width_plan(w_l, wmax: int, Ln: int, bs: int):
         nov = int(np.count_nonzero(w_l > ws))
         for lb in _FLAC_OVF_BUCKETS:
             if nov + 1 <= lb:
-                plans.append((Ln * stride(ws) + lb * bs, ws, lb))
+                plans.append(
+                    (Ln * stride(ws) + lb * stride(wb_plain), ws, lb))
                 break
     _, wb, lb = min(plans)
     return wb, lb
@@ -775,7 +776,7 @@ class BatchDecoder:
                 flat = bits.reshape(L, LW)
                 over = np.flatnonzero(lanew > Wb)
                 ovf = np.zeros((Lb, Wext), np.uint32)
-                ovf[1 : 1 + over.size] = flat[over, Wb:]
+                ovf[1 : 1 + over.size] = flat[over, Wb : Wb + Wext]
                 meta16[over, 15] = np.arange(
                     1, 1 + over.size, dtype=np.int16)
                 blob[o : o + n_ovf] = ovf.reshape(-1)
@@ -1120,9 +1121,26 @@ class BatchDecoder:
                         packed.ctypes.data_as(_u32p), stride)
                     warm = np.ascontiguousarray(residual[:, :32])
                     if Lb:
+                        # the few wide rows ship PACKED too, at the
+                        # window-max bucket (was: raw int32)
                         over = np.flatnonzero(w_l > wb)
-                        raw_ovf = np.zeros((Lb, max_bs), np.int32)
-                        raw_ovf[1 : 1 + over.size] = residual[over]
+                        wb2 = next((x for x in _FLAC_W_BUCKETS
+                                    if wmax <= x), 32)
+                        stride2 = (max_bs * wb2 + 31) // 32 + 1
+                        sub = np.ascontiguousarray(residual[over])
+                        order2 = np.full(Lb, max_bs, np.int32)
+                        order2[1 : 1 + over.size] = order[over]
+                        packed2 = np.zeros((Lb, stride2), np.uint32)
+                        if over.size:
+                            lib.af_flac_pack(
+                                sub.ctypes.data_as(_i32p), over.size,
+                                max_bs,
+                                np.ascontiguousarray(order[over])
+                                .ctypes.data_as(_i32p), wb2,
+                                packed2[1:].ctypes.data_as(_u32p),
+                                stride2)
+                        warm2 = np.zeros((Lb, 32), np.int32)
+                        warm2[1 : 1 + over.size] = sub[:, :32]
                         ovf_idx = np.zeros(Ln, np.int32)
                         ovf_idx[over] = np.arange(1, 1 + over.size)
                 if packed is not None:
@@ -1134,11 +1152,14 @@ class BatchDecoder:
                         packed_d, warm_d, order, w=wb, n=max_bs)
                     h2d += packed.nbytes + warm.nbytes
                     if Lb:
-                        raw_d, idx_d = _shard_batch(
-                            self._mesh, raw_ovf, ovf_idx)
+                        (p2_d, w2_d, o2_d, idx_d) = _shard_batch(
+                            self._mesh, packed2, warm2, order2, ovf_idx)
+                        res_o = lpc_ops.flac_unpack_residuals(
+                            p2_d, w2_d, o2_d, w=wb2, n=max_bs)
                         residual_d = lpc_ops.flac_merge_overflow(
-                            residual_d, raw_d, idx_d, Lb=Lb)
-                        h2d += raw_ovf.nbytes + ovf_idx.nbytes
+                            residual_d, res_o, idx_d, Lb=Lb)
+                        h2d += (packed2.nbytes + warm2.nbytes
+                                + order2.nbytes + ovf_idx.nbytes)
                 else:
                     (residual_d, coeffs, order, shift, exact, assigns,
                      wasteds, out_shifts) = _shard_batch(
