@@ -661,8 +661,6 @@ class BatchDecoder:
                 rl[0] = min(d._reserv, len(cur))
             states.append((rb, rl, d._ist_pos))
 
-        aa_c = np.zeros((G, nch), np.int32)   # C fills; device rebuilds
-        wt_c = np.zeros((G, nch, 32), np.int32)
         pending = []
         # host/device overlap: the worker thread owns the device dispatch
         # (arg upload over the link blocks; network IO releases the GIL),
@@ -687,51 +685,66 @@ class BatchDecoder:
             _prefetch(pcm, to_device)
             return pcm
 
+        # host parse pool: SURVEY §2.4's multi-threaded host stage — the
+        # C window parse releases the GIL, so lanes parse concurrently on
+        # multi-core hosts (on this 1-core box it degenerates to serial)
+        import os as _os
+
+        n_workers = max(1, min(8, (_os.cpu_count() or 1)))
+        parse_pool = ThreadPoolExecutor(max_workers=n_workers) \
+            if n_workers > 1 else None
+
+        def _parse_lane(bi):
+            d = decs[bi]
+            if d._offset >= len(d._view) - 4 or (
+                d._total_samples
+                and d._cur_sample >= d._total_samples
+            ):
+                active[bi] = False
+                return 16
+            flags = np.zeros(W, np.uint8)
+            aa_l = np.zeros((G, nch), np.int32)   # C fills; device rebuilds
+            wt_l = np.zeros((G, nch, 32), np.int32)
+            n, new_off, mw, istop = _native.mp3_parse_window_packed(
+                lib, d._view, d._offset, d._hdr0, W, ngr, nch,
+                states[bi], bits[bi], meta[bi], scfq[bi],
+                aa_l, wt_l, flags,
+                free_format_bytes=d._free_format_bytes,
+            )
+            d._offset = new_off
+            if istop:
+                demoted.append(d)
+                active[bi] = False
+            if n == 0:
+                active[bi] = False
+                return 16
+            fr_act = (flags[:n] & 1).astype(bool)
+            n_fr = int(fr_act.sum())
+            if n_fr and not fr_act[:n_fr].all():
+                # compact silent-frame holes to the prefix contract
+                li = np.flatnonzero(np.repeat(fr_act, ngr * nch))
+                bits[bi, : len(li)] = bits[bi, li]
+                meta[bi, : len(li)] = meta[bi, li]
+                scfq[bi, : len(li)] = scfq[bi, li]
+                meta[bi, len(li):] = 0
+            n_act[bi] = n_fr * ngr
+            d._cur_sample += n_fr * ngr * 576 * nch
+            if n < W:
+                active[bi] = False
+            return mw
+
         while active.any():
             t_host = time.perf_counter()
             bits = np.empty((Bp, NL, LW), np.uint32)
             meta = np.zeros((Bp, NL, 16), np.int32)
             scfq = np.zeros((Bp, NL, 40), np.int16)
             n_act = np.zeros(Bp, np.int32)
-            flags = np.zeros(W, np.uint8)
-            mw_max = 16
-            for bi, d in enumerate(decs):
-                if not active[bi]:
-                    continue
-                if d._offset >= len(d._view) - 4 or (
-                    d._total_samples
-                    and d._cur_sample >= d._total_samples
-                ):
-                    active[bi] = False
-                    continue
-                n, new_off, mw, istop = _native.mp3_parse_window_packed(
-                    lib, d._view, d._offset, d._hdr0, W, ngr, nch,
-                    states[bi], bits[bi], meta[bi], scfq[bi],
-                    aa_c, wt_c, flags,
-                    free_format_bytes=d._free_format_bytes,
-                )
-                d._offset = new_off
-                if istop:
-                    demoted.append(d)
-                    active[bi] = False
-                if n == 0:
-                    active[bi] = False
-                    continue
-                got = flags[:n]
-                fr_act = (got & 1).astype(bool)
-                n_fr = int(fr_act.sum())
-                if n_fr and not fr_act[:n_fr].all():
-                    # compact silent-frame holes to the prefix contract
-                    li = np.flatnonzero(np.repeat(fr_act, ngr * nch))
-                    bits[bi, : len(li)] = bits[bi, li]
-                    meta[bi, : len(li)] = meta[bi, li]
-                    scfq[bi, : len(li)] = scfq[bi, li]
-                    meta[bi, len(li):] = 0
-                n_act[bi] = n_fr * ngr
-                mw_max = max(mw_max, mw)
-                d._cur_sample += n_fr * ngr * 576 * nch
-                if n < W:
-                    active[bi] = False
+            live_lanes = [bi for bi in range(B) if active[bi]]
+            if parse_pool is not None:
+                mws = list(parse_pool.map(_parse_lane, live_lanes))
+            else:
+                mws = [_parse_lane(bi) for bi in live_lanes]
+            mw_max = max([16] + mws)
             self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
             if not n_act.any():
                 break
@@ -795,6 +808,8 @@ class BatchDecoder:
             self.stats["windows"] += 1
             pending.append((fut, n_act.copy()))
         pool.shutdown(wait=True)
+        if parse_pool is not None:
+            parse_pool.shutdown(wait=True)
         pending = [(f.result(), n) for f, n in pending]
         return pending, demoted
 
@@ -1008,43 +1023,62 @@ class BatchDecoder:
         outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
         pending = []  # (device out32, [(slot, si, blocksize), ...])
+        import os as _os
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=1)
+        n_workers = max(1, min(8, (_os.cpu_count() or 1)))
+        parse_pool = ThreadPoolExecutor(max_workers=n_workers) \
+            if n_workers > 1 else None
+
+        def _parse_lane(bi):
+            # per-lane frame parse (C entropy, releases the GIL): runs
+            # concurrently across lanes on multi-core hosts
+            d = decs[bi]
+            out, prog, mbs = [], False, 0
+            for _ in range(W):
+                if not active[bi]:
+                    break
+                if d._frame_pos >= d.length_frames > 0:
+                    active[bi] = False
+                    break
+                p = d._parse_frame_tensors()
+                if p is None:
+                    active[bi] = False
+                    break
+                prog = True
+                if int(np.max(p[7])) > 18:  # beyond device limb range
+                    (bs, ca, residual, coeffs, order, shift, wasted,
+                     _b) = p
+                    samples = lpc_ops.flac_lpc_np(
+                        residual, coeffs, order, shift
+                    ).astype(np.int32)
+                    out32 = np.asarray(lpc_ops.flac_post_stereo(
+                        samples, np.int32(ca), wasted.astype(np.int32),
+                        np.int32(32 - d.bits_per_sample)))
+                    outputs[bi].append(out32.T)
+                    d._frame_pos += bs
+                    continue
+                out.append(p)
+                d._frame_pos += p[0]
+                mbs = max(mbs, p[0])
+            return out, prog, mbs
 
         while active.any():
             # host entropy stage: parse up to W frames per stream
             t_host = time.perf_counter()
+            live = [bi for bi in range(B) if active[bi]]
+            if parse_pool is not None:
+                res = list(parse_pool.map(_parse_lane, live))
+            else:
+                res = [_parse_lane(bi) for bi in live]
             parsed = [[] for _ in range(B)]
             max_bs = 0
             progress = False
-            for bi, d in enumerate(decs):
-                for _ in range(W):
-                    if not active[bi]:
-                        break
-                    if d._frame_pos >= d.length_frames > 0:
-                        active[bi] = False
-                        break
-                    p = d._parse_frame_tensors()
-                    if p is None:
-                        active[bi] = False
-                        break
-                    progress = True
-                    if int(np.max(p[7])) > 18:  # beyond device limb range
-                        (bs, ca, residual, coeffs, order, shift, wasted,
-                         _b) = p
-                        samples = lpc_ops.flac_lpc_np(
-                            residual, coeffs, order, shift
-                        ).astype(np.int32)
-                        out32 = np.asarray(lpc_ops.flac_post_stereo(
-                            samples, np.int32(ca), wasted.astype(np.int32),
-                            np.int32(32 - d.bits_per_sample)))
-                        outputs[bi].append(out32.T)
-                        d._frame_pos += bs
-                        continue
-                    parsed[bi].append(p)
-                    d._frame_pos += p[0]
-                    max_bs = max(max_bs, p[0])
+            for bi, (out, prog, mbs) in zip(live, res):
+                parsed[bi] = out
+                progress = progress or prog
+                max_bs = max(max_bs, mbs)
             self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
             lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
             if not lanes:
@@ -1190,6 +1224,8 @@ class BatchDecoder:
             pending.append((fut, slots))
 
         pool.shutdown(wait=True)
+        if parse_pool is not None:
+            parse_pool.shutdown(wait=True)
         resolved = []
         for fut, slots in pending:
             out32, h2d = fut.result()
