@@ -610,7 +610,7 @@ def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
     # not the absolute LANE_WORDS ceiling
     wtop = next(w for w in (16, 32, 64, lane_words) if mw_max <= w)
     plans = [(L * wtop, wtop, 0, 0)]
-    for ws in (16, 32, 64):
+    for ws in (16, 24, 32, 40, 48, 64, 96):
         if mw_max <= ws:
             break
         nov = int(np.count_nonzero(lanew > ws))

@@ -192,9 +192,9 @@ def test_bits_plan_cost_model():
     """bits_plan picks the split exactly when it uploads fewer words."""
     L, LW = 4096, native.LANE_WORDS
     lanew = np.full(L, 20, np.int32)
-    lanew[:100] = 130              # heavy tail: 100 lanes overflow 32
+    lanew[:100] = 130              # heavy tail: 100 lanes overflow 24
     ws, lb, wext = mp3_huff.bits_plan(lanew, 130, L, LW)
-    assert (ws, lb, wext) == (32, 2048, LW - 32)
+    assert (ws, lb, wext) == (24, 2048, LW - 24)
     # no tail -> plain bucket
     ws, lb, wext = mp3_huff.bits_plan(np.full(L, 20, np.int32), 20, L, LW)
     assert (ws, lb, wext) == (32, 0, 0)
