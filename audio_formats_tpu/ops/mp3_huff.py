@@ -599,6 +599,24 @@ def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0):
 OVF_BUCKETS = (2048, 8192, 32768)
 
 
+#: static scan-length buckets: the big-values scan runs max(bv) steps
+#: and count1 the remaining-region steps; windows of typical music need
+#: far fewer than the spec maxima (NBIG=288, NC1=144)
+NBIG_BUCKETS = (96, 160, 224, 288)
+NC1_BUCKETS = (48, 96, 144)
+
+
+def scan_buckets(bv, tw):
+    """Pick (NBIG, NC1) for a window from per-lane big_values and total
+    region widths (both known host-side; zero for inactive lanes)."""
+    bmax = int(bv.max()) if bv.size else 0
+    nbig = next(n for n in NBIG_BUCKETS if bmax <= n)
+    c1 = np.maximum(0, (np.minimum(tw, 576) - 2 * bv + 3) // 4) + 1
+    cmax = int(c1.max()) if c1.size else 0
+    nc1 = next((n for n in NC1_BUCKETS if cmax <= n), 144)
+    return nbig, nc1
+
+
 def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
     """Pick the cheapest bit-plane layout for a window.
 
@@ -626,12 +644,13 @@ def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
 @functools.partial(
     jax.jit,
     static_argnames=("pats", "spats", "L", "Wb", "R", "B", "G", "nch",
-                     "Lb", "Wext"),
+                     "Lb", "Wext", "NBIG", "NC1"),
 )
 def packed_window_blob(blob, overlap, shist, n_act,
                        pats: tuple, spats: tuple,
                        L: int, Wb: int, R: int, B: int, G: int, nch: int,
-                       Lb: int = 0, Wext: int = 0):
+                       Lb: int = 0, Wext: int = 0,
+                       NBIG: int = 288, NC1: int = 144):
     """One-shot MP3 window: unpack the blob, run the Huffman FSM + dequant
     + reorder + MS mix, then the scan-free window DSP.  Returns
     (pcm [B,G,nch,576], overlap', shist').
@@ -673,7 +692,7 @@ def packed_window_blob(blob, overlap, shist, n_act,
     xq, aa, wt = packed_device_stage(
         bits, meta16[:, :15], scfq, starts, d_len, d_xy,
         pats=pats, spats=spats, W=Wb + (Wext if Lb else 0) + 4,
-        NBIG=288, NC1=144,
+        NBIG=NBIG, NC1=NC1,
         B=B, G=G, nch=nch,
     )
     ph_f = jnp.zeros((1, G, 1, 1), jnp.float32)

@@ -672,13 +672,15 @@ class BatchDecoder:
         pool = ThreadPoolExecutor(max_workers=1)
         dev_state = {"overlap": overlap, "shist": shist}
 
-        def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R, Lb, Wext):
+        def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R, Lb, Wext,
+                      nbig_b, nc1_b):
             (blob_d, ov, sh, n_act_d) = _shard_batch(
                 self._mesh, blob, dev_state["overlap"], dev_state["shist"],
                 n_act_arr)
             pcm, ov2, sh2 = mp3_huff.packed_window_blob(
                 blob_d, ov, sh, n_act_d, pats=pats, spats=spats,
                 L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch, Lb=Lb, Wext=Wext,
+                NBIG=nbig_b, NC1=nc1_b,
             )
             dev_state["overlap"] = ov2
             dev_state["shist"] = sh2
@@ -756,6 +758,10 @@ class BatchDecoder:
             Wb, Lb, Wext = mp3_huff.bits_plan(
                 lanew, mw_max, Bp * NL, LW)
             live = meta[:, :, 2] > 0
+            # scan lengths sized to the window's actual big-values /
+            # count1 region (static buckets; spec maxima only when needed)
+            nbig_b, nc1_b = mp3_huff.scan_buckets(
+                meta[:, :, 3][live], mp3_huff.TOTAL_W[meta[:, :, 10][live]])
             pats = tuple(sorted(
                 int(p) for p in np.unique(meta[:, :, 10][live])
             )) or (0,)
@@ -802,7 +808,7 @@ class BatchDecoder:
                 np.stack([starts, d_len, d_xy], axis=1)
             ).reshape(-1).view(np.uint32)
             fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
-                              L, Wb, R, Lb, Wext)
+                              L, Wb, R, Lb, Wext, nbig_b, nc1_b)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes
             self.stats["windows"] += 1
