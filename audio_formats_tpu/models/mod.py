@@ -455,7 +455,9 @@ class ModDecoder:
         # faithful do/while structure (pocketmod.d:691-719)
         written = 0
         remaining = num
-        if ch.increment <= 0:
+        if ch.increment <= 0 or len(sdata) == 0:
+            # zero-length sample (possible in corrupt files): silence —
+            # pocketmod's sample_end arithmetic never reads data either
             return
         while True:
             n = int((sample_end - ch.position) / ch.increment)

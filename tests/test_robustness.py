@@ -1,0 +1,124 @@
+"""Cross-format corruption robustness: the sticky-error contract.
+
+The reference NEVER raises on bad input — every failure sets the stream's
+sticky error flag (stream.d:1534 setError; decode APIs return short counts
+and isError() disambiguates, stream.d:424-427).  These tests push
+mutations of every format through the facade and the batch scheduler:
+no exceptions may escape, silent-wrong-output is acceptable only as the
+reference's own skip-damaged-frame behavior, and in a batch one corrupt
+lane must never poison the others (SURVEY §5 error lattice).
+"""
+
+import numpy as np
+import pytest
+
+from audio_formats_tpu import AudioStream
+from audio_formats_tpu.parallel import BatchDecoder
+
+from golden import flac_ref, mod_ref, mp3_ref, qoa_ref, vorbis_ref, wav_ref
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+def _fixtures(rng):
+    t = np.arange(6000)[:, None]
+    pcm2 = np.clip(np.round(
+        9000 * np.sin(2 * np.pi * 300 * t * [1, 1.4] / 44100)
+        + 200 * rng.standard_normal((6000, 2))), -32768, 32767
+    ).astype(np.int64)
+    s16 = pcm2[:, 0]
+    qs = []
+    for _ in range(8):
+        q = np.zeros(576, np.int64)
+        q[rng.choice(400, 50, replace=False)] = rng.integers(-40, 41, 50)
+        qs.append(q)
+    frames = []
+    for i in range(0, 8, 2):
+        frames.append([[{"q": qs[i], "block_type": 0, "global_gain": 214}],
+                       [{"q": qs[i + 1], "block_type": 0,
+                         "global_gain": 214}]])
+    fix = vorbis_ref.Fixture(channels=1)
+    r = np.zeros(fix.bs0 // 2)
+    r[rng.choice(len(r), 30, replace=False)] = \
+        rng.integers(-5, 6, 30) * fix.vq_delta
+    pat = mod_ref.empty_pattern()
+    pat[0][0] = mod_ref.cell(sample=1, period=428, effect=0, param=0)
+    return {
+        "mp3": mp3_ref.build_mp3(frames, channels=1),
+        "flac": flac_ref.build_flac(pcm2, 44100, 16, block_size=1024,
+                                    stereo_mode="mid_side",
+                                    modes=["lpc8", "fixed3"]),
+        "qoa": qoa_ref.encode(s16.reshape(-1, 1).astype(np.int16), 44100),
+        "wav": wav_ref.build_wav(wav_ref.pack_pcm(s16, 16), fmt_tag=1,
+                                 channels=1, sample_rate=44100, bits=16),
+        "vorbis": fix.build([fix.audio_packet([[60, 70, 80, 90]], [r])
+                             for _ in range(4)]),
+        "mod": mod_ref.build_mod(
+            [pat], [0], [(mod_ref.saw_sample(64), 64, 0, 0, 64)]),
+    }
+
+
+def _mutations(data, rng, n=6):
+    """Truncations, byte flips, zeroed runs — deterministic per stream."""
+    outs = []
+    L = len(data)
+    for cut in (L // 5, L // 2, L - 3):
+        outs.append(data[:cut])
+    for _ in range(n):
+        b = bytearray(data)
+        for pos in rng.integers(0, L, 24):
+            b[pos] ^= rng.integers(1, 256)
+        outs.append(bytes(b))
+    b = bytearray(data)
+    mid = L // 3
+    b[mid : mid + min(512, L - mid)] = b"\x00" * min(512, L - mid)
+    outs.append(bytes(b))
+    return outs
+
+
+def test_facade_never_raises_on_corruption(rng):
+    for kind, data in _fixtures(rng).items():
+        for i, bad in enumerate(_mutations(data, rng)):
+            s = AudioStream()
+            s.open_from_memory(bad)
+            if s.is_error():
+                assert isinstance(s.error_message(), str)
+                continue
+            total = 0
+            for _ in range(200):
+                out = s.read_samples_float(4096)
+                assert np.isfinite(np.asarray(out)).all(), (kind, i)
+                if out.shape[0] == 0:
+                    break
+                total += out.shape[0]
+            # error flag (if any) must be a string, never an exception
+            if s.is_error():
+                assert isinstance(s.error_message(), str)
+
+
+def test_batch_lattice_isolates_corrupt_lanes(rng):
+    """One corrupted lane per format, mixed with good lanes: good lanes
+    must produce exactly their solo-decode output."""
+    fx = _fixtures(rng)
+    goods = list(fx.values())
+    bads = []
+    for data in goods:
+        b = bytearray(data)
+        for pos in rng.integers(len(b) // 4, len(b), 32):
+            b[pos] ^= 0xFF
+        bads.append(bytes(b))
+    items = goods + bads
+    dec = BatchDecoder(items)
+    out = dec.decode_all()
+    for i, data in enumerate(goods):
+        solo = BatchDecoder([data]).decode_all()[0]
+        assert out[i] is not None
+        assert out[i].shape == solo.shape
+        np.testing.assert_array_equal(out[i], solo)
+    # corrupt lanes: either decoded (reference skips damaged frames),
+    # errored, or empty — but never poisoning the run
+    for j in range(len(goods), len(items)):
+        assert out[j] is None or np.isfinite(np.asarray(out[j])).all()
