@@ -393,6 +393,48 @@ def measure_accuracy():
     m = min(len(qref), len(res[1]))
     out["qoa_max_abs_vs_golden"] = float(
         np.abs(res[1][:m] - qref[:m]).max())
+    # Vorbis: batch vs the independent fixture synthesis
+    try:
+        from golden import vorbis_ref
+
+        fix = vorbis_ref.Fixture(channels=1)
+        frames = []
+        for _ in range(6):
+            r = np.zeros(fix.bs0 // 2)
+            r[rng.choice(len(r), 30, replace=False)] = \
+                rng.integers(-5, 6, 30) * fix.vq_delta
+            frames.append({"posts": [[60, 70, 80, 90]],
+                           "residues": [r], "long": False})
+        vd = fix.build([fix.audio_packet(fr["posts"], fr["residues"])
+                        for fr in frames])
+        got_v = BatchDecoder([vd]).decode_all()[0].reshape(-1)
+        ref_v = vorbis_ref.expected_output(fix, frames).reshape(-1)
+        n = min(len(got_v), len(ref_v))
+        pk = np.abs(ref_v[:n]).max() + 1e-12
+        out["vorbis_rel_vs_golden"] = float(
+            np.abs(got_v[:n] - ref_v[:n]).max() / pk)
+    except Exception as e:  # gauge must never kill the bench
+        out["vorbis_rel_vs_golden"] = f"error: {e}"
+    # Opus SILK: offline fixture RMS check (48k path)
+    try:
+        import importlib.util as _iu
+
+        spec = _iu.spec_from_file_location(
+            "tos", os.path.join(os.path.dirname(__file__),
+                                "tests", "test_opus_silk.py"))
+        tos = _iu.module_from_spec(spec)
+        spec.loader.exec_module(tos)
+        from golden import opus_ref
+
+        pkts = [(bytes.fromhex(h), 960) for h in tos.SILK_PACKETS]
+        od = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
+        got_o = BatchDecoder([od]).decode_all()[0]
+        g = 10.0 ** (-1024 / 5120.0)
+        rms = float(np.sqrt((got_o[200:] ** 2).mean())) / g
+        out["opus_silk_rms_err_vs_fixture"] = float(
+            abs(rms - tos.SILK_RMS))
+    except Exception as e:
+        out["opus_silk_rms_err_vs_fixture"] = f"error: {e}"
     return out
 
 
