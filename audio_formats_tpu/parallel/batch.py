@@ -404,7 +404,8 @@ class BatchDecoder:
             elif isinstance(d, OpusDecoder) and self._silk_eligible(d):
                 pk0 = d._silk_lockstep[0]
                 silk_groups.setdefault(
-                    (d.channels, pk0["config"], pk0["stereo"]), []
+                    (d.channels, pk0["config"], pk0["stereo"],
+                     len(pk0["frames"])), []
                 ).append(i)
             elif isinstance(d, QoaDecoder):
                 qoa_groups.setdefault(d.channels, []).append(i)
@@ -453,11 +454,12 @@ class BatchDecoder:
                 res = self._run_group(self._decode_opus_group, chunk)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
-        for (nch, config, stereo), lanes in silk_groups.items():
+        for (nch, config, stereo, nfr), lanes in silk_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
                 res = self._run_group(
-                    self._decode_silk_group, chunk, nch, config, stereo)
+                    self._decode_silk_group, chunk, nch, config, stereo,
+                    nfr)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
 
@@ -1540,9 +1542,9 @@ class BatchDecoder:
         for data in pkts:
             pk = _opus_parse(data)
             if (pk is None or pk["mode"] != "silk"
-                    or len(pk["frames"]) != 1 or len(pk["frames"][0]) == 0):
+                    or any(len(f) == 0 for f in pk["frames"])):
                 return False
-            k = (pk["config"], pk["stereo"])
+            k = (pk["config"], pk["stereo"], len(pk["frames"]))
             if key is None:
                 key = k
             elif k != key:
@@ -1552,7 +1554,7 @@ class BatchDecoder:
         return True
 
     def _decode_silk_group(self, decs, nch: int, config: int, stereo: bool,
-                           to_device: bool = False):
+                           nfr: int = 1, to_device: bool = False):
         """Batched SILK-only Opus: per-lane host entropy+synthesis at the
         native rate (the same SilkDecoder the facade uses), then ONE
         device polyphase conv per packet step upsamples every lane to
@@ -1567,9 +1569,9 @@ class BatchDecoder:
         B = len(decs)
         bw = config // 4
         dur_ms = [10, 20, 40, 60][config & 3]
-        frame48 = dur_ms * 48
+        frame48 = dur_ms * 48 * nfr          # nfr frames per packet
         rate = [8000, 12000, 16000][bw]
-        T = dur_ms * rate // 1000
+        T = dur_ms * rate // 1000 * nfr
         coded = 2 if stereo else 1
         rows = B * nch
         feed = [3, 8, 11][bw] + (1 if nch == 2 else 0)
@@ -1584,8 +1586,12 @@ class BatchDecoder:
                 if s >= len(d._silk_lockstep):
                     continue
                 pk = d._silk_lockstep[s]
-                rd = RangeDecoder(pk["frames"][0])
-                native = silks[bi].decode_superframe(rd, bw, coded, dur_ms)
+                cols = []
+                for fr in pk["frames"]:
+                    rd = RangeDecoder(fr)
+                    cols.append(silks[bi].decode_superframe(
+                        rd, bw, coded, dur_ms))
+                native = np.concatenate(cols, axis=0)
                 X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
             self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
             t_enq = time.perf_counter()

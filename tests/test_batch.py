@@ -466,3 +466,29 @@ def _xm_fixture(rng):
     m = _iu.module_from_spec(spec)
     spec.loader.exec_module(m)
     return m._simple_xm(rows=16)
+
+
+def test_silk_multiframe_packets_batch():
+    """Code-3 VBR SILK packets (several 20 ms frames per packet — common
+    VoIP packing) ride the lockstep group too."""
+    from test_opus_silk import SILK_PACKETS
+    from golden import opus_ref
+
+    singles = [bytes.fromhex(h) for h in SILK_PACKETS]
+    toc = singles[0][0] & 0xFC  # same config, code 0 -> rebuild as code 3
+    pkts = []
+    for a, b in zip(singles[::2], singles[1::2]):
+        fa, fb = a[1:], b[1:]
+        assert len(fa) < 252 and len(fb) < 252
+        pkt = bytes([toc | 3, 0x80 | 2, len(fa)]) + fa + fb
+        pkts.append((pkt, 2 * 960))
+    streams = [opus_ref.build_ogg_opus(pkts, channels=1, preskip=0),
+               opus_ref.build_ogg_opus(pkts[:1], channels=1, preskip=0)]
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert dec.stats["windows"] >= 2  # lockstep conv ran
+    for data, g in zip(streams, got):
+        ref = _facade(data)
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(g - ref).max() / peak < 1e-5
