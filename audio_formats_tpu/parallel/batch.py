@@ -272,6 +272,7 @@ class BatchDecoder:
         self.decoders: List[Optional[object]] = []
         self.errors: List[Optional[str]] = []
         self._trace = None
+        self._hyb_delayed = {}
         self._mesh = mesh  # jax.sharding.Mesh: batch axis shards on 'data'
         #: lockstep group width.  With device-resident output the whole
         #: batch can ride one group (no per-window PCM download); when PCM
@@ -384,6 +385,7 @@ class BatchDecoder:
         flac_groups = {}
         opus_groups = {}
         silk_groups = {}
+        hybrid_groups = {}
         qoa_groups = {}
         wav_groups = {}
         vorbis_groups = {}
@@ -406,6 +408,11 @@ class BatchDecoder:
                 silk_groups.setdefault(
                     (d.channels, pk0["config"], pk0["stereo"],
                      len(pk0["frames"])), []
+                ).append(i)
+            elif isinstance(d, OpusDecoder) and self._hybrid_eligible(d):
+                pk0 = d._silk_lockstep[0]
+                hybrid_groups.setdefault(
+                    (d.channels, pk0["config"], pk0["stereo"]), []
                 ).append(i)
             elif isinstance(d, QoaDecoder):
                 qoa_groups.setdefault(d.channels, []).append(i)
@@ -460,6 +467,13 @@ class BatchDecoder:
                 res = self._run_group(
                     self._decode_silk_group, chunk, nch, config, stereo,
                     nfr)
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
+        for (nch, config, stereo), lanes in hybrid_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                chunk = lanes[c : c + GROUP]
+                res = self._run_group(
+                    self._decode_hybrid_group, chunk, nch, config, stereo)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
 
@@ -1552,6 +1566,195 @@ class BatchDecoder:
             parsed.append(pk)
         d._silk_lockstep = parsed
         return True
+
+    @staticmethod
+    def _hybrid_eligible(d) -> bool:
+        """Lockstep-eligible hybrid: mapping-0, every packet one non-empty
+        HYBRID frame with one (config, stereo).  Mode-switching streams
+        stay per-stream (redundancy crossfades against a changing mode
+        sequence need the serial path)."""
+        import os
+
+        if os.environ.get("AF_TPU_REFERENCE_RESAMPLER"):
+            return False
+        if getattr(d, "channel_mapping", 1) != 0:
+            return False
+        try:
+            pkts = d._collect_packets()
+        except Exception:
+            return False
+        if not pkts:
+            return False
+        key = None
+        parsed = []
+        for data in pkts:
+            pk = _opus_parse(data)
+            if (pk is None or pk["mode"] != "hybrid"
+                    or len(pk["frames"]) != 1 or len(pk["frames"][0]) == 0):
+                return False
+            k = (pk["config"], pk["stereo"])
+            if key is None:
+                key = k
+            elif k != key:
+                return False
+            parsed.append(pk)
+        d._silk_lockstep = parsed
+        return True
+
+    def _decode_hybrid_group(self, decs, nch: int, config: int,
+                             stereo: bool, to_device: bool = False):
+        """Batched hybrid Opus: a three-phase step built from the proven
+        pieces.  H1 (host, per lane): SILK superframe at 16 kHz +
+        redundancy parse + CELT SYMBOLS (bands 17+, same range decoder) —
+        all on the lane's own OpusStreamDecoder state.  B (device): ONE
+        polyphase conv upsamples every lane's SILK block, and the CELT
+        spectra run the bucketed IMDCT (ops/celt_dsp.celt_imdct_ola) as in
+        the CELT-only group.  H2 (host, per lane): postfilter/deemphasis
+        via apply_raw, the CELT delay FIFO, and the reference's redundancy
+        paste/fade helpers — the SAME methods the facade path uses
+        (dopus.d:6400-6505), so the stateful edge cases cannot diverge."""
+        from ..models.celt import OVERLAP
+        from ..models.opus import RangeDecoder
+        from ..models.silk import SilkDecoder
+        from ..ops import celt_dsp
+        from ..ops.resample import BatchedFittedUpsampler
+
+        B = len(decs)
+        # hybrid configs 12-15: 10 ms (even) / 20 ms (odd)
+        dur_ms = 20 if (config & 1) else 10
+        frame48 = dur_ms * 48
+        T = dur_ms * 16  # SILK runs wideband under hybrid
+        coded = 2 if stereo else 1
+        endband = 19 if config < 14 else 21
+        rows = B * nch
+        feed = 11 + (1 if nch == 2 else 0)
+        rs = BatchedFittedUpsampler(2, rows, feed=feed)
+        outs = [[] for _ in range(B)]
+        sds = []
+        for d in decs:
+            sd = d._streams[0]
+            if sd._silk is None:
+                sd._silk = SilkDecoder(output_channels=nch)
+            sds.append(sd)
+        steps = max(len(d._silk_lockstep) for d in decs)
+        for st in range(steps):
+            t_host = time.perf_counter()
+            X = np.zeros((rows, T), np.float32)
+            stash = {}
+            for bi, d in enumerate(decs):
+                if st >= len(d._silk_lockstep):
+                    continue
+                sd = sds[bi]
+                pk = d._silk_lockstep[st]
+                frame = pk["frames"][0]
+                rd = RangeDecoder(frame)
+                native = sd._silk.decode_superframe(rd, 2, coded, dur_ms)
+                X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
+                # redundancy flag + size (dopus.d:6400-6420)
+                size = len(frame)
+                redundancy = 0
+                redundancy_pos = 0
+                red = None
+                if rd.tell() + 37 <= size * 8:
+                    redundancy = rd.dec_bit_logp(12)
+                if redundancy:
+                    redundancy_pos = rd.dec_bit_logp(1)
+                    red_size = rd.dec_uint(256) + 2
+                    size -= red_size
+                    if size < 0:
+                        raise AudioFormatError("Opus: bad redundancy size")
+                    rd.rebound_end(size)
+                    if redundancy_pos:
+                        sd._celt.flush()
+                        red = sd._decode_red_frame(frame[size:], coded, 2)
+                params = sd._celt.decode_frame_symbols(
+                    rd, coded, frame48, 17, endband)
+                stash[bi] = (params, redundancy, redundancy_pos, red,
+                             frame, size)
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            if not stash:
+                break
+            t_enq = time.perf_counter()
+            Y = rs.process(X, frame48)
+            # bucketed CELT IMDCT across lanes (as _decode_opus_group)
+            buckets = {}
+            for bi, (params, *_rest) in stash.items():
+                buckets.setdefault(
+                    (params["blocks"], params["blocksize"]), []
+                ).append(bi)
+            raws = {}
+            for (blocks, bs), lanes_b in buckets.items():
+                frame_n = blocks * bs
+                co = np.stack([
+                    stash[bi][0]["coeffs"][c, :frame_n]
+                    for bi in lanes_b
+                    for c in range(sds[bi]._celt.output_channels)
+                ]).astype(np.float32)
+                tails = np.stack([
+                    sds[bi]._celt.buf[c][1024 : 1024 + OVERLAP // 2]
+                    for bi in lanes_b
+                    for c in range(sds[bi]._celt.output_channels)
+                ]).astype(np.float32)
+                raw, newtail = celt_dsp.celt_imdct_ola(
+                    co, tails, blocks, bs,
+                    scale=stash[lanes_b[0]][0]["imdct_scale"])
+                raw = np.asarray(raw)
+                newtail = np.asarray(newtail)
+                row = 0
+                for bi in lanes_b:
+                    k = sds[bi]._celt.output_channels
+                    raws[bi] = (raw[row : row + k].T,
+                                newtail[row : row + k].T)
+                    row += k
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["h2d_bytes"] += X.nbytes
+            self.stats["windows"] += 1
+            for bi, d in enumerate(decs):
+                if bi not in stash:
+                    continue
+                sd = sds[bi]
+                (params, redundancy, redundancy_pos, red, frame,
+                 size) = stash[bi]
+                delayed = self._hyb_delayed.get(id(sd), 0)
+                pcm = np.ascontiguousarray(
+                    Y[bi * nch : (bi + 1) * nch].T)
+                self._hyb_delayed[id(sd)] = \
+                    delayed + frame48 - pcm.shape[0]
+                raw, newtail = raws[bi]
+                celt_pcm = sd._celt.apply_raw(
+                    raw, newtail, frame48).astype(np.float32)
+                # CELT delay FIFO (dopus.d:6424-6466)
+                comb = np.concatenate([sd._celt_hyb_delay, celt_pcm])
+                n = pcm.shape[0]
+                pcm = pcm + comb[:n, : pcm.shape[1]]
+                sd._celt_hyb_delay = comb[n:]
+                sd._apply_red_carry(pcm)
+                if red is not None:   # redundancy at frame start
+                    sd._paste_red_start(pcm, red, delayed)
+                elif redundancy:
+                    sd._celt.flush()
+                    red2 = sd._decode_red_frame(frame[size:], coded, 2)
+                    sd._fade_red_tail(pcm, red2, delayed)
+                g = np.float32(d._gain)
+                outs[bi].append(pcm * g if d._gain != 1.0 else pcm)
+                if st == len(d._silk_lockstep) - 1:
+                    total = sum(o.shape[0] for o in outs[bi])
+                    want = d.preskip + d.length_frames - total
+                    if want > 0:
+                        cols = [rs.flush_row(bi * nch + c, want)
+                                for c in range(nch)]
+                        tail = np.stack(cols, 1).astype(np.float32)
+                        outs[bi].append(
+                            tail * g if d._gain != 1.0 else tail)
+        result = []
+        for bi, d in enumerate(decs):
+            pcm = np.concatenate(outs[bi]) if outs[bi] else \
+                np.zeros((0, nch), np.float32)
+            pcm = pcm[d.preskip :]
+            if d.length_frames:
+                pcm = pcm[: d.length_frames]
+            result.append(pcm)
+        return result
 
     def _decode_silk_group(self, decs, nch: int, config: int, stereo: bool,
                            nfr: int = 1, to_device: bool = False):

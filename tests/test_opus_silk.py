@@ -452,3 +452,46 @@ def test_silk_stereo_batch_equals_facade():
         assert g.shape == ref.shape
         peak = np.abs(ref).max() + 1e-9
         assert np.abs(g - ref).max() / peak < 1e-5
+
+
+@needs_oracle
+@pytest.mark.parametrize("channels", [1, 2])
+def test_hybrid_batch_equals_facade(channels):
+    """Hybrid packets through the lockstep group (batched SILK conv +
+    bucketed CELT IMDCT + the facade's own FIFO/redundancy helpers) vs
+    the per-stream facade, mono and stereo, ragged lengths."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    O = opus_oracle
+    rng = np.random.default_rng(12)
+    N = 960
+    t = np.arange(N * 8) / 48000.0
+    base = (6000 * np.sin(2 * np.pi * 220 * t) *
+            (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+            2000 * np.sin(2 * np.pi * 5000 * t) +
+            600 * rng.standard_normal(t.size))
+    sig = np.stack([base, 5000 * np.sin(2 * np.pi * 330 * t)], 1) \
+        if channels == 2 else base[:, None]
+    sig = np.clip(sig, -32000, 32000).astype(np.int16)
+    enc = O.OracleEncoder(48000, channels, bitrate=28000 * channels,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE,
+                          bandwidth=O.OPUS_BANDWIDTH_SUPERWIDEBAND)
+    pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N) for n in range(8)]
+    cfgs = {parse_packet(p)["config"] for p, _ in pkts}
+    if not cfgs <= set(range(12, 16)) or len(cfgs) != 1:
+        pytest.skip(f"encoder did not emit uniform hybrid packets: {cfgs}")
+    streams = [opus_ref.build_ogg_opus(pkts, channels=channels, preskip=0),
+               opus_ref.build_ogg_opus(pkts[:5], channels=channels,
+                                       preskip=120)]
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert dec.stats["windows"] >= 5 and dec.stats["group_demotions"] == 0
+    for data, g in zip(streams, got):
+        st = af.AudioStream()
+        st.open_from_memory(data)
+        ref = st.read_samples_float(st.get_length_in_frames())
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(g - ref).max() / peak < 1e-5
