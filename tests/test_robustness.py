@@ -58,7 +58,23 @@ def _fixtures(rng):
                              for _ in range(4)]),
         "mod": mod_ref.build_mod(
             [pat], [0], [(mod_ref.saw_sample(64), 64, 0, 0, 64)]),
+        "opus": _opus_fixture(),
     }
+
+
+def _opus_fixture():
+    import importlib.util as _iu
+    import os as _os
+
+    spec = _iu.spec_from_file_location(
+        "tos", _os.path.join(_os.path.dirname(__file__),
+                             "test_opus_silk.py"))
+    m = _iu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from golden import opus_ref
+
+    pkts = [(bytes.fromhex(h), 960) for h in m.SILK_PACKETS]
+    return opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
 
 
 def _mutations(data, rng, n=6):
