@@ -492,3 +492,44 @@ def test_silk_multiframe_packets_batch():
         assert g.shape == ref.shape
         peak = np.abs(ref).max() + 1e-9
         assert np.abs(g - ref).max() / peak < 1e-5
+
+
+def test_ogg_flac_batch_equals_facade(rng):
+    """Ogg-encapsulated FLAC rides the same batch group (the decoder's
+    frame cursor works over the reassembled packet stream) bit-exactly,
+    with zero demotions."""
+    from golden import flac_ref
+    from audio_formats_tpu.io import ogg as oggmod
+
+    frames = 3000
+    t = np.arange(frames)[:, None]
+    pcm = np.clip(np.round(
+        9000 * np.sin(2 * np.pi * 300 * t * [1, 1.4] / 44100)
+        + 300 * rng.standard_normal((frames, 2))),
+        -32768, 32767).astype(np.int64)
+    native = flac_ref.build_flac(pcm, 44100, 16, block_size=1024,
+                                 stereo_mode="left_side",
+                                 modes=["lpc4", "fixed2"])
+    pos = 4
+    while True:
+        hdr = int.from_bytes(native[pos : pos + 4], "big")
+        pos += 4 + (hdr & 0xFFFFFF)
+        if hdr >> 31:
+            break
+    header_pkt = (b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big")
+                  + native[:pos])
+    body = native[pos:]
+    pages = [oggmod.build_page([header_pkt], serial=42, seq=0, granule=0,
+                               bos=True)]
+    seq = 1
+    for i in range(0, len(body), 4000):
+        pages.append(oggmod.build_page(
+            [body[i : i + 4000]], serial=42, seq=seq,
+            granule=frames if i + 4000 >= len(body) else 0,
+            eos=i + 4000 >= len(body)))
+        seq += 1
+    data = b"".join(pages)
+    dec = BatchDecoder([data])
+    out = dec.decode_all()[0]
+    assert dec.stats["group_demotions"] == 0
+    np.testing.assert_array_equal(out, _facade(data))
