@@ -220,6 +220,10 @@ class XmDecoder:
             packed = int.from_bytes(d[off + 7 : off + 9], "little")
             num_rows = max(1, min(num_rows, MAX_NUM_ROWS))
             off += ph_len
+            if ph_len < 9 or off + packed > len(d):
+                # truncated/corrupt pattern data must become the sticky
+                # error, not an IndexError (fuzz finding)
+                raise AudioFormatError("XM: corrupt pattern data")
             pat = [[_Slot() for _ in range(self.num_channels)]
                    for _ in range(num_rows)]
             if packed:
@@ -327,8 +331,10 @@ class XmDecoder:
                 smp = _Sample()
                 bits = 16 if stype & 0x10 else 8
                 smp.bits = bits
+                avail = max(0, len(d) - off)  # tolerate truncated
+                # sample data (common in the wild; load what's there)
                 if bits == 16:
-                    n = length // 2
+                    n = min(length, avail) // 2
                     raw = np.frombuffer(d, dtype="<i2", count=n,
                                         offset=off).astype(np.int32)
                     data = np.cumsum(raw).astype(np.int16)
@@ -337,7 +343,8 @@ class XmDecoder:
                     smp.loop_length = loop_len // 2
                     off += length
                 else:
-                    raw = np.frombuffer(d, dtype=np.int8, count=length,
+                    raw = np.frombuffer(d, dtype=np.int8,
+                                        count=min(length, avail),
                                         offset=off).astype(np.int32)
                     data = np.cumsum(raw).astype(np.int8)
                     smp.data = data.astype(np.float32) / 128.0

@@ -59,7 +59,19 @@ def _fixtures(rng):
         "mod": mod_ref.build_mod(
             [pat], [0], [(mod_ref.saw_sample(64), 64, 0, 0, 64)]),
         "opus": _opus_fixture(),
+        "xm": _xm_fixture(),
     }
+
+
+def _xm_fixture():
+    import importlib.util as _iu
+    import os as _os
+
+    spec = _iu.spec_from_file_location(
+        "txm", _os.path.join(_os.path.dirname(__file__), "test_xm.py"))
+    m = _iu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m._simple_xm(rows=16)
 
 
 def _opus_fixture():
