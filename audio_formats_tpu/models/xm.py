@@ -276,8 +276,13 @@ class XmDecoder:
             ins_size = int.from_bytes(d[off : off + 4], "little")
             if ins_size == 0 or ins_size > 263:
                 ins_size = 263
+            if off + 29 > len(d):
+                raise AudioFormatError("XM: truncated instrument header")
             num_samples = int.from_bytes(d[off + 27 : off + 29], "little")
             if num_samples > 0:
+                if off + 241 > len(d):
+                    raise AudioFormatError(
+                        "XM: truncated instrument header")
                 ins.sample_of_notes = list(d[off + 33 : off + 33 + 96])
                 for env, base in ((ins.vol_env, off + 129),
                                   (ins.pan_env, off + 177)):
@@ -313,6 +318,8 @@ class XmDecoder:
             # sample headers, then payloads
             headers = []
             for _s in range(num_samples):
+                if off + 17 > len(d):
+                    raise AudioFormatError("XM: truncated sample header")
                 length = int.from_bytes(d[off : off + 4], "little")
                 loop_start = int.from_bytes(d[off + 4 : off + 8], "little")
                 loop_len = int.from_bytes(d[off + 8 : off + 12], "little")

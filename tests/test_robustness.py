@@ -90,7 +90,8 @@ def _opus_fixture():
 
 
 def _mutations(data, rng, n=6):
-    """Truncations, byte flips, zeroed runs — deterministic per stream."""
+    """Truncations, byte flips, zeroed runs, splices, garbage prefixes —
+    deterministic per stream."""
     outs = []
     L = len(data)
     for cut in (L // 5, L // 2, L - 3):
@@ -104,6 +105,10 @@ def _mutations(data, rng, n=6):
     mid = L // 3
     b[mid : mid + min(512, L - mid)] = b"\x00" * min(512, L - mid)
     outs.append(bytes(b))
+    for _ in range(3):  # splice out a random chunk
+        i, j = sorted(rng.integers(0, L, 2))
+        outs.append(data[:i] + data[j:])
+    outs.append(bytes(rng.integers(0, 256, 64, dtype=np.uint8)) + data)
     return outs
 
 
