@@ -338,12 +338,14 @@ class XmDecoder:
                 smp = _Sample()
                 bits = 16 if stype & 0x10 else 8
                 smp.bits = bits
-                avail = max(0, len(d) - off)  # tolerate truncated
-                # sample data (common in the wild; load what's there)
+                # tolerate truncated sample data (common in the wild;
+                # load what's there)
+                roff = min(off, len(d))
+                avail = len(d) - roff
                 if bits == 16:
                     n = min(length, avail) // 2
                     raw = np.frombuffer(d, dtype="<i2", count=n,
-                                        offset=off).astype(np.int32)
+                                        offset=roff).astype(np.int32)
                     data = np.cumsum(raw).astype(np.int16)
                     smp.data = data.astype(np.float32) / 32768.0
                     smp.loop_start = loop_start // 2
@@ -352,7 +354,7 @@ class XmDecoder:
                 else:
                     raw = np.frombuffer(d, dtype=np.int8,
                                         count=min(length, avail),
-                                        offset=off).astype(np.int32)
+                                        offset=roff).astype(np.int32)
                     data = np.cumsum(raw).astype(np.int8)
                     smp.data = data.astype(np.float32) / 128.0
                     smp.loop_start = loop_start
