@@ -146,11 +146,18 @@ def test_batch_lattice_isolates_corrupt_lanes(rng):
     items = goods + bads
     dec = BatchDecoder(items)
     out = dec.decode_all()
-    for i, data in enumerate(goods):
+    exact = {"flac", "qoa", "wav"}  # integer pipelines: lane-count exact
+    for i, (kind, data) in enumerate(fx.items()):
         solo = BatchDecoder([data]).decode_all()[0]
         assert out[i] is not None
         assert out[i].shape == solo.shape
-        np.testing.assert_array_equal(out[i], solo)
+        if kind in exact:
+            np.testing.assert_array_equal(out[i], solo)
+        else:
+            # float paths may differ in ulps when the batch shape (and
+            # thus XLA's vectorization) changes with corrupt lanes present
+            peak = np.abs(solo).max() + 1e-9
+            assert np.abs(out[i] - solo).max() / peak < 4e-6, kind
     # corrupt lanes: either decoded (reference skips damaged frames),
     # errored, or empty — but never poisoning the run
     for j in range(len(goods), len(items)):
