@@ -34,8 +34,19 @@ def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None,
         try:
             jax.config.update("jax_num_cpu_devices", n)
         except Exception:
+            # Backend already initialized: the update is a no-op, which is
+            # fine only if something earlier (conftest, XLA_FLAGS) already
+            # raised the CPU device count — verified loudly below.
             pass
         devs = jax.devices("cpu")
+        if len(devs) < n:
+            raise RuntimeError(
+                f"make_mesh needs {n} devices but only {len(devs)} CPU "
+                "devices exist and the CPU backend is already initialized; "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n} (or jax_num_cpu_devices) before JAX's first backend "
+                "use"
+            )
     data = data or (n // model)
     assert data * model <= len(devs), (data, model, len(devs))
     arr = np.array(devs[: data * model]).reshape(data, model)
