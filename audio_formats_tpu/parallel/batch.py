@@ -313,29 +313,61 @@ class BatchDecoder:
         by = self.stats["decoded_seconds_by_format"]
         by[fmt] = by.get(fmt, 0.0) + seconds
 
+    def _reprobe(self, i):
+        """Fresh decoder for lane i (a failed grouped run leaves decoder
+        state mid-window); sets the lane error when the re-probe fails."""
+        d = self.decoders[i]
+        try:
+            src = getattr(d, "_src", None)
+            self.decoders[i] = (
+                models.probe_all(src) if src is not None else None
+            )
+        except Exception:
+            self.decoders[i] = None
+        if self.decoders[i] is None and self.errors[i] is None:
+            self.errors[i] = "Cannot decode stream: data is corrupt."
+
     def _run_group(self, fn, chunk, *args, to_device: bool = False):
         """Run a lockstep group decode with the error lattice intact: a lane
         that raises inside the grouped device path must not abort the other
-        lanes, so on any failure the whole group demotes to the per-stream
-        fallback (which has per-lane error handling).  Demoted lanes get
-        fresh decoders re-probed from their (rewindable) sources."""
+        lanes.  Demotion is PER-LANE, not per-group: on a failure the chunk
+        bisects (each half re-probed to fresh decoders, then re-run grouped),
+        so one poisoned lane costs O(log G) grouped re-runs — ~2x one
+        group's work — while the innocent lanes stay on the device path.
+        Only a failing single-lane chunk leaves the grouped path entirely
+        (stats["lanes_demoted"]); the per-stream fallback then decodes it
+        with its own error handling.  The exception class is recorded in
+        stats["group_exceptions"] so genuine code bugs don't masquerade as
+        corrupt data (the reference's analogue is the per-stream sticky
+        error of stream.d:424-427, scaled to the batch lattice)."""
         try:
             return fn([self.decoders[i] for i in chunk], *args,
                       to_device=to_device)
-        except Exception:
+        except Exception as e:
             self.stats["group_demotions"] += 1
-            for i in chunk:
-                d = self.decoders[i]
-                try:
-                    src = getattr(d, "_src", None)
-                    self.decoders[i] = (
-                        models.probe_all(src) if src is not None else None
-                    )
-                except Exception:
-                    self.decoders[i] = None
-                if self.decoders[i] is None and self.errors[i] is None:
-                    self.errors[i] = "Cannot decode stream: data is corrupt."
-            return [None] * len(chunk)
+            excs = self.stats.setdefault("group_exceptions", [])
+            if len(excs) < 32:
+                excs.append(f"{type(e).__name__}: {e}")
+            if len(chunk) == 1:
+                self.stats["lanes_demoted"] = \
+                    self.stats.get("lanes_demoted", 0) + 1
+                self._reprobe(chunk[0])
+                return [None]
+            mid = len(chunk) // 2
+            out = []
+            for half in (chunk[:mid], chunk[mid:]):
+                for i in half:
+                    self._reprobe(i)
+                live = [i for i in half if self.decoders[i] is not None]
+                res = {i: None for i in half}
+                if live:
+                    sub = self._run_group(fn, live, *args,
+                                          to_device=to_device)
+                    if isinstance(sub, _PendingGroup):
+                        sub = sub.finalize()
+                    res.update(zip(live, sub))
+                out.extend(res[i] for i in half)
+            return out
 
     # ------------------------------------------------------------------ API
     def decode_all(self, output: str = "numpy"):

@@ -309,6 +309,104 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
     return audio / dt, blob.nbytes, audio
 
 
+def bench_device_resident_flac(flac_streams, B=512, W=12, reps=4):
+    """Full FLAC decode throughput with window payloads RESIDENT on device:
+    packed-residual unpack + LPC scan (Pallas) + mid/side decorrelation +
+    s16 emit, on REAL corpus frames — the FLAC half of the aggregate
+    device-resident metric (BASELINE.md's metric is MP3+FLAC aggregate)."""
+    import functools
+
+    import jax
+
+    from audio_formats_tpu import models
+    from audio_formats_tpu.host import native as _native
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu.ops import lpc as lpc_ops
+    from audio_formats_tpu.parallel.batch import _flac_width_plan
+
+    lib = _native.get_lib()
+    pool = list(flac_streams)
+    while len(pool) < B:
+        pool += list(flac_streams)
+    decs = [models.probe_all(MemorySource(m)) for m in pool[:B]]
+    lanes = []
+    nch = decs[0].channels
+    for d in decs:
+        for _ in range(W):
+            p = d._parse_frame_tensors()
+            if p is None:
+                break
+            lanes.append((d, p))
+    S = len(lanes)
+    max_bs = -(-max(p[0] for _, p in lanes) // 1024) * 1024
+    Ln = S * nch
+    residual = np.zeros((Ln, max_bs), np.int32)
+    coeffs = np.zeros((Ln, 32), np.int32)
+    order = np.full(Ln, max_bs, np.int32)
+    shift = np.zeros(Ln, np.int32)
+    exact = np.zeros(Ln, bool)
+    assigns = np.zeros(S, np.int32)
+    wasteds = np.zeros((S, nch), np.int32)
+    out_shifts = np.zeros(S, np.int32)
+    audio = 0.0
+    for si, (d, p) in enumerate(lanes):
+        bs, ca, res, cf, orr, sh, wa, bps = p
+        residual[si * nch : si * nch + nch, :bs] = res
+        coeffs[si * nch : si * nch + nch] = cf
+        order[si * nch : si * nch + nch] = orr
+        shift[si * nch : si * nch + nch] = sh
+        exact[si * nch : si * nch + nch] = np.asarray(bps) > 16
+        assigns[si] = ca
+        wasteds[si] = wa
+        out_shifts[si] = 32 - d.bits_per_sample
+        audio += bs / max(1, d.sample_rate)
+    import ctypes as _ct
+
+    _i32p = _ct.POINTER(_ct.c_int32)
+    _u32p = _ct.POINTER(_ct.c_uint32)
+    w_l = np.zeros(Ln, np.int32)
+    wmax = lib.af_flac_widths(
+        residual.ctypes.data_as(_i32p), Ln, max_bs,
+        order.ctypes.data_as(_i32p), w_l.ctypes.data_as(_i32p))
+    wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
+    wb = max(wb, wmax)  # device-resident: no overflow plane needed
+    stride = (max_bs * wb + 31) // 32 + 1
+    packed = np.empty((Ln, stride), np.uint32)
+    lib.af_flac_pack(
+        residual.ctypes.data_as(_i32p), Ln, max_bs,
+        order.ctypes.data_as(_i32p), wb,
+        packed.ctypes.data_as(_u32p), stride)
+    warm = np.ascontiguousarray(residual[:, :32])
+
+    @functools.partial(jax.jit, static_argnames=("w", "n"))
+    def fused(packed, warm, coeffs, order, shift, exact, assigns,
+              wasteds, out_shifts, w: int, n: int):
+        res = lpc_ops.flac_unpack_residuals(packed, warm, order, w=w, n=n)
+        samples = lpc_ops.flac_lpc(
+            res, coeffs, order, shift, exact).reshape(S, nch, n)
+        return lpc_ops.flac_post_stereo_batch_s16(
+            samples, assigns, wasteds, out_shifts)
+
+    args = [jax.device_put(a) for a in
+            (packed, warm, coeffs, order, shift, exact, assigns,
+             wasteds, out_shifts)]
+    out = fused(*args, w=wb, n=max_bs)
+    _ = np.asarray(out[0, 0, 0])
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fused(*args, w=wb, n=max_bs)
+        _ = np.asarray(out[0, 0, 0])
+        return time.perf_counter() - t0
+
+    lo, hi = reps, reps * 3
+    t_lo = min(run(lo) for _ in range(2))
+    t_hi = min(run(hi) for _ in range(2))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
+    return audio / dt, packed.nbytes + warm.nbytes, audio
+
+
 def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
     """Device ceiling: the MP3 window DSP alone (inputs device-resident),
     timed with chained state and a forced element fetch (block_until_ready
@@ -499,6 +597,15 @@ def main():
     accuracy = measure_accuracy()
     dsp_rtx = bench_device_dsp_only()
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3, B=1024)
+    fres_rtx, fres_bytes, fres_audio = bench_device_resident_flac(
+        flac, B=512)
+    # aggregate device-resident MP3+FLAC: the BASELINE.md metric shape,
+    # measured at the chip — per-format window rates extrapolated to the
+    # CORPUS audio proportions (512 MP3 + 512 FLAC streams), so the mix
+    # weighting matches the end-to-end metric, not the window sizes
+    mp3_audio_total, flac_audio_total = sum(mp3_secs), sum(flac_secs)
+    agg_rtx = (mp3_audio_total + flac_audio_total) / (
+        mp3_audio_total / res_rtx + flac_audio_total / fres_rtx)
     up_bw, down_bw = measure_link()
 
     by = {k: round(v, 1) for k, v in
@@ -540,8 +647,19 @@ def main():
             # full decode (entropy FSM + DSP) with inputs device-resident:
             # the chip's true rate, independent of the dev tunnel weather
             "device_resident_full_decode_rtx_mp3_b1024": round(res_rtx, 2),
+            "device_resident_full_decode_rtx_flac_b512": round(fres_rtx, 2),
+            # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
+            # corpus-audio weighted
+            "device_resident_full_decode_rtx_agg_b1024": round(agg_rtx, 2),
             "device_resident_window": {
-                "bytes": res_bytes, "audio_s": round(res_audio, 1)},
+                "bytes": res_bytes, "audio_s": round(res_audio, 1),
+                "flac_bytes": fres_bytes,
+                "flac_audio_s": round(fres_audio, 1)},
+            # host entropy stage rate per core (the host-side ceiling:
+            # a real multi-core host scales this by its parse-pool width)
+            "host_stage_rtx_per_core": round(
+                audio / max(1e-9, best_stats["host_ms"] / 1e3)
+                / max(1, os.cpu_count() or 1), 1),
             "accuracy_vs_golden": accuracy,
             "backend": jax.default_backend(),
         },

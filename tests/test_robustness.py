@@ -132,6 +132,52 @@ def test_facade_never_raises_on_corruption(rng):
                 assert isinstance(s.error_message(), str)
 
 
+def test_per_lane_demotion_keeps_group(rng, monkeypatch):
+    """One poisoned lane in a 64-lane grouped batch must NOT take the
+    innocent lanes off the device path: the scheduler bisects the chunk,
+    demotes exactly the guilty lane (stats['lanes_demoted'] == 1), records
+    the exception class, and the innocent lanes stay grouped and bit-exact
+    (the per-stream error containment of stream.d:424-427 at batch scale,
+    without the round-2 all-or-nothing perf cliff)."""
+    from audio_formats_tpu.errors import AudioFormatError
+    from audio_formats_tpu.models.flac import FlacDecoder
+
+    streams = []
+    for k in range(64):
+        n = 2048 + 64 + 7 * k  # distinct lengths mark the lanes
+        t = np.arange(n)[:, None]
+        x = np.clip(np.round(
+            6000 * np.sin(2 * np.pi * (220 + 3 * k) * t * [1, 1.31] / 44100)
+        ), -32768, 32767).astype(np.int64)
+        streams.append(flac_ref.build_flac(
+            x, 44100, 16, block_size=1024, stereo_mode="mid_side",
+            modes=["lpc8", "fixed3"]))
+    bad_len = len(streams[13])
+    assert sum(len(s) == bad_len for s in streams) == 1
+    orig = FlacDecoder._parse_frame_tensors
+
+    def patched(self):
+        if len(self._view) == bad_len:
+            raise AudioFormatError("injected lane fault")
+        return orig(self)
+
+    monkeypatch.setattr(FlacDecoder, "_parse_frame_tensors", patched)
+    dec = BatchDecoder(streams)
+    out = dec.decode_all()
+    assert dec.stats["lanes_demoted"] == 1
+    assert any("injected lane fault" in e
+               for e in dec.stats["group_exceptions"])
+    assert out[13] is None and dec.errors[13] is not None
+    clean = [s for i, s in enumerate(streams) if i != 13]
+    solo = BatchDecoder(clean).decode_all()
+    j = 0
+    for i in range(64):
+        if i == 13:
+            continue
+        np.testing.assert_array_equal(out[i], solo[j])
+        j += 1
+
+
 def test_batch_lattice_isolates_corrupt_lanes(rng):
     """One corrupted lane per format, mixed with good lanes: good lanes
     must produce exactly their solo-decode output."""
