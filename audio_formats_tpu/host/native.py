@@ -194,16 +194,16 @@ def _install_celt(lib) -> None:
     ]
     lib.af_celt_finish_channel.restype = ctypes.c_int
     lib.af_silk_synth.argtypes = [
-        f64p, f64p, f64p,
+        f32p, f32p, f32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
-        f64p, f64p, f64p, i32p, f64p, ctypes.c_double,
+        f32p, f32p, f32p, i32p, f32p, ctypes.c_float,
     ]
     lib.af_silk_synth.restype = ctypes.c_int
     lib.af_silk_excitation.argtypes = [
         i8p, ctypes.c_int32, i64p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        u16p, u16p, u16p, u16p, u16p, u16p, i32p, f64p,
+        u16p, u16p, u16p, u16p, u16p, u16p, i32p, f32p,
     ]
     lib.af_silk_excitation.restype = ctypes.c_int
     lib.af_silk_lsf2lpc.argtypes = [i32p, ctypes.c_int32, i32p, i8p, f64p]
@@ -412,15 +412,16 @@ def silk_synth(lib, residual, out, lpch, subframes, sflength, order,
                voiced, has_leadin, interp4, lpc_leadin, lpc_body,
                sf_gain, sf_pitchlag, sf_ltptaps, ltpscale):
     """Native mirror of SilkDecoder._decode_frame's synthesis loops
-    (re-whitening + LTP + LPC, double precision).  Buffers updated in
-    place."""
+    (re-whitening + LTP + LPC) in SINGLE precision — the reference's own
+    float pipeline (dopus.d:5168-5226 is FFmpeg's float SILK decoder).
+    Buffers (np.float32) updated in place."""
     lib.af_silk_synth(
-        residual.ctypes.data_as(_F64P), out.ctypes.data_as(_F64P),
-        lpch.ctypes.data_as(_F64P), subframes, sflength, order, voiced,
+        residual.ctypes.data_as(_F32P), out.ctypes.data_as(_F32P),
+        lpch.ctypes.data_as(_F32P), subframes, sflength, order, voiced,
         has_leadin, interp4,
-        lpc_leadin.ctypes.data_as(_F64P), lpc_body.ctypes.data_as(_F64P),
-        sf_gain.ctypes.data_as(_F64P), sf_pitchlag.ctypes.data_as(_I32P),
-        sf_ltptaps.ctypes.data_as(_F64P), ltpscale,
+        lpc_leadin.ctypes.data_as(_F32P), lpc_body.ctypes.data_as(_F32P),
+        sf_gain.ctypes.data_as(_F32P), sf_pitchlag.ctypes.data_as(_I32P),
+        sf_ltptaps.ctypes.data_as(_F32P), ltpscale,
     )
 
 
@@ -451,9 +452,9 @@ def silk_excitation(lib, data, ec_state: np.ndarray, shellblocks: int,
                     voiced: int, qoffset_high: int, active: int):
     """Native mirror of SilkDecoder._decode_excitation.  ec_state
     (int64[9]) updated in place; returns the dequantized excitation
-    (f64[shellblocks*16])."""
+    (f32[shellblocks*16]; the quotients by 2^23 are exact in single)."""
     tabs = _get_silk_exc_tables()
-    out = np.empty(shellblocks * 16, np.float64)
+    out = np.empty(shellblocks * 16, np.float32)
     ptr, nbytes, _keep = _buf_ptr(data)
     lib.af_silk_excitation(
         ptr, nbytes, ec_state.ctypes.data_as(_I64P),
@@ -461,7 +462,7 @@ def silk_excitation(lib, data, ec_state: np.ndarray, shellblocks: int,
         tabs[0].ctypes.data_as(_U16P), tabs[1].ctypes.data_as(_U16P),
         tabs[2].ctypes.data_as(_U16P), tabs[3].ctypes.data_as(_U16P),
         tabs[4].ctypes.data_as(_U16P), tabs[5].ctypes.data_as(_U16P),
-        tabs[6].ctypes.data_as(_I32P), out.ctypes.data_as(_F64P),
+        tabs[6].ctypes.data_as(_I32P), out.ctypes.data_as(_F32P),
     )
     return out
 

@@ -2828,59 +2828,60 @@ int af_celt_finish_channel(double* buf /*[2048]*/, int32_t frame_size,
 // --------------------------------------------------------- SILK synthesis
 // Mirror of models/silk.py _decode_frame lines: re-whitening of past
 // output into the residual domain, LTP IIR, and LPC synthesis IIR — all
-// double precision, same accumulation order as the Python reference
-// (dopus.d:5168-5226 is the behavioral reference).
+// SINGLE precision (the reference's own float pipeline: dopus.d:5168-5226
+// is FFmpeg's float SILK decoder), same accumulation order as the Python
+// fallback (models/silk.py), which mirrors these ops in np.float32.
 
-static inline double silk_clip1(double v) {
-  return v < -1.0 ? -1.0 : (v > 1.0 ? 1.0 : v);
+static inline float silk_clip1(float v) {
+  return v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
 }
 
-int af_silk_synth(double* residual /*[290+322]*/, double* out /*[644]*/,
-                  double* lpch /*[644]*/, int32_t subframes,
+int af_silk_synth(float* residual /*[290+322]*/, float* out /*[644]*/,
+                  float* lpch /*[644]*/, int32_t subframes,
                   int32_t sflength, int32_t order, int32_t voiced,
                   int32_t has_leadin, int32_t interp4,
-                  const double* lpc_leadin, const double* lpc_body,
-                  const double* sf_gain, const int32_t* sf_pitchlag,
-                  const double* sf_ltptaps /*[subframes*5]*/,
-                  double ltpscale) {
+                  const float* lpc_leadin, const float* lpc_body,
+                  const float* sf_gain, const int32_t* sf_pitchlag,
+                  const float* sf_ltptaps /*[subframes*5]*/,
+                  float ltpscale) {
   for (int i = 0; i < subframes; i++) {
-    const double* lpc = (i < 2 && has_leadin) ? lpc_leadin : lpc_body;
+    const float* lpc = (i < 2 && has_leadin) ? lpc_leadin : lpc_body;
     int dst_off = 322 + i * sflength;
     int res_off = 290 + i * sflength;
     int lpc_off = dst_off;
     if (voiced) {
       int out_end;
-      double scale;
+      float scale;
       if (i < 2 || interp4) {
         out_end = -i * sflength;
         scale = ltpscale;
       } else {
         out_end = -(i - 2) * sflength;
-        scale = 1.0;
+        scale = 1.0f;
       }
       int j0 = -sf_pitchlag[i] - 2;
       for (int j = j0; j < out_end; j++) {
-        double total = out[dst_off + j];
+        float total = out[dst_off + j];
         for (int k = 0; k < order; k++)
           total -= lpc[k] * out[dst_off + j - k - 1];
         residual[res_off + j] = silk_clip1(total) * scale / sf_gain[i];
       }
       if (out_end) {
-        double rescale = sf_gain[i - 1] / sf_gain[i];
+        float rescale = sf_gain[i - 1] / sf_gain[i];
         for (int j = out_end; j < 0; j++) residual[res_off + j] *= rescale;
       }
-      const double* taps = sf_ltptaps + i * 5;
+      const float* taps = sf_ltptaps + i * 5;
       int lag = sf_pitchlag[i];
       for (int j = 0; j < sflength; j++) {
-        double total = residual[res_off + j];
+        float total = residual[res_off + j];
         for (int k = 0; k < 5; k++)
           total += taps[k] * residual[res_off + j - lag + 2 - k];
         residual[res_off + j] = total;
       }
     }
-    double g = sf_gain[i];
+    float g = sf_gain[i];
     for (int j = 0; j < sflength; j++) {
-      double total = residual[res_off + j] * g;
+      float total = residual[res_off + j] * g;
       for (int k = 1; k <= order; k++)
         total += lpc[k - 1] * lpch[lpc_off + j - k];
       lpch[lpc_off + j] = total;
@@ -2935,7 +2936,7 @@ int af_silk_excitation(const uint8_t* data, int32_t len, int64_t* ec_state,
                        const uint16_t* exc_lsb /*[3]*/,
                        const uint16_t* exc_sign /*[3*2*7*3]*/,
                        const int32_t* quant_offset /*[2*2]*/,
-                       double* out /*[shellblocks*16]*/) {
+                       float* out /*[shellblocks*16]*/) {
   EcDec dec;
   ec_load(&dec, data, len, ec_state);
   EcDec* d = &dec;
@@ -3015,7 +3016,8 @@ int af_silk_excitation(const uint8_t* data, int32_t len, int64_t* ec_state,
     seed = 196314165u * seed + 907633515u;
     if (seed & 0x80000000u) ev = -ev;
     seed = seed + (uint32_t)value;
-    out[i] = ev / 8388608.0;
+    // |ev| < 2^24, so ev/2^23 is exact in single precision
+    out[i] = (float)(ev / 8388608.0);
   }
   ec_store(d, ec_state);
   return 0;

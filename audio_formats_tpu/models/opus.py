@@ -23,10 +23,11 @@ AF_TPU_REFERENCE_RESAMPLER=1 selects the exact mirror of the reference's
 speex quality-3 path instead, dopus.d:5381+).  Hybrid streams (configs
 12-15)
 decode SILK WB + the CELT layer from band 17 on the shared range
-decoder, including mode-transition redundancy crossfades.  NOT yet
-implemented: LBRR redundancy frames and multistream channel mappings;
-such packets set the stream error state with a clear message rather
-than producing wrong samples.
+decoder, including mode-transition redundancy crossfades.  Multistream
+channel mappings (families 1/2/255, e.g. 5.1) are implemented and
+oracle-tested (mapping parse + per-stream decode below; libopus A/B in
+tests/test_opus_silk.py).  LBRR redundancy frames are rejected with a
+clear error — the same behavior as the reference (dopus.d:5313).
 """
 
 from __future__ import annotations
@@ -717,9 +718,25 @@ def probe(src: ByteSource):
         return None
 
 
+def float_to_s16_ref(x: np.ndarray) -> np.ndarray:
+    """The reference's float→s16 conversion, bit-exact: Float2IntScaled
+    (dopus.d:7923-7926) adds the magic constant 1.5·2^8 + 0.5·2^-15 so the
+    IEEE f32 addition itself rounds to the 2^-15 grid (ties-to-even), then
+    recovers the integer from the bit pattern and clamps to s16."""
+    t = np.ascontiguousarray(x, np.float32) \
+        + np.float32(1.5 * (1 << (23 - 15)) + 0.5 / (1 << 15))
+    v = t.view(np.int32) - (((150 - 15) << 23) + (1 << 22))
+    return np.clip(v, -32768, 32767).astype(np.int16)
+
+
 class OpusDecoder:
     format = AudioFileFormat.opus
     sample_rate = 48000  # Opus always decodes at 48 kHz (dopus.d:7954)
+
+    #: s16 parity mode: quantize output through the reference's s16 grid
+    #: (dopus.d:8098-8105 + stream.d:480) for A/B diff-testing; full-float
+    #: output (the default) is strictly more precise (SURVEY §7).
+    s16_parity = False
 
     def __init__(self, src: ByteSource):
         self._src = src
@@ -807,6 +824,18 @@ class OpusDecoder:
                                  self.r128_track_gain_q8))
         self._gain = 10.0 ** (gain_i / (20.0 * 256.0)) if gain_i else 1.0
 
+    def _maybe_s16(self, pcm: np.ndarray) -> np.ndarray:
+        """s16 parity mode (diff-testing vs the reference): the reference
+        quantizes every Opus sample through s16 on output
+        (dopus.d:8098-8105 via Float2IntScaled, then stream.d:480 divides
+        by 32767.0f).  Full-float output is the default; setting
+        ``s16_parity = True`` reproduces the reference's output grid
+        exactly for A/B diffs."""
+        if not self.s16_parity:
+            return pcm
+        return (float_to_s16_ref(pcm).astype(np.float32)
+                / np.float32(32767.0))
+
     # -- frame decode ---------------------------------------------------------
     def _decode_packet(self, data: bytes) -> np.ndarray:
         if self.channel_mapping == 0:
@@ -816,7 +845,7 @@ class OpusDecoder:
             pcm = self._streams[0].decode_packet(pk)
             if self._gain != 1.0:
                 pcm = pcm * np.float32(self._gain)
-            return pcm.astype(np.float32)
+            return self._maybe_s16(pcm.astype(np.float32))
         # multistream (mapping families 1/2/255, dopus.d:6587-6712): the
         # packet concatenates one sub-packet per elementary stream, all but
         # the last with self-delimited framing
@@ -847,7 +876,7 @@ class OpusDecoder:
                 pcm[:, ch] = outs[idx - self.n_coupled][:m, 0]
         if self._gain != 1.0:
             pcm = pcm * np.float32(self._gain)
-        return pcm
+        return self._maybe_s16(pcm)
 
     # -- read / seek -----------------------------------------------------------
     def read(self, max_frames: int, dtype=np.float32) -> np.ndarray:
@@ -875,8 +904,9 @@ class OpusDecoder:
                         if drained.shape[1] < self.channels:
                             drained = np.repeat(drained, self.channels,
                                                 axis=1)[:, : self.channels]
-                        self._buf = drained[:, : self.channels] * \
-                            np.float32(self._gain)
+                        self._buf = self._maybe_s16(
+                            drained[:, : self.channels]
+                            * np.float32(self._gain))
                         self._buf_start = 0
                         continue
                     break

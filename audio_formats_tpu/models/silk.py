@@ -4,8 +4,10 @@ Host stage of the two-stage pipeline: all range-coded parameters (stereo
 weights, frame type, gains, NLSF two-stage VQ with fixed-point LSF->LPC
 conversion, pitch lags, LTP filters, shell-coded excitation) decode with
 exact integer arithmetic; synthesis (re-whitening, LTP, short-term LPC,
-stereo unmix) runs in float64 numpy, mirroring the reference's float
-pipeline (dopus.d:5003-5237).
+stereo unmix) runs in SINGLE precision (np.float32 / C float), the
+reference's own precision — dopus.d's SILK is FFmpeg's float decoder
+(dopus.d:5003-5237), so the remaining distance to libopus (whose SILK is
+fixed-point int16) is inherited from the reference, not added here.
 
 Reference parity: ff_silk_decode_superframe dopus.d:5278-5345 and helpers
 dopus.d:4573-5237.  The entropy layer is bit-exact (validated against
@@ -45,6 +47,14 @@ def _clip(v, lo, hi):
     return lo if v < lo else (hi if v > hi else v)
 
 
+_F32_ONE = np.float32(1.0)
+
+
+def _clip1f(v):
+    """silk_clip1 at single precision (af_host.cc mirror)."""
+    return -_F32_ONE if v < -_F32_ONE else (_F32_ONE if v > _F32_ONE else v)
+
+
 class _Frame:
     __slots__ = ("coded", "log_gain", "nlsf", "lpc", "output",
                  "lpc_history", "primarylag", "prev_voiced")
@@ -53,9 +63,9 @@ class _Frame:
         self.coded = False
         self.log_gain = 0
         self.nlsf = [0] * 16
-        self.lpc = np.zeros(16)
-        self.output = np.zeros(2 * SILK_HISTORY)
-        self.lpc_history = np.zeros(2 * SILK_HISTORY)
+        self.lpc = np.zeros(16, np.float32)
+        self.output = np.zeros(2 * SILK_HISTORY, np.float32)
+        self.lpc_history = np.zeros(2 * SILK_HISTORY, np.float32)
         self.primarylag = 0
         self.prev_voiced = 0
 
@@ -160,7 +170,9 @@ def _lsf2lpc(nlsf, order):
     (dopus.d:4720)."""
     lib = native.get_lib()
     if lib is not None:
-        return native.silk_lsf2lpc(lib, nlsf, order)
+        # Q12 coefficients: c/4096 has <=15 significand bits, so the
+        # float32 cast is exact
+        return native.silk_lsf2lpc(lib, nlsf, order).astype(np.float32)
     ordering = ST.LSF_ORDERING_NBMB if order == 10 else ST.LSF_ORDERING_WB
     lsp = [0] * order
     for k in range(order):
@@ -215,7 +227,7 @@ def _lsf2lpc(nlsf, order):
             lpc[k] = (lpc32[k] + 16) >> 5
             chirp = (chirp_base * chirp + 32768) >> 16
         i += 1
-    return np.array([c / 4096.0 for c in lpc])
+    return np.array([c / 4096.0 for c in lpc], np.float32)
 
 
 class SilkDecoder:
@@ -308,7 +320,7 @@ class SilkDecoder:
             s.nlsf_interp_factor = 4
         lpc = _lsf2lpc(nlsf, order)
         frame.nlsf[:order] = nlsf
-        frame.lpc = np.zeros(16)
+        frame.lpc = np.zeros(16, np.float32)
         frame.lpc[:order] = lpc
         return lpc_leadin, lpc, order, has_lpc_leadin
 
@@ -332,7 +344,8 @@ class SilkDecoder:
                 (int(v) for v in st[:8])
             if flength <= out.shape[0]:
                 return out[:flength]
-            return np.concatenate([out, np.zeros(flength - out.shape[0])])
+            return np.concatenate(
+                [out, np.zeros(flength - out.shape[0], np.float32)])
         seed = rd.dec_cdf(ST.MODEL_LCG_SEED)
         shellblocks = ST.SHELL_BLOCKS[s.bandwidth][s.subframes >> 2]
         ratelevel = rd.dec_cdf(ST.MODEL_EXC_RATE[voiced])
@@ -387,7 +400,7 @@ class SilkDecoder:
                 if sign == 0:
                     exc[i] = -exc[i]
 
-        out = np.zeros(shellblocks * 16)
+        out = np.zeros(shellblocks * 16, np.float32)
         qoff = ST.QUANT_OFFSET[voiced][qoffset_high]
         for i in range(shellblocks << 4):
             value = exc[i]
@@ -400,9 +413,9 @@ class SilkDecoder:
             if seed & 0x80000000:
                 ev = -ev
             seed = (seed + value) & 0xFFFFFFFF
-            out[i] = ev / 8388608.0
+            out[i] = ev / 8388608.0  # |ev| < 2^24: exact in single
         return out[:flength] if flength <= out.shape[0] else np.concatenate(
-            [out, np.zeros(flength - out.shape[0])])
+            [out, np.zeros(flength - out.shape[0], np.float32)])
 
     # -------------------------------------------------------- frame decode
     def _decode_frame(self, rd, frame_num, channel, coded_channels,
@@ -421,8 +434,9 @@ class SilkDecoder:
                 w[i] = ST.STEREO_WEIGHTS[wi] + (
                     ((ST.STEREO_WEIGHTS[wi + 1] - ST.STEREO_WEIGHTS[wi])
                      * 6554) >> 16) * (ws * 2 + 1)
-            s.stereo_weights[0] = (w[0] - w[1]) / 8192.0
-            s.stereo_weights[1] = w[1] / 8192.0
+            # Q13 weights / 2^13: exact in single
+            s.stereo_weights[0] = np.float32((w[0] - w[1]) / 8192.0)
+            s.stereo_weights[1] = np.float32(w[1] / 8192.0)
             s.midonly = 0 if active1 else rd.dec_cdf(ST.MODEL_MID_ONLY)
 
         if not active:
@@ -454,12 +468,12 @@ class SilkDecoder:
             lingain = (1 << ipart) + \
                 ((-174 * fpart * (128 - fpart) >> 16) + fpart) * \
                 ((1 << ipart) >> 7)
-            sf_gain[i] = lingain / 65536.0
+            sf_gain[i] = np.float32(lingain / 65536.0)
 
         lpc_leadin, lpc_body, order, has_lpc_leadin = \
             self._decode_lpc(frame, rd, voiced)
 
-        ltpscale = 15565.0 / 16384.0
+        ltpscale = np.float32(15565.0 / 16384.0)
         if voiced:
             lag_absolute = (not frame_num) or (not frame.prev_voiced)
             if not lag_absolute:
@@ -504,13 +518,15 @@ class SilkDecoder:
                            ST.LTP_FILTER2_TAPS][ltpfilter]
             for i in range(s.subframes):
                 index = rd.dec_cdf(filter_sel)
-                sf_ltptaps[i] = np.array(filter_taps[index]) / 128.0
+                # int8 taps / 2^7: exact in single
+                sf_ltptaps[i] = (np.array(filter_taps[index], np.float32)
+                                 / np.float32(128.0))
 
             if frame_num == 0:
-                ltpscale = ST.LTP_SCALE_FACTOR[
-                    rd.dec_cdf(ST.MODEL_LTP_SCALE_INDEX)] / 16384.0
+                ltpscale = np.float32(ST.LTP_SCALE_FACTOR[
+                    rd.dec_cdf(ST.MODEL_LTP_SCALE_INDEX)] / 16384.0)
 
-        residual = np.zeros(SILK_MAX_LAG + SILK_HISTORY)
+        residual = np.zeros(SILK_MAX_LAG + SILK_HISTORY, np.float32)
         residual[SILK_MAX_LAG : SILK_MAX_LAG + s.flength] = \
             self._decode_excitation(rd, s.flength, qoffset_high,
                                     int(bool(active)), voiced)
@@ -526,20 +542,20 @@ class SilkDecoder:
         # (float path; dopus.d:5168-5226)
         lib = native.get_lib()
         if lib is not None:
-            taps = np.zeros((s.subframes, LTP_ORDER))
+            taps = np.zeros((s.subframes, LTP_ORDER), np.float32)
             for i, t in enumerate(sf_ltptaps):
                 if t is not None:
                     taps[i] = t
-            body16 = np.zeros(16)
+            body16 = np.zeros(16, np.float32)
             body16[: len(lpc_body)] = lpc_body
-            lead16 = np.zeros(16)
+            lead16 = np.zeros(16, np.float32)
             if lpc_leadin is not None:
                 lead16[: len(lpc_leadin)] = lpc_leadin
             native.silk_synth(
                 lib, residual, frame.output, frame.lpc_history,
                 s.subframes, s.sflength, order, int(voiced),
                 int(has_lpc_leadin), int(s.nlsf_interp_factor == 4),
-                lead16, body16, np.asarray(sf_gain),
+                lead16, body16, np.asarray(sf_gain, np.float32),
                 np.asarray(sf_pitchlag, np.int32), taps, float(ltpscale))
             frame.prev_voiced = voiced
             frame.lpc_history[:SILK_HISTORY] = \
@@ -561,15 +577,16 @@ class SilkDecoder:
                     scale = ltpscale
                 else:
                     out_end = -(i - 2) * s.sflength
-                    scale = 1.0
+                    scale = _F32_ONE
                 # re-whitening of past output into the residual domain
+                # (every op np.float32: bit-identical to af_silk_synth)
                 j0 = -sf_pitchlag[i] - LTP_ORDER // 2
                 for j in range(j0, out_end):
                     total = out[dst_off + j]
                     for k in range(order):
                         total -= lpc_coeff[k] * out[dst_off + j - k - 1]
                     residual[res_off + j] = \
-                        _clip(total, -1.0, 1.0) * scale / sf_gain[i]
+                        _clip1f(total) * scale / sf_gain[i]
                 if out_end:
                     rescale = sf_gain[i - 1] / sf_gain[i]
                     residual[res_off + out_end : res_off] *= rescale
@@ -590,7 +607,7 @@ class SilkDecoder:
                 for k in range(1, order + 1):
                     total += lpc_coeff[k - 1] * lpch[lpc_off + j - k]
                 lpch[lpc_off + j] = total
-                out[dst_off + j] = _clip(total, -1.0, 1.0)
+                out[dst_off + j] = _clip1f(total)
 
         frame.prev_voiced = voiced
         frame.lpc_history[:SILK_HISTORY] = \
@@ -606,12 +623,13 @@ class SilkDecoder:
         side = s.frame[1].output
         m0 = SILK_HISTORY - flength
         s0 = SILK_HISTORY - flength
-        w0_prev, w1_prev = s.prev_stereo_weights
-        w0, w1 = s.stereo_weights
-        n1 = ST.STEREO_INTERP_LEN[s.bandwidth]
+        w0_prev, w1_prev = (np.float32(v) for v in s.prev_stereo_weights)
+        w0, w1 = (np.float32(v) for v in s.stereo_weights)
+        n1 = np.float32(ST.STEREO_INTERP_LEN[s.bandwidth])
         # vectorized with the scalar reference's exact per-element op tree
-        # (elementwise f64, so rounding is identical to the loop form)
-        i = np.arange(flength)
+        # (elementwise np.float32: the reference's own precision, and
+        # rounding identical to the loop form)
+        i = np.arange(flength, dtype=np.float32)
         ramp = i < n1
         in0 = np.where(ramp, w0_prev + i * (w0 - w0_prev) / n1, w0)
         in1 = np.where(ramp, w1_prev + i * (w1 - w1_prev) / n1, w1)
@@ -619,9 +637,10 @@ class SilkDecoder:
         m1 = mid[m0 - 1 : m0 + flength - 1]
         mc = mid[m0 : m0 + flength]
         sd = side[s0 - 1 : s0 + flength - 1]
-        p0 = 0.25 * (m2 + 2 * m1 + mc)
-        l = np.clip((1 + in1) * m1 + sd + in0 * p0, -1.0, 1.0)
-        r = np.clip((1 - in1) * m1 - sd - in0 * p0, -1.0, 1.0)
+        quarter, two, one = (np.float32(0.25), np.float32(2.0), _F32_ONE)
+        p0 = quarter * (m2 + two * m1 + mc)
+        l = np.clip((one + in1) * m1 + sd + in0 * p0, -one, one)
+        r = np.clip((one - in1) * m1 - sd - in0 * p0, -one, one)
         s.prev_stereo_weights = list(s.stereo_weights)
         return l, r
 
@@ -651,7 +670,8 @@ class SilkDecoder:
                 raise AudioFormatError(
                     "Opus: LBRR frames not yet supported")
 
-        out = np.zeros((nb_frames * s.flength, s.output_channels))
+        out = np.zeros((nb_frames * s.flength, s.output_channels),
+                       np.float32)
         for i in range(nb_frames):
             j = 0
             while j < coded_channels and not s.midonly:

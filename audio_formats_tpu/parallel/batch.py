@@ -816,7 +816,7 @@ class BatchDecoder:
             tabs = meta[:, :, 6:9]
             cids = {int(mp3_huff.CODE_ID[t])
                     for t in np.unique(tabs[live])} or {0}
-            starts, d_len, d_xy, rank_of = \
+            starts, d_pack, rank_of = \
                 mp3_huff.breakpoints_for_window(cids)
             spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
             L = Bp * NL
@@ -853,7 +853,7 @@ class BatchDecoder:
             blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
             o += n_scf
             blob[o : o + n_bp] = np.ascontiguousarray(
-                np.stack([starts, d_len, d_xy], axis=1)
+                np.stack([starts, d_pack], axis=1)
             ).reshape(-1).view(np.uint32)
             fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
                               L, Wb, R, Lb, Wext, nbig_b, nc1_b)
@@ -1546,6 +1546,8 @@ class BatchDecoder:
         Mixed-mode/multistream lanes use the per-stream path."""
         if getattr(d, "channel_mapping", 1) != 0:
             return False
+        if getattr(d, "s16_parity", False):
+            return False  # parity diff-test mode rides the facade read path
         try:
             pkts = d._collect_packets()
         except Exception:
@@ -1577,6 +1579,8 @@ class BatchDecoder:
             return False  # speex-mirror path is per-stream only
         if getattr(d, "channel_mapping", 1) != 0:
             return False
+        if getattr(d, "s16_parity", False):
+            return False  # parity diff-test mode rides the facade read path
         try:
             pkts = d._collect_packets()
         except Exception:
@@ -1611,6 +1615,8 @@ class BatchDecoder:
             return False
         if getattr(d, "channel_mapping", 1) != 0:
             return False
+        if getattr(d, "s16_parity", False):
+            return False  # parity diff-test mode rides the facade read path
         try:
             pkts = d._collect_packets()
         except Exception:

@@ -261,7 +261,7 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
     pats = tuple(sorted(int(p) for p in np.unique(meta[:, :, 10][live])))
     cids = {int(mp3_huff.CODE_ID[t])
             for t in np.unique(meta[:, :, 6:9][live])}
-    starts, d_len, d_xy, rank_of = mp3_huff.breakpoints_for_window(cids)
+    starts, d_pack, rank_of = mp3_huff.breakpoints_for_window(cids)
     spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
     L, R = B * NL, starts.size
     tabs = meta[:, :, 6:9]
@@ -280,7 +280,7 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
     blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
     o += n_scf
     blob[o : o + n_bp] = np.ascontiguousarray(
-        np.stack([starts, d_len, d_xy], axis=1)).reshape(-1).view(np.uint32)
+        np.stack([starts, d_pack], axis=1)).reshape(-1).view(np.uint32)
     blob_d = jax.device_put(blob)
     overlap = jnp.zeros((B, nch, 32, 18), jnp.float32)
     shist = jnp.zeros((B, nch, 16, 32), jnp.float32)
@@ -533,7 +533,102 @@ def measure_accuracy():
             abs(rms - tos.SILK_RMS))
     except Exception as e:
         out["opus_silk_rms_err_vs_fixture"] = f"error: {e}"
+    # Opus, every mode, vs the libopus oracle with explicit bounds.
+    # Bounds: CELT is float-for-float the reference's pipeline -> 1e-4
+    # rel max-abs; SILK/hybrid ride dopus.d's FLOAT SILK (FFmpeg) while
+    # libopus is fixed-point int16, so the distance is inherited from the
+    # reference — stated as SNR floors (the same contracts the test suite
+    # enforces: tests/test_opus_silk.py:207,275).
+    out.update(_opus_mode_gauge())
     return out
+
+
+def _opus_mode_gauge():
+    import audio_formats_tpu as af
+    from golden import opus_oracle as O
+    from golden import opus_ref
+
+    res = {}
+    if O.get_lib() is None:
+        return {"opus_modes": "libopus oracle unavailable"}
+    from audio_formats_tpu.models.celt import CeltDecoder
+    from audio_formats_tpu.models.opus import RangeDecoder, parse_packet
+
+    rng = np.random.default_rng(21)
+    N = 960
+    t = np.arange(N * 6) / 48000.0
+
+    def row(key, value, bound, higher_better=False):
+        ok = value >= bound if higher_better else value <= bound
+        res[key] = {"value": round(float(value), 6 if not higher_better
+                                   else 2),
+                    "bound": bound, "ok": bool(ok)}
+
+    # --- CELT-only (music): <= 1e-4 relative max-abs
+    try:
+        sig = np.clip(7000 * np.sin(2 * np.pi * 440 * t)
+                      + 1500 * rng.standard_normal(t.size),
+                      -32000, 32000).astype(np.int16)[:, None]
+        enc = O.OracleEncoder(48000, 1, bitrate=96000,
+                              signal=O.OPUS_SIGNAL_MUSIC,
+                              bandwidth=O.OPUS_BANDWIDTH_FULLBAND)
+        dec = O.OracleDecoder(48000, 1)
+        mine = CeltDecoder(output_channels=1)
+        worst = 0.0
+        for n in range(6):
+            pkt = enc.encode(sig[n * N : (n + 1) * N])
+            info = parse_packet(pkt)
+            ref = dec.decode(pkt)
+            o_ = np.concatenate([
+                mine.decode_frame(RangeDecoder(fr),
+                                  2 if info["stereo"] else 1,
+                                  info["frame_size"], 0, 21)
+                for fr in info["frames"]])
+            worst = max(worst, float(np.abs(o_ - ref).max())
+                        / max(1e-5, float(np.abs(ref).max())))
+        row("opus_celt_rel_vs_libopus", worst, 1e-4)
+    except Exception as e:
+        res["opus_celt_rel_vs_libopus"] = f"error: {e}"
+
+    def _snr_stream(bitrate, bandwidth, want_cfgs, key, bound):
+        try:
+            sig = (6000 * np.sin(2 * np.pi * 220 * t)
+                   * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+                   + 2000 * np.sin(2 * np.pi * 5000 * t)
+                   + 700 * rng.standard_normal(t.size))
+            sig = np.clip(sig, -32000, 32000).astype(np.int16)[:, None]
+            enc = O.OracleEncoder(48000, 1, bitrate=bitrate,
+                                  application=O.OPUS_APPLICATION_VOIP,
+                                  signal=O.OPUS_SIGNAL_VOICE,
+                                  bandwidth=bandwidth)
+            pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N)
+                    for n in range(6)]
+            cfgs = {parse_packet(p)["config"] for p, _ in pkts}
+            if not cfgs <= want_cfgs:
+                res[key] = f"skipped: encoder chose configs {sorted(cfgs)}"
+                return
+            dec48 = O.OracleDecoder(48000, 1)
+            g = 10.0 ** (-1024 / 5120.0)
+            ref = np.concatenate([dec48.decode(p) for p, _ in pkts]) * g
+            data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
+            st = af.AudioStream()
+            st.open_from_memory(data)
+            got = st.read_samples_float(st.get_length_in_frames())
+            m = min(len(got), len(ref))
+            err = got[300 : m - 300] - ref[300 : m - 300]
+            snr = 10 * np.log10((ref[300 : m - 300] ** 2).mean()
+                                / max(1e-20, (err ** 2).mean()))
+            row(key, snr, bound, higher_better=True)
+        except Exception as e:
+            res[key] = f"error: {e}"
+
+    # --- SILK wideband through the full 48 kHz facade path: >= 45 dB
+    _snr_stream(13000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
+                "opus_silk48_snr_db_vs_libopus", 45.0)
+    # --- hybrid (SILK WB + CELT bands 17+): >= 25 dB
+    _snr_stream(36000, O.OPUS_BANDWIDTH_FULLBAND, set(range(12, 16)),
+                "opus_hybrid_snr_db_vs_libopus", 25.0)
+    return res
 
 
 def measure_link():
