@@ -99,35 +99,36 @@ CODE_ID, LINBITS_TAB, CODE_TABLES, COUNT1_TABLES = _build_code_tables()
 def _breakpoints_for(cids):
     """Concatenate the breakpoint sets of the given code-table ids over the
     key space key = rank(cid)·2^19 + peek and convert values to deltas
-    (Σ_r (key ≥ s_r)·Δ_r reproduces the piecewise-constant table)."""
-    starts, lens, xys = [], [], []
+    (Σ_r (key ≥ s_r)·Δ_r reproduces the piecewise-constant table).
+
+    (code_length, xy) PACK into one value ln + (xy << 5): both components
+    are non-negative at every breakpoint and ln < 32, so the packed delta
+    sum telescopes to the packed value exactly — ONE interval sum per step
+    instead of two (the sum is the R-linear dominant cost of the FSM:
+    measured 2x the per-step cost of everything else at R=1024)."""
+    starts, packs = [], []
     for rank, cid in enumerate(cids):
         bps = CODE_TABLES[cid]
         starts.append(bps[:, 0] + (rank << 19))
-        lens.append(bps[:, 1])
-        xys.append(bps[:, 2])
+        packs.append(bps[:, 1] + (bps[:, 2] << 5))
     starts = np.concatenate(starts)
-    lens = np.concatenate(lens).astype(np.int32)
-    xys = np.concatenate(xys).astype(np.int32)
-    d_len = np.diff(lens, prepend=0).astype(np.int32)
-    d_xy = np.diff(xys, prepend=0).astype(np.int32)
-    return starts.astype(np.int32), d_len, d_xy
+    packs = np.concatenate(packs).astype(np.int32)
+    d_pack = np.diff(packs, prepend=0).astype(np.int32)
+    return starts.astype(np.int32), d_pack
 
 
 def _build_count1_breakpoints():
-    starts, lens, vs = [], [], []
+    """count1 deltas, packed as ln + (vmask << 3) (ln <= 6, vmask <= 15)."""
+    starts, packs = [], []
     for rank, bps in enumerate(COUNT1_TABLES):
         starts.append(bps[:, 0] + (rank << 6))
-        lens.append(bps[:, 1])
-        vs.append(bps[:, 2])
+        packs.append(bps[:, 1] + (bps[:, 2] << 3))
     starts = np.concatenate(starts).astype(np.int32)
-    lens = np.concatenate(lens).astype(np.int32)
-    vs = np.concatenate(vs).astype(np.int32)
-    return starts, np.diff(lens, prepend=0).astype(np.int32), \
-        np.diff(vs, prepend=0).astype(np.int32)
+    packs = np.concatenate(packs).astype(np.int32)
+    return starts, np.diff(packs, prepend=0).astype(np.int32)
 
 
-C1_STARTS, C1_DLEN, C1_DV = _build_count1_breakpoints()
+C1_STARTS, C1_DPACK = _build_count1_breakpoints()
 
 
 # ------------------------------------------------------------------ patterns
@@ -273,15 +274,16 @@ def _extract(a, b, c, o, width):
     return jnp.where(w > 0, val, jnp.uint32(0))
 
 
-def _interval_sum(key, starts, d_len, d_xy):
+def _interval_sum(key, starts, d_pack):
+    """ONE packed sum: Σ_r (key >= s_r)·Δ_r, telescoping to the packed
+    (ln, payload) value — the R-linear term is the FSM's dominant cost,
+    so halving the selects/adds here is the main lever."""
     ge = key[:, None] >= starts[None, :]
-    ln = jnp.sum(jnp.where(ge, d_len[None, :], 0), axis=1)
-    xy = jnp.sum(jnp.where(ge, d_xy[None, :], 0), axis=1)
-    return ln, xy
+    return jnp.sum(jnp.where(ge, d_pack[None, :], 0), axis=1)
 
 
 # --------------------------------------------------------------- the decoder
-R_BUCKETS = (256, 512, 1024, 1536)
+R_BUCKETS = (64, 128, 256, 384, 512, 640, 768, 1024, 1536)
 _BP_CACHE = {}
 
 
@@ -290,22 +292,21 @@ def breakpoints_for_window(cids):
     code tables, padded to a static R bucket (so the compiled program is
     reused across windows with different table sets — the breakpoints are
     RUNTIME data, only their padded length is static).  Returns
-    (starts i32[R], d_len i32[R], d_xy i32[R], rank_of_table i32[32])."""
+    (starts i32[R], d_pack i32[R], rank_of_table i32[32])."""
     key = tuple(sorted(cids))
     hit = _BP_CACHE.get(key)
     if hit is not None:
         return hit
-    starts_np, dlen_np, dxy_np = _breakpoints_for(key)
+    starts_np, dpack_np = _breakpoints_for(key)
     R = next((r for r in R_BUCKETS if starts_np.size <= r), starts_np.size)
     pad = R - starts_np.size
     starts_np = np.concatenate(
         [starts_np, np.full(pad, np.int32(0x7FFFFFFF), np.int32)])
-    dlen_np = np.concatenate([dlen_np, np.zeros(pad, np.int32)])
-    dxy_np = np.concatenate([dxy_np, np.zeros(pad, np.int32)])
+    dpack_np = np.concatenate([dpack_np, np.zeros(pad, np.int32)])
     rank_of = np.zeros(len(CODE_TABLES), np.int32)
     for r, c in enumerate(key):
         rank_of[c] = r
-    out = (starts_np, dlen_np, dxy_np, rank_of[CODE_ID[:32]])
+    out = (starts_np, dpack_np, rank_of[CODE_ID[:32]])
     _BP_CACHE[key] = out
     return out
 
@@ -316,7 +317,7 @@ def breakpoints_for_window(cids):
 )
 def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
                 rank0, rank1, rank2, lin0, lin1, lin2, c1tab, pattern,
-                starts, d_len, d_xy,
+                starts, d_pack,
                 pats: tuple, W: int, NBIG: int, NC1: int):
     """Decode big-values + count1 for L independent lanes.
 
@@ -327,8 +328,9 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
                breakpoint set (host maps table id -> rank)
     lin0..2:   [L] per-region linbits; c1tab: [L] count1 table (0/1)
     pattern:   [L] sfb pattern id (kind*16 + sr_idx_my)
-    starts/d_len/d_xy: [R] window breakpoint arrays (runtime data, padded
-               to a static R bucket by breakpoints_for_window)
+    starts/d_pack: [R] window breakpoint arrays (runtime data, padded
+               to a static R bucket by breakpoints_for_window; values
+               pack ln + (xy << 5))
     pats:      static tuple of pattern ids present (sample-rate-dependent,
                so the variant count stays tiny)
     W, NBIG, NC1: static row width / big-value steps / count1 steps
@@ -360,7 +362,9 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
         sh = _u32(pos) & jnp.uint32(31)
         peek = _shift64(a, b, sh) >> jnp.uint32(13)
         key = (_u32(rank) << jnp.uint32(19)) | peek
-        ln, xy = _interval_sum(key.astype(jnp.int32), starts, d_len, d_xy)
+        pk = _interval_sum(key.astype(jnp.int32), starts, d_pack)
+        ln = pk & 31
+        xy = pk >> 5
         x = xy >> 4
         y = xy & 15
         lx = jnp.where(x == 15, linb, 0)
@@ -401,8 +405,7 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
 
     # ---- count1 ----
     c1_starts = jnp.asarray(C1_STARTS)
-    c1_dlen = jnp.asarray(C1_DLEN)
-    c1_dv = jnp.asarray(C1_DV)
+    c1_dpack = jnp.asarray(C1_DPACK)
 
     def c1_step(carry, j):
         pos, stopped = carry
@@ -413,7 +416,9 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
         sh = _u32(pos) & jnp.uint32(31)
         peek = _shift64(a, b, sh) >> jnp.uint32(26)
         key = (c1tab << 6) | peek.astype(jnp.int32)
-        ln, vmask = _interval_sum(key, c1_starts, c1_dlen, c1_dv)
+        pk = _interval_sum(key, c1_starts, c1_dpack)
+        ln = pk & 7
+        vmask = pk >> 3
         newpos = pos + ln
         bit_ok = newpos <= bit_limit
         act = act & bit_ok
@@ -506,7 +511,7 @@ WIN_NORMAL, WIN_START, WIN_SHORT, WIN_STOP = 0, 1, 2, 3
     static_argnames=("pats", "spats", "W", "NBIG", "NC1",
                      "B", "G", "nch"),
 )
-def packed_device_stage(bits, meta16, scfq, starts, d_len, d_xy,
+def packed_device_stage(bits, meta16, scfq, starts, d_pack,
                         pats: tuple, spats: tuple,
                         W: int, NBIG: int, NC1: int,
                         B: int, G: int, nch: int):
@@ -520,7 +525,7 @@ def packed_device_stage(bits, meta16, scfq, starts, d_len, d_xy,
             rank0, rank1, rank2, lin0, lin1, lin2, count1_table, pattern,
             ms_flag, block_type
     scfq:   [L, 40] int16 quarter-exponent gains
-    starts/d_len/d_xy: the window's breakpoint arrays
+    starts/d_pack: the window's breakpoint arrays
             (breakpoints_for_window)
 
     Returns (xq [B, G, nch, 576] f32, aa [B, G, nch] i32,
@@ -532,7 +537,7 @@ def packed_device_stage(bits, meta16, scfq, starts, d_len, d_xy,
      lin0, lin1, lin2, c1tab, pattern, ms, btype) = cols
     q, _err = huff_decode(bits, bit_start, bit_limit, bv, bnd0, bnd1,
                           rank0, rank1, rank2, lin0, lin1, lin2,
-                          c1tab, pattern, starts, d_len, d_xy,
+                          c1tab, pattern, starts, d_pack,
                           pats=pats, W=W, NBIG=NBIG, NC1=NC1)
     xq = dequant(q, scfq, pattern, pats=pats)
     if spats:
@@ -589,7 +594,7 @@ def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0):
     n_ovf = Lb * Wext
     n_meta = L * 8           # 16 int16 columns = 8 u32 per lane
     n_scf = L * 20           # 40 int16 = 20 u32
-    n_bp = R * 3
+    n_bp = R * 2             # (start, packed delta) per breakpoint
     total = n_bits + n_ovf + n_meta + n_scf + n_bp
     return n_bits, n_ovf, n_meta, n_scf, n_bp, total
 
@@ -601,9 +606,11 @@ OVF_BUCKETS = (2048, 8192, 32768)
 
 #: static scan-length buckets: the big-values scan runs max(bv) steps
 #: and count1 the remaining-region steps; windows of typical music need
-#: far fewer than the spec maxima (NBIG=288, NC1=144)
-NBIG_BUCKETS = (96, 160, 224, 288)
-NC1_BUCKETS = (48, 96, 144)
+#: far fewer than the spec maxima (NBIG=288, NC1=144).  Fine granularity:
+#: each step costs ~0.27 ms at L=98304 (measured), so a 32-step bucket
+#: boundary is worth ~8.5 ms/window; the compile cache persists on disk
+NBIG_BUCKETS = (64, 96, 128, 160, 192, 224, 256, 288)
+NC1_BUCKETS = (24, 48, 72, 96, 120, 144)
 
 
 def scan_buckets(bv, tw):
@@ -626,7 +633,8 @@ def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
     Minimizes uploaded words over the static bucket grid."""
     # the overflow plane only needs to reach the window's max bucket,
     # not the absolute LANE_WORDS ceiling
-    wtop = next(w for w in (16, 32, 64, lane_words) if mw_max <= w)
+    wtop = next(w for w in (16, 24, 32, 48, 64, 96, lane_words)
+                if mw_max <= w)
     plans = [(L * wtop, wtop, 0, 0)]
     for ws in (16, 24, 32, 40, 48, 64, 96):
         if mw_max <= ws:
@@ -677,9 +685,9 @@ def packed_window_blob(blob, overlap, shist, n_act,
     ).reshape(L, 40)
     o += n_scf
     bp = jax.lax.bitcast_convert_type(
-        blob[o : o + n_bp].reshape(R, 3, 1), jnp.int32
-    ).reshape(R, 3)
-    starts, d_len, d_xy = bp[:, 0], bp[:, 1], bp[:, 2]
+        blob[o : o + n_bp].reshape(R, 2, 1), jnp.int32
+    ).reshape(R, 2)
+    starts, d_pack = bp[:, 0], bp[:, 1]
     if Lb:
         idx = meta16[:, 15].astype(jnp.int32)
         bits = jnp.concatenate(
@@ -690,7 +698,7 @@ def packed_window_blob(blob, overlap, shist, n_act,
     bits = jnp.concatenate(
         [bits, jnp.zeros((L, 4), blob.dtype)], axis=1)
     xq, aa, wt = packed_device_stage(
-        bits, meta16[:, :15], scfq, starts, d_len, d_xy,
+        bits, meta16[:, :15], scfq, starts, d_pack,
         pats=pats, spats=spats, W=Wb + (Wext if Lb else 0) + 4,
         NBIG=NBIG, NC1=NC1,
         B=B, G=G, nch=nch,

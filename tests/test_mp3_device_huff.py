@@ -84,7 +84,7 @@ def test_fsm_q_bit_exact(rng):
                 break
             pats = tuple(sorted(set(int(p) for p in meta[:, 10])))
             cids = {int(mp3_huff.CODE_ID[t]) for t in meta[:, 6:9].ravel()}
-            starts, d_len, d_xy, rank_of = \
+            starts, d_pack, rank_of = \
                 mp3_huff.breakpoints_for_window(cids)
             ranks = rank_of[meta[:, 6:9]]
             lins = mp3_huff.LINBITS_TAB[meta[:, 6:9]]
@@ -94,7 +94,7 @@ def test_fsm_q_bit_exact(rng):
                 meta[:, 4], meta[:, 5],
                 ranks[:, 0], ranks[:, 1], ranks[:, 2],
                 lins[:, 0], lins[:, 1], lins[:, 2],
-                meta[:, 9], meta[:, 10], starts, d_len, d_xy,
+                meta[:, 9], meta[:, 10], starts, d_pack,
                 pats=pats, W=Wb, NBIG=288, NC1=144)
             q = np.asarray(q)
             for w in range(n):
@@ -195,9 +195,9 @@ def test_bits_plan_cost_model():
     lanew[:100] = 130              # heavy tail: 100 lanes overflow 24
     ws, lb, wext = mp3_huff.bits_plan(lanew, 130, L, LW)
     assert (ws, lb, wext) == (24, 2048, LW - 24)
-    # no tail -> plain bucket
+    # no tail -> plain bucket (the 24-word bucket is the tightest fit)
     ws, lb, wext = mp3_huff.bits_plan(np.full(L, 20, np.int32), 20, L, LW)
-    assert (ws, lb, wext) == (32, 0, 0)
+    assert (ws, lb, wext) == (24, 0, 0)
     # tiny windows: padding is cheaper than an overflow plane
     ws, lb, wext = mp3_huff.bits_plan(
         np.full(64, 130, np.int32), 130, 64, LW)
