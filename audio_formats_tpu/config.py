@@ -76,6 +76,13 @@ class CodecConfig:
     decode_opus: bool = True
     decode_mod: bool = True
     decode_xm: bool = True
+    #: MOD: linear-resampling mix — the reference's one runtime feature
+    #: flag, the AF_LINEAR build option (pocketmod.d:694-700,
+    #: README.md:74-79).  Default off = the distribution's nearest mixing.
+    mod_linear_resampling: bool = False
+    #: XM: linear sample interpolation (libxm.d:50
+    #: XM_LINEAR_INTERPOLATION; the reference distribution ships it off).
+    xm_linear_interpolation: bool = False
 
 
 DEFAULT_CODEC_CONFIG = CodecConfig()

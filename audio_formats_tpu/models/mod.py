@@ -133,6 +133,11 @@ class ModDecoder:
     length_frames = -1  # audiostreamUnknownLength (stream.d:1822)
 
     def __init__(self, src: ByteSource):
+        from ..config import DEFAULT_CODEC_CONFIG
+
+        #: AF_LINEAR parity switch (pocketmod.d:694-700): linear-resampled
+        #: mix instead of nearest; also settable per instance after probe
+        self.linear_resampling = DEFAULT_CODEC_CONFIG.mod_linear_resampling
         data = bytes(src.view())
         self._data = data
         if len(data) >= 1084 and data[1080:1084] in _TAGS:
@@ -465,7 +470,16 @@ class ModDecoder:
             if n > 0:
                 pos = ch.position + ch.increment * np.arange(n)
                 x0 = np.clip(pos.astype(np.int64), 0, len(sdata) - 1)
-                s = sdata[x0]
+                if self.linear_resampling:
+                    # AF_LINEAR (pocketmod.d:694-698): x1 wraps to the
+                    # loop start one sample early
+                    t = pos - x0
+                    x1 = x0 + 1 - (loop_length
+                                   * ((x0 + 1) >= loop_end).astype(np.int64))
+                    x1 = np.clip(x1, 0, len(sdata) - 1)
+                    s = (1.0 - t) * sdata[x0] + t * sdata[x1]
+                else:
+                    s = sdata[x0]
                 out[written : written + n, 0] += level_l * s
                 out[written : written + n, 1] += level_r * s
                 ch.position += ch.increment * n

@@ -185,6 +185,12 @@ class XmDecoder:
     length_frames = -1  # unknown (stream.d:1785)
 
     def __init__(self, src: ByteSource):
+        from ..config import DEFAULT_CODEC_CONFIG
+
+        #: XM_LINEAR_INTERPOLATION parity switch (libxm.d:50): the
+        #: reference distribution ships it OFF; also settable per instance
+        self.linear_interpolation = \
+            DEFAULT_CODEC_CONFIG.xm_linear_interpolation
         self._load(bytes(src.view()))
         self.rate = 44100
         self.max_loop_count = 1  # stream.d:1781
@@ -1029,6 +1035,24 @@ class XmDecoder:
             return 0.0
         a = int(ch.sample_position)
         u = float(smp.data[min(a, n - 1)])
+        if self.linear_interpolation:
+            # libxm.d:2338-2400: v per loop type, from the pre-advance
+            # position; XM_LERP(u, v, t) = u + t*(v - u)
+            t = float(ch.sample_position - a)
+            b = a + 1
+            if smp.loop_type == 0:
+                v = float(smp.data[b]) if b < n else 0.0
+            elif smp.loop_type == 1:
+                bw = smp.loop_start if b == smp.loop_end else b
+                v = float(smp.data[min(bw, n - 1)])
+            elif ch.ping:
+                bw = a if b >= smp.loop_end else b
+                v = float(smp.data[min(bw, n - 1)])
+            else:
+                v = u
+                bw = a if (b == 1 or b - 2 <= smp.loop_start) else b - 2
+                u = float(smp.data[min(bw, n - 1)])
+            u = u + t * (v - u)
         if not peek:
             if smp.loop_type == 0:
                 ch.sample_position += ch.step
@@ -1084,11 +1108,22 @@ class XmDecoder:
             return None
         step = ch.step
         p0 = ch.sample_position
+        linear = self.linear_interpolation
+        if linear and smp.loop_type == 2:
+            # ping-pong + linear: direction-dependent neighbor selection
+            # (libxm.d:2369-2400) — the scalar reference loop handles it
+            return self._chan_segment_scalar(ch, m)
         if smp.loop_type == 0:
             pos = p0 + step * idxs
             valid = pos < n
             gather = np.minimum(pos.astype(np.int64), n - 1)
-            u = np.where(valid, smp.data[np.clip(gather, 0, n - 1)], 0.0)
+            a = np.clip(gather, 0, n - 1)
+            u = smp.data[a].astype(np.float64)
+            if linear:
+                b = a + 1
+                v = np.where(b < n, smp.data[np.clip(b, 0, n - 1)], 0.0)
+                u = u + (pos - a) * (v - u)
+            u = np.where(valid, u, 0.0)
             pend = p0 + step * m
             ch.sample_position = -1.0 if pend >= n else pend
         elif smp.loop_type == 1:
@@ -1100,8 +1135,13 @@ class XmDecoder:
             pos = np.where(
                 wrapped,
                 smp.loop_start + np.mod(pos - smp.loop_start, L), pos)
-            u = smp.data[np.clip(pos.astype(np.int64), 0, n - 1)].astype(
-                np.float64)
+            a = np.clip(pos.astype(np.int64), 0, n - 1)
+            u = smp.data[a].astype(np.float64)
+            if linear:
+                b = a + 1
+                bw = np.where(b == smp.loop_end, smp.loop_start, b)
+                v = smp.data[np.clip(bw, 0, n - 1)].astype(np.float64)
+                u = u + (pos - a) * (v - u)
             pend = p0 + step * m
             while pend >= smp.loop_end:
                 pend -= L

@@ -131,3 +131,36 @@ def test_tell_position_tracks_module_playback():
     assert s.tell_position() == 0
     c = s.read_samples_float(64)
     assert s.tell_position() == len(c)
+
+
+def test_af_linear_resampling_switch():
+    """AF_LINEAR parity (pocketmod.d:694-700): nearest by default; the
+    linear mix must equal a direct lerp of the sample data at the mixer's
+    positions and differ from nearest on fractional increments."""
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu.models.mod import ModDecoder
+
+    pat = mod_ref.empty_pattern()
+    pat[0][0] = mod_ref.cell(sample=1, period=428, effect=0, param=0)
+    data = mod_ref.build_mod(
+        [pat], [0], [(mod_ref.saw_sample(64), 64, 0, 0, 64)])
+
+    d0 = ModDecoder(MemorySource(data))
+    assert d0.linear_resampling is False
+    out_nearest = d0.read(8000)
+
+    d1 = ModDecoder(MemorySource(data))
+    d1.linear_resampling = True
+    out_lin = d1.read(8000)
+    assert out_lin.shape == out_nearest.shape
+    assert np.abs(out_lin - out_nearest).max() > 1e-6
+
+    from audio_formats_tpu.config import DEFAULT_CODEC_CONFIG
+    DEFAULT_CODEC_CONFIG.mod_linear_resampling = True
+    try:
+        d2 = ModDecoder(MemorySource(data))
+        assert d2.linear_resampling is True
+        out2 = d2.read(8000)
+        np.testing.assert_array_equal(out2, out_lin)
+    finally:
+        DEFAULT_CODEC_CONFIG.mod_linear_resampling = False

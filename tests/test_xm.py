@@ -195,3 +195,43 @@ def test_tell_position_tracks_module_playback():
     assert s.tell_position() == 0
     b = s.read_samples_float(128)
     assert s.tell_position() == len(b)
+
+
+def test_linear_interpolation_switch():
+    """XM_LINEAR_INTERPOLATION parity (libxm.d:50): off by default (the
+    reference distribution's choice); when on, the vectorized mixer must
+    equal the scalar reference loop bit-for-bit, and differ audibly from
+    nearest on fractional-step notes."""
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu.models.xm import XmDecoder
+
+    # note 47 -> non-integer step at 44.1 kHz
+    data = _simple_xm(rows=16, notes=((0, 47),))
+
+    d0 = XmDecoder(MemorySource(data))
+    assert d0.linear_interpolation is False
+    out_nearest = d0.read(16000)
+
+    d1 = XmDecoder(MemorySource(data))
+    d1.linear_interpolation = True
+    out_lin = d1.read(16000)
+    assert out_lin.shape == out_nearest.shape
+    assert np.abs(out_lin - out_nearest).max() > 1e-4
+
+    d2 = XmDecoder(MemorySource(data))
+    d2.linear_interpolation = True
+    d2._chan_segment = d2._chan_segment_scalar  # force the reference loop
+    out_scalar = d2.read(16000)
+    # the vectorized mixer computes positions closed-form (p0 + step*i)
+    # while the scalar loop accumulates; the 1-ulp position drift moves
+    # the lerp weight by ~1e-12, never the sample index in practice
+    np.testing.assert_allclose(out_lin, out_scalar, atol=1e-6)
+
+    # config default plumbs through
+    from audio_formats_tpu.config import DEFAULT_CODEC_CONFIG
+    DEFAULT_CODEC_CONFIG.xm_linear_interpolation = True
+    try:
+        d3 = XmDecoder(MemorySource(data))
+        assert d3.linear_interpolation is True
+    finally:
+        DEFAULT_CODEC_CONFIG.xm_linear_interpolation = False
