@@ -114,9 +114,14 @@ def get_lib():
             i8p, ctypes.c_int64, ctypes.c_int64, i8p, ctypes.c_int32,
             ctypes.c_int32,
             i8p, i32p, i32p,
-            u32p, i32p, i32p, i16p, i32p, i32p, i8p, i64p_,
+            u32p, i32p, i32p, i16p, i16p, i32p, i32p, i8p, i64p_,
         ]
         lib.af_mp3_parse_window_packed.restype = ctypes.c_int
+        lib.af_flac_sync_index.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64p,
+            i64p, i64p, i32p, i32p, i32p]
+        lib.af_flac_sync_index.restype = ctypes.c_int
         lib.af_flac_widths.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
                                        i32p, i32p]
         lib.af_flac_widths.restype = ctypes.c_int
@@ -612,15 +617,18 @@ LANE_WORDS = 132  # af_host.cc AF_MP3_LANE_WORDS
 
 def mp3_parse_window_packed(lib, view, off: int, hdr0: bytes, W: int,
                             ngr: int, nch: int, state, bits, meta, scfq,
-                            aa, wt, flags, free_format_bytes: int = 0):
+                            aa, wt, flags, free_format_bytes: int = 0,
+                            ist=None):
     """Packed (device-Huffman) window parse: one C call per (stream,
     window) emits per-lane Huffman bit ROWS (big-endian uint32, stride
     LANE_WORDS) + FSM side info + int16 quarter-exponent scalefactors.
 
     bits [W*ngr*nch, LANE_WORDS] u32, meta [W*ngr*nch, 16] i32 (zeroed by
     the caller), scfq [W*ngr*nch, 40] i16, aa [W*ngr, nch] i32,
-    wt [W*ngr, nch, 32] i32, flags u8[W].
-    Returns (frames_consumed, new_off, max_words, intensity_stop).
+    wt [W*ngr, nch, 32] i32, flags u8[W], ist (optional, stereo) per-
+    granule right-channel intensity positions [W*ngr, 40] i16 for the
+    device pan mix (minimp3.d:963).
+    Returns (frames_consumed, new_off, max_words, has_intensity).
     """
     reserv_buf, reserv_len, ist_pos = state
     ptr, nbytes, _keep = _buf_ptr(view)
@@ -637,11 +645,37 @@ def mp3_parse_window_packed(lib, view, off: int, hdr0: bytes, W: int,
         max_words.ctypes.data_as(_I32P),
         meta.ctypes.data_as(_I32P),
         scfq.ctypes.data_as(_I16P),
+        ist.ctypes.data_as(_I16P) if ist is not None
+        else ctypes.cast(None, _I16P),
         aa.ctypes.data_as(_I32P), wt.ctypes.data_as(_I32P),
         flags.ctypes.data_as(_I8P), ctypes.byref(new_off),
     )
-    intensity_stop = n < W and bool(flags[n] & 4)
-    return n, new_off.value, int(max_words[0]), intensity_stop
+    has_ist = bool(np.any(flags[:max(0, n)] & 4))
+    return n, new_off.value, int(max_words[0]), has_ist
+
+
+def flac_sync_index(lib, view, off: int, streaminfo_bps: int,
+                    channels: int, max_block: int, max_frames: int,
+                    state):
+    """Byte-level FLAC frame index (af_flac_sync_index): header-validated
+    frame offsets WITHOUT walking the Rice residuals — the host side of
+    the device-Rice mode.  state: int64[3] (expected number, sample-
+    numbering flag, resume byte); frame 0 passes state[0] = -1.
+    Returns (n, offs, data_bits, bs, ca, bps) arrays of length n."""
+    ptr, nbytes, _keep = _buf_ptr(view)
+    offs = np.empty(max_frames, np.int64)
+    data_bits = np.empty(max_frames, np.int64)
+    bs = np.empty(max_frames, np.int32)
+    ca = np.empty(max_frames, np.int32)
+    bps = np.empty(max_frames, np.int32)
+    _I64P = ctypes.POINTER(ctypes.c_int64)
+    n = lib.af_flac_sync_index(
+        ptr, nbytes, off, streaminfo_bps, channels, max_block, max_frames,
+        state.ctypes.data_as(_I64P),
+        offs.ctypes.data_as(_I64P), data_bits.ctypes.data_as(_I64P),
+        bs.ctypes.data_as(_I32P), ca.ctypes.data_as(_I32P),
+        bps.ctypes.data_as(_I32P))
+    return n, offs[:n], data_bits[:n], bs[:n], ca[:n], bps[:n]
 
 
 def mp3_index(lib, view, hdr0: bytes, free_format_bytes: int, layer: int,

@@ -282,6 +282,156 @@ int af_flac_pack(const int32_t* res, int32_t L, int32_t n,
   return 0;
 }
 
+// ---- byte-level frame sync index (device-Rice mode) -----------------------
+// Finds frame start offsets WITHOUT walking the Rice residuals: candidate
+// positions must pass the 2-byte sync check, full header field validation,
+// the header CRC-8, and — decisively — carry the exactly-expected frame or
+// sample number (UTF-8 field), which no false sync can fake.  The device
+// FSM (ops/flac_rice.py) then decodes each frame as an independent lane;
+// its end positions chain-check against this index downstream.
+static uint8_t g_crc8[256];
+static int g_crc8_ready = 0;
+
+static void crc8_build(void) {
+  for (int i = 0; i < 256; i++) {
+    uint8_t c = (uint8_t)i;
+    for (int j = 0; j < 8; j++)
+      c = (uint8_t)((c & 0x80) ? (c << 1) ^ 0x07 : (c << 1));
+    g_crc8[i] = c;
+  }
+  g_crc8_ready = 1;
+}
+
+// Parses + validates one frame header at byte `off`.  Returns header size
+// in BYTES (>0) on success and fills out fields; 0 on mismatch.
+static int flac_header_at(const uint8_t* d, int64_t off, int64_t nbytes,
+                          int streaminfo_bps, int expect_ch,
+                          int max_block, int64_t expect_num,
+                          int* bs_out, int* ca_out, int* bps_out,
+                          int64_t* num_out, int* fixed_bs_out) {
+  if (off + 6 > nbytes) return 0;
+  const uint8_t* h = d + off;
+  if (h[0] != 0xFF || (h[1] & 0xFC) != 0xF8) return 0;
+  int fixed_bs = !(h[1] & 1);
+  int bs_code = h[2] >> 4;
+  int sr_code = h[2] & 15;
+  int ca = h[3] >> 4;
+  int bps_code = (h[3] >> 1) & 7;
+  if (h[3] & 1) return 0;
+  if (bs_code == 0 || sr_code == 15 || ca > 10) return 0;
+  static const int bps_table[8] = {0, 8, 12, -1, 16, 20, 24, -1};
+  int bps = bps_table[bps_code];
+  if (bps == -1) return 0;
+  if (bps == 0) bps = streaminfo_bps;
+  int nch = ca <= 7 ? ca + 1 : 2;
+  if (nch != expect_ch) return 0;
+  int p = 4;
+  // UTF-8 number
+  int64_t num = 0;
+  {
+    uint32_t first = h[p++];
+    if (first < 0x80) num = first;
+    else {
+      int n = 0;
+      uint32_t mask = 0x40;
+      while (first & mask) { n++; mask >>= 1; }
+      if (n == 0 || n > 6) return 0;
+      num = first & (mask - 1);
+      if (off + p + n + 1 > nbytes) return 0;
+      for (int i = 0; i < n; i++) {
+        uint32_t cc = h[p++];
+        if ((cc & 0xC0) != 0x80) return 0;
+        num = (num << 6) | (cc & 0x3F);
+      }
+    }
+  }
+  int blocksize;
+  if (bs_code == 1) blocksize = 192;
+  else if (bs_code >= 2 && bs_code <= 5) blocksize = 576 << (bs_code - 2);
+  else if (bs_code == 6) {
+    if (off + p + 1 > nbytes) return 0;
+    blocksize = h[p++] + 1;
+  } else if (bs_code == 7) {
+    if (off + p + 2 > nbytes) return 0;
+    blocksize = ((h[p] << 8) | h[p + 1]) + 1;
+    p += 2;
+  } else blocksize = 256 << (bs_code - 8);
+  if (blocksize > max_block) return 0;
+  if (sr_code == 12) p += 1;
+  else if (sr_code == 13 || sr_code == 14) p += 2;
+  if (off + p + 1 > nbytes) return 0;
+  if (!g_crc8_ready) crc8_build();
+  uint8_t crc = 0;
+  for (int i = 0; i < p; i++) crc = g_crc8[crc ^ h[i]];
+  if (crc != h[p]) return 0;
+  p += 1;
+  if (expect_num >= 0 && num != expect_num) return 0;
+  *bs_out = blocksize;
+  *ca_out = ca;
+  *bps_out = bps;
+  *num_out = num;
+  *fixed_bs_out = fixed_bs;
+  return p;
+}
+
+// Scan up to max_frames frame headers from byte `off`.  state[0] = next
+// expected number (frame # or first sample #; -1 = accept any, then
+// lock), state[1] = 1 once variable-blocksize (sample numbering) is
+// known.  Per frame: offs (byte), data_bits (absolute bit of subframe
+// 0), bs, ca, bps.  Returns frames found; state[2] = next search byte.
+int af_flac_sync_index(
+    const uint8_t* data, int64_t nbytes, int64_t off,
+    int32_t streaminfo_bps, int32_t expect_ch, int32_t max_block,
+    int32_t max_frames, int64_t* state,
+    int64_t* offs, int64_t* data_bits, int32_t* bs_arr, int32_t* ca_arr,
+    int32_t* bps_arr) {
+  int64_t expect = state[0];
+  int n = 0;
+  while (n < max_frames && off + 16 <= nbytes) {
+    int bs, ca, bps, fixed_bs;
+    int64_t num;
+    int hl = flac_header_at(data, off, nbytes, streaminfo_bps, expect_ch,
+                            max_block, expect, &bs, &ca, &bps, &num,
+                            &fixed_bs);
+    if (hl <= 0) {
+      // resync: search forward for the next candidate
+      int64_t q = off + 1;
+      int found = 0;
+      while (q + 16 <= nbytes) {
+        if (data[q] == 0xFF && (data[q + 1] & 0xFC) == 0xF8) {
+          hl = flac_header_at(data, q, nbytes, streaminfo_bps, expect_ch,
+                              max_block, expect, &bs, &ca, &bps, &num,
+                              &fixed_bs);
+          if (hl > 0) { off = q; found = 1; break; }
+        }
+        q++;
+      }
+      if (!found) break;
+    }
+    offs[n] = off;
+    data_bits[n] = off * 8 + (int64_t)hl * 8;
+    bs_arr[n] = bs;
+    ca_arr[n] = ca;
+    bps_arr[n] = bps;
+    n++;
+    expect = fixed_bs ? num + 1 : num + bs;
+    state[1] = fixed_bs ? 0 : 1;
+    // jump past the minimum possible frame body (subframe headers +
+    // constant subframes can be tiny; be conservative)
+    off += hl + 2;
+    // search for the next header from here
+    while (off + 16 <= nbytes &&
+           !(data[off] == 0xFF && (data[off + 1] & 0xFC) == 0xF8 &&
+             flac_header_at(data, off, nbytes, streaminfo_bps, expect_ch,
+                            max_block, expect, &bs, &ca, &bps, &num,
+                            &fixed_bs) > 0))
+      off++;
+  }
+  state[0] = expect;
+  state[2] = off;
+  return n;
+}
+
 int af_flac_parse_frame(
     const uint8_t* data, int64_t nbytes, int64_t start_bits,
     int32_t streaminfo_bps, int32_t expect_channels,
@@ -1193,6 +1343,7 @@ int af_mp3_parse_window_packed(
     int32_t* max_words /* [1] out: max span over lanes this call */,
     int32_t* meta_out /* [W*ngr*nch, 16] */,
     int16_t* scf_out /* [W*ngr*nch, 40] quarter-exponents */,
+    int16_t* ist_out /* [W*ngr, 40] right-ch ist positions, NULL ok */,
     int32_t* aa_out /* [W, ngr, nch] */,
     int32_t* wt_out /* [W, ngr, nch, 32] */,
     uint8_t* flags /* [W] */, int64_t* new_off) {
@@ -1211,11 +1362,11 @@ int af_mp3_parse_window_packed(
     const uint8_t* h = data + off;
     if (!hdr_compare(hdr0, h)) break;
     if (nch == 2 && (h[3] & 0x10)) {
-      // intensity-stereo frame: its mix depends on decoded right-channel
-      // content; stop BEFORE it (not consumed) and flag so the scheduler
-      // demotes this stream to the classic host-Huffman path
+      // intensity-stereo frame: decoded on the device via the two-phase
+      // window (spectra first, then the per-band pan mix built from the
+      // right channel's ist positions + content extent — minimp3.d:963);
+      // the flag tells the scheduler to ship the ist plane this window
       flags[w] |= 4;
-      break;
     }
     int fb = hdr_frame_bytes(h, free_format_bytes) + hdr_padding(h);
     if (fb <= 4 || off + fb > nbytes) break;
@@ -1288,7 +1439,15 @@ int af_mp3_parse_window_packed(
           // collapsed table index cannot distinguish
           int kind = gr->n_short_sfb ? (gr->n_long_sfb ? 2 : 1) : 0;
           m[10] = kind * 16 + sr_idx_my;
-          m[11] = ((h[3] & 0xE0) == 0x60) ? 1 : 0;  // mid/side this frame
+          // stereo-mode bits: 0 mid/side ((h3&0xE0)==0x60), 1 intensity
+          // header bit, 2 raw ms bit (h3&0x20: the ist branch's sqrt2
+          // scale tests this, minimp3.d:977), 3 right-granule
+          // scalefac_compress parity (MPEG-2 pan shift)
+          m[11] = (((h[3] & 0xE0) == 0x60) ? 1 : 0) |
+                  ((nch == 2 && (h[3] & 0x10)) ? 2 : 0) |
+                  ((h[3] & 0x20) ? 4 : 0) |
+                  ((nch == 2 && (grs[g * nch + 1].scalefac_compress & 1))
+                       ? 8 : 0);
           m[12] = gr->block_type;  // device builds wtype/aa from this
           for (int i = 13; i < 16; i++) m[i] = 0;
           // aa / window types (same as the classic path)
@@ -1307,6 +1466,13 @@ int af_mp3_parse_window_packed(
             for (int i = 0; i < 32; i++) wd[i] = wt;
           }
           br_pos = limit;
+        }
+        if (nch == 2 && ist_out) {
+          // post-right-scalefactor snapshot of the persistent intensity
+          // positions (the classic path's ist_snapshot, one per granule)
+          int16_t* dst = ist_out + ((int64_t)w * ngr + g) * 40;
+          const int32_t* sp = ist_pos + 40;
+          for (int i = 0; i < 40; i++) dst[i] = (int16_t)sp[i];
         }
       }
       if (success) flags[w] |= 1;

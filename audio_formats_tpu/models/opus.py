@@ -466,6 +466,27 @@ class OpusStreamDecoder:
         return fl
 
     def decode_packet(self, pk) -> np.ndarray:
+        """Single-stream driver: answer each CELT synthesis request from
+        decode_packet_gen with the host IMDCT (CeltDecoder.synthesize).
+        The batch scheduler drives the same generator but batches the
+        requests across lanes (parallel/batch.py
+        _decode_opus_mixed_group), so the two paths cannot diverge on
+        mode-transition logic."""
+        gen = self.decode_packet_gen(pk)
+        val = None
+        while True:
+            try:
+                cd, params = gen.send(val)
+            except StopIteration as e:
+                return e.value
+            val = cd.synthesize(params)
+
+    def decode_packet_gen(self, pk):
+        """Generator form of the packet decode: yields ``(celt_decoder,
+        params)`` for every full CELT frame synthesis and receives the
+        synthesized PCM back via ``send``; everything else (SILK
+        synthesis, resampler flushes, redundancy crossfades, hybrid delay
+        FIFO — dopus.d:6280-6553) runs inline on this stream's state."""
         out = []
         if pk["mode"] == "celt" and self._silk_rs is not None:
             fl = self._flush_silk_resampler()
@@ -485,8 +506,9 @@ class OpusStreamDecoder:
                 coded = 2 if pk["stereo"] else 1
                 if self._silk is not None:
                     self._silk.flush()  # mode switch (dopus.d:6396)
-                pcm = self._celt.decode_frame(
-                    rd, coded, n, 0, endband).astype(np.float32)
+                params = self._celt.decode_frame_symbols(
+                    rd, coded, n, 0, endband)
+                pcm = (yield (self._celt, params)).astype(np.float32)
                 if self._celt_hyb_delay.shape[0]:
                     # spurious hybrid delay samples: drained (dopus.d:6439)
                     self._celt_hyb_delay = self._celt_hyb_delay[:0]
@@ -494,7 +516,7 @@ class OpusStreamDecoder:
                 out.append(pcm)
                 continue
             if pk["mode"] in ("silk", "hybrid"):
-                pcm = self._decode_silk_frame(pk, frame)
+                pcm = yield from self._decode_silk_frame_gen(pk, frame)
                 out.append(pcm.astype(np.float32))
                 continue
             raise AudioFormatError(
@@ -503,7 +525,7 @@ class OpusStreamDecoder:
         return np.concatenate(out) if out else \
             np.zeros((0, self.channels), np.float32)
 
-    def _decode_silk_frame(self, pk, frame: bytes) -> np.ndarray:
+    def _decode_silk_frame_gen(self, pk, frame: bytes):
         from .silk import SilkDecoder
 
         hybrid = pk["mode"] == "hybrid"
@@ -596,9 +618,9 @@ class OpusStreamDecoder:
                     self._celt.flush()
                     red = self._decode_red_frame(frame[size:], coded, bw)
             endband = 19 if pk["config"] < 14 else 21
-            celt_pcm = self._celt.decode_frame(
-                rd, coded, pk["frame_size"], 17, endband
-            ).astype(np.float32)
+            params = self._celt.decode_frame_symbols(
+                rd, coded, pk["frame_size"], 17, endband)
+            celt_pcm = (yield (self._celt, params)).astype(np.float32)
             # CELT delay FIFO (dopus.d:6424-6466): the CELT layer is
             # re-aligned to the (resampler-delayed) SILK timeline — only
             # the first len(pcm) samples add now, the tail carries over

@@ -1,0 +1,362 @@
+"""Device-side FLAC frame entropy: subframe headers + partitioned-Rice
+residual decode as a vectorized multi-lane FSM.
+
+This is the wire-optimal FLAC path: the host ships RAW FRAME BYTES (the
+compressed stream itself — h2d inflation == 1.0) plus a tiny per-frame
+header index from the byte-level sync scan (host/src/af_host.cc
+af_flac_sync_index); everything bit-granular — subframe headers, LPC
+coefficients, warm-up samples, Rice partitions (drflac.d:1149-1242's hot
+loop) — decodes on the accelerator.  Output feeds the existing device
+LPC/stereo stages (ops/lpc.py) unchanged.
+
+Design notes (TPU):
+ * Lanes are FRAMES; channels decode as sequential phases inside the
+   lane (subframe 1's position depends on subframe 0's length), each an
+   independent sample-synchronous ``lax.scan`` — step s emits residual
+   sample s for every lane, so outputs land at the scan's step index and
+   no scatter ever happens (the same emission scheme as the MP3 FSM,
+   ops/mp3_huff.huff_decode).
+ * Frame rows are ~2 K words, far too wide for the MP3 FSM's O(W)
+   compare-select window.  The bit cursor is monotone, so the scan
+   rebases every K samples: one cheap ROW gather pulls two aligned
+   64-word blocks around each lane's cursor into a [L, 128] buffer and
+   the K-sample inner body runs compare-select windows on that.
+ * Everything is masked arithmetic — no data-dependent control flow;
+   corrupt lanes raise a sticky per-lane ``err`` flag and the scheduler
+   demotes only those lanes to the host path (SURVEY §5 error lattice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: fixed predictor coefficients (af_host.cc kFixedCoef)
+_FIXED_COEF = np.array(
+    [[0, 0, 0, 0], [1, 0, 0, 0], [2, -1, 0, 0], [3, -3, 1, 0],
+     [4, -6, 4, -1]], np.int32)
+
+#: words per gather block; two blocks = 4096-bit working window
+BLK_W = 64
+BLK_BITS = BLK_W * 32
+#: samples decoded per rebase; worst-case sample cost is
+#: crossing(10) + unary(<=64) + 1 + remainder(<=32) ~ 107 bits, so
+#: 16 x 107 = 1712 < BLK_BITS keeps the window valid for a whole body
+K_SAMP = 16
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _sel3(buf, w0):
+    """Words w0, w0+1, w0+2 of each lane's buffer (compare+select)."""
+    W = buf.shape[1]
+    d = jnp.arange(W, dtype=jnp.int32)[None, :] - w0[:, None]
+    z = jnp.uint32(0)
+    a = jnp.sum(jnp.where(d == 0, buf, z), axis=1, dtype=jnp.uint32)
+    b = jnp.sum(jnp.where(d == 1, buf, z), axis=1, dtype=jnp.uint32)
+    c = jnp.sum(jnp.where(d == 2, buf, z), axis=1, dtype=jnp.uint32)
+    return a, b, c
+
+
+def _shift64(a, b, o):
+    return (a << o) | ((b >> (31 - o)) >> 1)
+
+
+def _extract32(a, b, c, o, width):
+    """bits [o, o+width) of the 96-bit window a‖b‖c; width in [0, 32]."""
+    zero = jnp.zeros_like(a)
+    for _ in range(2):
+        big = o >= 32
+        a, b, c = (jnp.where(big, b, a), jnp.where(big, c, b),
+                   jnp.where(big, zero, c))
+        o = o - jnp.where(big, 32, 0)
+    hi = _shift64(a, b, _u32(o))
+    w = width if isinstance(width, jnp.ndarray) else jnp.int32(width)
+    w = _u32(w)
+    val = hi >> ((jnp.uint32(32) - w) & jnp.uint32(31))
+    return jnp.where(w > 0, val, jnp.uint32(0))
+
+
+def _sext(v, n):
+    """Sign-extend the n-bit value v (u32), n in [0, 32] -> i32."""
+    n = jnp.asarray(n, jnp.int32)
+    s = jnp.where(n > 0, jnp.uint32(1) << (_u32(n - 1) & jnp.uint32(31)),
+                  jnp.uint32(0))
+    return ((v ^ s) - s).astype(jnp.int32)
+
+
+def _clz_window(a, b, c, o):
+    """Unary run (count of 0-bits before the first 1) at bit offset o of
+    the 96-bit window; q in [0, 63], flag q64 if no 1 in 64 bits."""
+    zero = jnp.zeros_like(a)
+    for _ in range(2):
+        big = o >= 32
+        a, b, c = (jnp.where(big, b, a), jnp.where(big, c, b),
+                   jnp.where(big, zero, c))
+        o = o - jnp.where(big, 32, 0)
+    w1 = _shift64(a, b, _u32(o))
+    w2 = _shift64(b, c, _u32(o))
+    q1 = jax.lax.clz(w1)
+    q2 = jax.lax.clz(w2)
+    q = jnp.where(w1 != 0, q1.astype(jnp.int32),
+                  32 + q2.astype(jnp.int32))
+    q64 = (w1 == 0) & (w2 == 0)
+    return jnp.where(q64, 63, q), q64
+
+
+def _read(buf, pos, width):
+    """bits [pos, pos+width) of the lane buffer (width <= 32)."""
+    a, b, c = _sel3(buf, pos >> 5)
+    return _extract32(a, b, c, pos & 31, width)
+
+
+def _gather_window(blocks, lane_base, pos, nblk_row):
+    """[L, 2*BLK_W] working window: the two aligned BLK_W-word blocks
+    around each lane's bit cursor, via ROW gathers of the reshaped
+    [L*nblk_row, BLK_W] block matrix."""
+    blk = jnp.clip(pos >> jnp.int32(11), 0, nblk_row - 2)
+    idx = lane_base + blk
+    w1 = jnp.take(blocks, idx, axis=0)
+    w2 = jnp.take(blocks, idx + 1, axis=0)
+    return jnp.concatenate([w1, w2], axis=1), blk << jnp.int32(11)
+
+
+def _roll_right(x, amount, nbits):
+    """Per-lane right-roll by a dynamic amount via binary decomposition
+    (jnp.roll per bit — the scatter-free dynamic shift)."""
+    n = x.shape[1]
+    for k in range(nbits):
+        step = 1 << k
+        if step >= n:
+            break
+        x = jnp.where(((amount >> k) & 1)[:, None] == 1,
+                      jnp.roll(x, step, axis=1), x)
+    return x
+
+
+def build_frame_rows(view, offs, nbytes_each, NBLK_ROW: int):
+    """Host helper: [L, NBLK_ROW*BLK_W] u32 BE rows from raw frame bytes
+    (one frame per row, starting at its byte offset; the last block of
+    every row stays zero as the FSM's overrun guard)."""
+    L = len(offs)
+    rows = np.zeros((L, NBLK_ROW * BLK_W), np.uint32)
+    mv = memoryview(view)
+    for i, (o, nb) in enumerate(zip(offs, nbytes_each)):
+        nb = min(nb, (NBLK_ROW - 1) * BLK_W * 4)
+        raw = bytes(mv[o : o + nb])
+        pad = (-len(raw)) % 4
+        if pad:
+            raw += b"\0" * pad
+        rows[i, : len(raw) // 4] = np.frombuffer(raw, ">u4")
+    return rows.reshape(L * NBLK_ROW, BLK_W)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "NSAMP", "nch", "NBLK_ROW"))
+def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
+                       L: int, NSAMP: int, nch: int, NBLK_ROW: int):
+    """Decode subframe headers + residuals for L frame lanes.
+
+    blocks:     [L*NBLK_ROW, BLK_W] u32 BE words — each lane's raw frame
+                bytes (from the frame start), zero-padded; the LAST block
+                of every row must be zeros (window overrun guard).
+    start_bits: [L] bit offset of subframe 0 (after the frame header).
+    bs:         [L] block size; bps0: [L] frame sample bits; chass: [L]
+                channel assignment (af_flac_parse_frame meta[1]).
+
+    Returns dict with residual [L, nch, NSAMP] i32 (warm-ups in
+    [0, order) as af_flac_parse_frame), coeffs [L, nch, 32], order,
+    shift, wasted, sub_bps [L, nch] i32, err [L] bool, end_bits [L] i32
+    (cursor after the last subframe, pre byte-align).
+    """
+    lane_base = jnp.arange(L, dtype=jnp.int32) * NBLK_ROW
+    pos = start_bits.astype(jnp.int32)
+    err = jnp.zeros(L, bool)
+    zero = jnp.zeros(L, jnp.int32)
+
+    residuals = []
+    coeffs_out = []
+    order_out = []
+    shift_out = []
+    wasted_out = []
+    bps_out = []
+
+    max_pos = jnp.int32((NBLK_ROW - 1) * BLK_BITS - 64)
+
+    for ci in range(nch):
+        # ---------------- subframe header phase (one window gather) ----
+        buf, base = _gather_window(blocks, lane_base, pos, NBLK_ROW)
+        lp = pos - base                       # local bit cursor
+
+        sub_bps = bps0 + jnp.where(
+            ((chass == 8) | (chass == 10)) & (ci == 1), 1,
+            jnp.where((chass == 9) & (ci == 0), 1, 0))
+        hdr = _read(buf, lp, 8).astype(jnp.int32)
+        lp = lp + 8
+        err = err | ((hdr & 0x80) != 0)   # pad bit must be zero
+        t = (hdr & 0x7E) >> 1
+        # wasted bits: unary(+1) when the flag bit is set
+        a, b, c = _sel3(buf, lp >> 5)
+        uq, q64 = _clz_window(a, b, c, lp & 31)
+        has_w = (hdr & 1) == 1
+        wasted = jnp.where(has_w, uq + 1, 0)
+        err = err | (has_w & q64)
+        lp = lp + jnp.where(has_w, uq + 1, 0)
+        err = err | (wasted >= sub_bps)
+        sub_bps = jnp.maximum(sub_bps - wasted, 1)
+
+        is_const = t == 0
+        is_verb = t == 1
+        is_lpc = (t & 0x20) != 0
+        is_fixed = ((t & 0x08) != 0) & ~is_lpc
+        err = err | (~(is_const | is_verb | is_lpc | is_fixed))
+        order = jnp.where(is_lpc, (t & 0x1F) + 1,
+                          jnp.where(is_fixed, t & 0x07, 0))
+        err = err | (is_fixed & (order > 4))
+
+        # constant: one value
+        cval = _sext(_read(buf, lp, sub_bps), sub_bps)
+        lp = lp + jnp.where(is_const, sub_bps, 0)
+
+        # warm-up samples (fixed/lpc; order <= 32) — static unroll
+        warm = jnp.zeros((L, 32), jnp.int32)
+        need_warm = is_lpc | is_fixed
+        for i in range(32):
+            take = need_warm & (i < order)
+            v = _sext(_read(buf, lp, sub_bps), sub_bps)
+            warm = warm.at[:, i].set(jnp.where(take, v, warm[:, i]))
+            lp = lp + jnp.where(take, sub_bps, 0)
+
+        # LPC precision/shift/coeffs
+        prec = _read(buf, lp, 4).astype(jnp.int32)
+        err = err | (is_lpc & (prec == 15))
+        prec = prec + 1
+        lp = lp + jnp.where(is_lpc, 4, 0)
+        shv = _sext(_read(buf, lp, 5), 5)
+        shv = jnp.maximum(shv, 0)
+        lp = lp + jnp.where(is_lpc, 5, 0)
+        cf = jnp.zeros((L, 32), jnp.int32)
+        for j in range(32):
+            take = is_lpc & (j < order)
+            v = _sext(_read(buf, lp, prec), prec)
+            cf = cf.at[:, j].set(jnp.where(take, v, cf[:, j]))
+            lp = lp + jnp.where(take, prec, 0)
+        fixed_cf = jnp.take(
+            jnp.asarray(_FIXED_COEF), jnp.clip(order, 0, 4), axis=0)
+        cf = jnp.where(is_fixed[:, None],
+                       jnp.pad(fixed_cf, ((0, 0), (0, 28))), cf)
+        shv = jnp.where(is_lpc, shv, 0)
+
+        # residual coding method + partition order + first parameter
+        has_res = is_lpc | is_fixed
+        method = _read(buf, lp, 2).astype(jnp.int32)
+        err = err | (has_res & (method > 1))
+        lp = lp + jnp.where(has_res, 2, 0)
+        pbits = jnp.where(method == 0, 4, 5)
+        escape = (jnp.int32(1) << pbits) - 1
+        po = _read(buf, lp, 4).astype(jnp.int32)
+        lp = lp + jnp.where(has_res, 4, 0)
+        base_n = bs >> po
+        cnt0 = base_n - order
+        err = err | (has_res & (cnt0 < 0))
+        # first partition parameter
+        pr = _read(buf, lp, pbits).astype(jnp.int32)
+        lp = lp + jnp.where(has_res, pbits, 0)
+        esc0 = has_res & (pr == escape)
+        nb0 = _read(buf, lp, 5).astype(jnp.int32)
+        lp = lp + jnp.where(esc0, 5, 0)
+
+        # verbatim rides the scan as one raw-mode pseudo-partition
+        mode = jnp.where(is_verb | esc0, 1, 0)       # 1 = raw n-bit
+        kpar = jnp.where(is_verb, sub_bps, jnp.where(esc0, nb0, pr))
+        cnt = jnp.where(is_verb, bs, cnt0)
+        wcount = jnp.where(has_res, order, 0)        # scan sample offset
+        n_scan = jnp.where(is_const | err, 0,
+                           jnp.where(is_verb, bs, bs - order))
+        pbits_l = jnp.where(has_res, pbits, 0)       # 0: no crossings
+
+        pos = base + lp
+
+        # ---------------- residual scan (K_SAMP per rebase) -----------
+        nblk = -(-NSAMP // K_SAMP)
+
+        def body(carry, s0):
+            pos, mode, kpar, cnt, err = carry
+            posc = jnp.clip(pos, 0, max_pos)
+            buf, base = _gather_window(blocks, lane_base, posc, NBLK_ROW)
+            lp = posc - base
+            outs = []
+            for j in range(K_SAMP):
+                s = s0 * K_SAMP + j
+                act = (s < n_scan) & ~err
+                # partition crossing (count exhausted)
+                cross = act & (cnt == 0) & (pbits_l > 0)
+                pr = _read(buf, lp, pbits_l).astype(jnp.int32)
+                lp = lp + jnp.where(cross, pbits_l, 0)
+                esc = cross & (pr == escape)
+                nb = _read(buf, lp, 5).astype(jnp.int32)
+                lp = lp + jnp.where(esc, 5, 0)
+                mode = jnp.where(cross, jnp.where(esc, 1, 0), mode)
+                kpar = jnp.where(cross, jnp.where(esc, nb, pr), kpar)
+                cnt = jnp.where(cross, base_n, cnt)
+                # rice: unary + k remainder; raw: n-bit signed
+                a, b, c = _sel3(buf, lp >> 5)
+                sh = lp & 31
+                q, q64 = _clz_window(a, b, c, sh)
+                err = err | (act & (mode == 0) & q64)
+                rice_off = lp + q + 1
+                rem = _read(buf, rice_off, kpar)
+                u = (_u32(q) << (_u32(kpar) & jnp.uint32(31))
+                     ) | jnp.where(kpar > 0, rem, jnp.uint32(0))
+                ui = u.astype(jnp.int32)
+                vr = (ui >> 1) ^ -(ui & 1)
+                raw = _extract32(a, b, c, sh, kpar)
+                vw = _sext(raw, kpar)
+                is_raw = mode == 1
+                v = jnp.where(is_raw,
+                              jnp.where(kpar > 0, vw, 0), vr)
+                adv = jnp.where(is_raw, kpar, q + 1 + kpar)
+                lp = lp + jnp.where(act, adv, 0)
+                cnt = cnt - jnp.where(act & (pbits_l > 0), 1, 0)
+                outs.append(jnp.where(act, v, 0))
+            pos = base + lp
+            return ((pos, mode, kpar, cnt, err),
+                    jnp.stack(outs, axis=-1))
+
+        (pos, mode, kpar, cnt, err), RS = jax.lax.scan(
+            body, (pos, mode, kpar, cnt, err),
+            jnp.arange(nblk, dtype=jnp.int32))
+        rs = jnp.swapaxes(RS, 0, 1).reshape(L, nblk * K_SAMP)[:, :NSAMP]
+
+        # assemble: [warm-ups | residuals] with the dynamic order offset
+        rs = _roll_right(rs, wcount, 13)
+        iota = jnp.arange(NSAMP, dtype=jnp.int32)[None, :]
+        warm_exp = jnp.pad(warm, ((0, 0), (0, NSAMP - 32))) \
+            if NSAMP > 32 else warm[:, :NSAMP]
+        res = jnp.where(iota < wcount[:, None], warm_exp, rs)
+        res = jnp.where(is_const[:, None], cval[:, None], res)
+        res = jnp.where(iota < bs[:, None], res, 0)
+
+        residuals.append(res)
+        coeffs_out.append(cf)
+        # constant/verbatim report order == blocksize (pass-through LPC)
+        order_out.append(jnp.where(is_const | is_verb, bs, order))
+        shift_out.append(shv)
+        wasted_out.append(wasted)
+        bps_out.append(sub_bps)
+
+    return {
+        "residual": jnp.stack(residuals, axis=1),
+        "coeffs": jnp.stack(coeffs_out, axis=1),
+        "order": jnp.stack(order_out, axis=1),
+        "shift": jnp.stack(shift_out, axis=1),
+        "wasted": jnp.stack(wasted_out, axis=1),
+        "sub_bps": jnp.stack(bps_out, axis=1),
+        "err": err,
+        "end_bits": pos,
+    }

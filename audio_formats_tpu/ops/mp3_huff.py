@@ -506,15 +506,110 @@ for _p in range(N_PATTERNS):
 WIN_NORMAL, WIN_START, WIN_SHORT, WIN_STOP = 0, 1, 2, 3
 
 
+#: MPEG-1 intensity pan table (minimp3.d:930-940; models/mp3.py
+#: _pan_gains), f32 of the same literals so the device mix is bit-equal
+_PAN1 = np.array([0.0, 1.0, 0.21132487, 0.78867513, 0.36602540,
+                  0.63397460, 0.5, 0.5, 0.63397460, 0.36602540,
+                  0.78867513, 0.21132487, 1.0, 0.0], np.float32)
+
+#: MPEG-2 pan gains 2^(-(((ipos+1)>>1) << sh)/4) precomputed in f64 then
+#: cast — identical to the host's float(2.0**..) → np.float32 chain
+_PAN2 = np.stack([
+    np.array([np.float32(2.0 ** (-(((i + 1) >> 1) << sh) / 4.0))
+              for i in range(64)], np.float32)
+    for sh in range(2)
+])
+
+
+def _layout_info(p: int):
+    widths, n_long, n_short, _kind, _sr = _sfb_widths(p)
+    return n_long + n_short, len(widths), (3 if n_short else 1), n_long
+
+
+def _intensity_abcd(q_r, pat_l, is_ms, t_ist, t_ms, sh, ist, *,
+                    pats: tuple, mpeg1: bool):
+    """Per-band stereo mix vectors [BG, 4, 40] (l' = a·l + b·r,
+    r' = c·l + d·r): the device build of models/mp3.py _stereo_mix
+    (minimp3.d:963-1000).  The only content-dependence — the last
+    band with nonzero right-channel spectra — reduces to one one-hot
+    band matmul per layout pattern; everything else is side info."""
+    BG = q_r.shape[0]
+    idx = jnp.arange(40, dtype=jnp.int32)[None, :]
+    mb = jnp.full((BG, 3), -1, jnp.int32)
+    cond_w = jnp.zeros((BG, 40), bool)
+    ist_f = ist
+    default_pos = jnp.int32(3 if mpeg1 else 0)
+    for p in pats:
+        n_sfb, n_real, max_blocks, n_long = _layout_info(p)
+        sel = pat_l == p
+        E = jnp.asarray(_band_matrix(p))            # [40, 576] one-hot
+        # HIGHEST precision: the default MXU path computes f32 matmuls
+        # in bf16, which is fine for 0/1 counts only at full precision
+        nz_p = jnp.matmul(
+            (q_r != 0).astype(jnp.float32), E.T,
+            precision=jax.lax.Precision.HIGHEST) > 0
+        nzi = jnp.where(nz_p & (idx < n_sfb), idx, -1)
+        if max_blocks == 3:
+            mb_p = jnp.stack(
+                [jnp.max(jnp.where(idx % 3 == j, nzi, -1), axis=1)
+                 for j in range(3)], axis=1)
+            if n_long:  # mixed blocks: collapse to the global max
+                mb_p = jnp.tile(jnp.max(mb_p, axis=1)[:, None], (1, 3))
+        else:
+            mb_p = jnp.tile(jnp.max(nzi, axis=1)[:, None], (1, 3))
+        ist_p = ist
+        for i in range(max_blocks):
+            # top-band default/copy-down fixups (minimp3.d:969-974)
+            itop = n_sfb - max_blocks + i
+            prev = itop - max_blocks
+            val = jnp.where(mb_p[:, i] >= prev, default_pos,
+                            ist_p[:, prev])
+            ist_p = ist_p.at[:, itop].set(
+                jnp.where(sel, val, ist_p[:, itop]))
+        mb = jnp.where(sel[:, None], mb_p, mb)
+        cond_w = jnp.where(sel[:, None], idx < n_real, cond_w)
+        ist_f = jnp.where(sel[:, None], ist_p, ist_f)
+    mb_band = mb[:, np.arange(40) % 3]
+    max_pos = 7 if mpeg1 else 64
+    cond = (idx > mb_band) & (ist_f < max_pos) & cond_w
+    if mpeg1:
+        pan = jnp.asarray(_PAN1)
+        ic = jnp.clip(ist_f, 0, 6)
+        kl = pan[2 * ic]
+        kr = pan[2 * ic + 1]
+    else:
+        pan2 = jnp.asarray(_PAN2)
+        kv = pan2[sh[:, None], jnp.clip(ist_f, 0, 63)]
+        odd = (ist_f & 1) == 1
+        kl = jnp.where(odd, kv, jnp.float32(1.0))
+        kr = jnp.where(odd, jnp.float32(1.0), kv)
+    s = jnp.where(t_ms, jnp.float32(1.41421356),
+                  jnp.float32(1.0))[:, None]
+    one = jnp.ones((BG, 40), jnp.float32)
+    zero = jnp.zeros((BG, 40), jnp.float32)
+    ti = t_ist[:, None]
+    im = is_ms[:, None]
+    msb = t_ms[:, None] & cond_w   # ms fallback only over real bands
+    a = jnp.where(ti, jnp.where(cond, kl * s, one), one)
+    b = jnp.where(ti, jnp.where(cond, zero, jnp.where(msb, one, zero)),
+                  jnp.where(im, one, zero))
+    c = jnp.where(ti, jnp.where(cond, kr * s, jnp.where(msb, one, zero)),
+                  jnp.where(im, one, zero))
+    d = jnp.where(ti, jnp.where(cond, zero, jnp.where(msb, -one, one)),
+                  jnp.where(im, -one, one))
+    return jnp.stack([a, b, c, d], axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pats", "spats", "W", "NBIG", "NC1",
-                     "B", "G", "nch"),
+                     "B", "G", "nch", "mpeg1"),
 )
 def packed_device_stage(bits, meta16, scfq, starts, d_pack,
                         pats: tuple, spats: tuple,
                         W: int, NBIG: int, NC1: int,
-                        B: int, G: int, nch: int):
+                        B: int, G: int, nch: int,
+                        ist=None, mpeg1: bool = True):
     """The full device entropy stage for one batch window: Huffman FSM →
     dequant → short-block reorder → mid/side mix → window-type/antialias
     metadata — everything mp3_window_dsp needs, built on device from
@@ -540,11 +635,36 @@ def packed_device_stage(bits, meta16, scfq, starts, d_pack,
                           c1tab, pattern, starts, d_pack,
                           pats=pats, W=W, NBIG=NBIG, NC1=NC1)
     xq = dequant(q, scfq, pattern, pats=pats)
+    if nch == 2 and ist is not None:
+        # intensity windows: the general per-coefficient 2x2 mix replaces
+        # the MS butterfly, applied PRE-reorder (the host mix coordinates,
+        # models/mp3.py:979; mix-then-perm as ops/mp3_dsp.py)
+        BG = B * G
+        pat_l = pattern.reshape(B, G, nch)[:, :, 0].reshape(BG)
+        fl = ms.reshape(B, G, nch)[:, :, 0].reshape(BG)
+        abcd = _intensity_abcd(
+            q.reshape(B, G, nch, 576)[:, :, 1].reshape(BG, 576),
+            pat_l, (fl & 1) == 1, (fl & 2) == 2, (fl & 4) == 4,
+            (fl >> 3) & 1, ist, pats=pats, mpeg1=mpeg1)
+        exp = jnp.zeros((BG, 4, 576), jnp.float32)
+        for p in pats:
+            # constant-index gather: bit-exact per-band -> per-coefficient
+            # expansion (an MXU matmul would round the pan gains to bf16)
+            idx = jnp.asarray(np.clip(BAND_IDX[p], 0, 39))
+            exp = jnp.where((pat_l == p)[:, None, None],
+                            jnp.take(abcd, idx, axis=2), exp)
+        xq2 = xq.reshape(B, G, nch, 576)
+        l = xq2[:, :, 0].reshape(BG, 576)
+        r = xq2[:, :, 1].reshape(BG, 576)
+        xq = jnp.stack(
+            [exp[:, 0] * l + exp[:, 1] * r,
+             exp[:, 2] * l + exp[:, 3] * r], axis=1).reshape(L, 576)
     if spats:
         xq = reorder_short(xq, pattern, spats=spats)
     xq = xq.reshape(B, G, nch, 576)
-    if nch == 2:
-        msf = (ms.reshape(B, G, nch)[:, :, 0] == 1)[:, :, None]
+    if nch == 2 and ist is None:
+        # col 13 carries stereo-mode bits; bit 0 is the mid/side flag
+        msf = ((ms.reshape(B, G, nch)[:, :, 0] & 1) == 1)[:, :, None]
         l, r = xq[:, :, 0], xq[:, :, 1]
         xq = jnp.where(
             msf[:, :, None],
@@ -580,7 +700,8 @@ def packed_device_stage(bits, meta16, scfq, starts, d_pack,
 # breakpoints) and runs entropy+DSP as ONE fused jitted call: one upload,
 # one execute per window.
 
-def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0):
+def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0,
+                IST: bool = False, nch: int = 2):
     """Static u32 offsets for the window blob.
 
     With Lb > 0 the bit rows ship SPLIT: a tight [L, Wb] plane plus an
@@ -589,14 +710,19 @@ def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0):
     is all-zero for non-overflowing lanes).  The bit reservoir makes lane
     sizes heavy-tailed, so padding every lane to the window max (the
     Lb == 0 layout) uploads ~4x the real payload; the split plane cuts
-    h2d traffic to near the compressed size."""
+    h2d traffic to near the compressed size.
+
+    IST windows carry one extra plane: per-granule right-channel
+    intensity positions ([L/nch, 40] i16) for the device pan mix —
+    windows without intensity frames pay nothing."""
     n_bits = L * Wb
     n_ovf = Lb * Wext
     n_meta = L * 8           # 16 int16 columns = 8 u32 per lane
     n_scf = L * 20           # 40 int16 = 20 u32
+    n_ist = (L // nch) * 20 if IST else 0
     n_bp = R * 2             # (start, packed delta) per breakpoint
-    total = n_bits + n_ovf + n_meta + n_scf + n_bp
-    return n_bits, n_ovf, n_meta, n_scf, n_bp, total
+    total = n_bits + n_ovf + n_meta + n_scf + n_ist + n_bp
+    return n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, total
 
 
 #: overflow-plane row buckets (static jit arg -> keep the set tiny);
@@ -652,15 +778,17 @@ def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
 @functools.partial(
     jax.jit,
     static_argnames=("pats", "spats", "L", "Wb", "R", "B", "G", "nch",
-                     "Lb", "Wext", "NBIG", "NC1"),
+                     "Lb", "Wext", "NBIG", "NC1", "IST", "MPEG1"),
 )
 def packed_window_blob(blob, overlap, shist, n_act,
                        pats: tuple, spats: tuple,
                        L: int, Wb: int, R: int, B: int, G: int, nch: int,
                        Lb: int = 0, Wext: int = 0,
-                       NBIG: int = 288, NC1: int = 144):
+                       NBIG: int = 288, NC1: int = 144,
+                       IST: bool = False, MPEG1: bool = True):
     """One-shot MP3 window: unpack the blob, run the Huffman FSM + dequant
-    + reorder + MS mix, then the scan-free window DSP.  Returns
+    + reorder + stereo mix (MS butterfly, or the general intensity 2x2
+    when IST), then the scan-free window DSP.  Returns
     (pcm [B,G,nch,576], overlap', shist').
 
     With Lb > 0 the full bit rows are rebuilt on device from the split
@@ -669,7 +797,8 @@ def packed_window_blob(blob, overlap, shist, n_act,
     far cheaper than shipping the padding over the link."""
     from . import mp3_dsp
 
-    n_bits, n_ovf, n_meta, n_scf, n_bp, _ = blob_layout(L, Wb, R, Lb, Wext)
+    n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, _ = blob_layout(
+        L, Wb, R, Lb, Wext, IST, nch)
     o = 0
     bits = blob[o : o + n_bits].reshape(L, Wb)
     o += n_bits
@@ -684,6 +813,12 @@ def packed_window_blob(blob, overlap, shist, n_act,
         blob[o : o + n_scf].reshape(L, 20), jnp.int16
     ).reshape(L, 40)
     o += n_scf
+    ist = None
+    if IST:
+        ist = jax.lax.bitcast_convert_type(
+            blob[o : o + n_ist].reshape(L // nch, 20), jnp.int16
+        ).reshape(L // nch, 40).astype(jnp.int32)
+        o += n_ist
     bp = jax.lax.bitcast_convert_type(
         blob[o : o + n_bp].reshape(R, 2, 1), jnp.int32
     ).reshape(R, 2)
@@ -701,7 +836,7 @@ def packed_window_blob(blob, overlap, shist, n_act,
         bits, meta16[:, :15], scfq, starts, d_pack,
         pats=pats, spats=spats, W=Wb + (Wext if Lb else 0) + 4,
         NBIG=NBIG, NC1=NC1,
-        B=B, G=G, nch=nch,
+        B=B, G=G, nch=nch, ist=ist, mpeg1=MPEG1,
     )
     ph_f = jnp.zeros((1, G, 1, 1), jnp.float32)
     ph_i = jnp.zeros((1, G, 1, 1), jnp.int32)

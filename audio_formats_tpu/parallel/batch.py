@@ -418,6 +418,7 @@ class BatchDecoder:
         opus_groups = {}
         silk_groups = {}
         hybrid_groups = {}
+        opus_mixed_groups = {}
         qoa_groups = {}
         wav_groups = {}
         vorbis_groups = {}
@@ -446,6 +447,9 @@ class BatchDecoder:
                 hybrid_groups.setdefault(
                     (d.channels, pk0["config"], pk0["stereo"]), []
                 ).append(i)
+            elif isinstance(d, OpusDecoder) and \
+                    self._opus_mixed_eligible(d):
+                opus_mixed_groups.setdefault(d.channels, []).append(i)
             elif isinstance(d, QoaDecoder):
                 qoa_groups.setdefault(d.channels, []).append(i)
             elif (isinstance(d, WavDecoder)
@@ -506,6 +510,13 @@ class BatchDecoder:
                 chunk = lanes[c : c + GROUP]
                 res = self._run_group(
                     self._decode_hybrid_group, chunk, nch, config, stereo)
+                for i, pcm in zip(chunk, res):
+                    out[i] = pcm
+        for nch, lanes in opus_mixed_groups.items():
+            for c in range(0, len(lanes), GROUP):
+                chunk = lanes[c : c + GROUP]
+                res = self._run_group(
+                    self._decode_opus_mixed_group, chunk)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
 
@@ -636,20 +647,16 @@ class BatchDecoder:
                                   self._mp3_finalize, (decs, pending, nch))
             return group if to_device else group.finalize()
 
-        # device-Huffman path: streams whose header declares intensity
-        # stereo keep the classic host-Huffman path (their stereo mix
-        # depends on decoded right-channel content)
+        # device-Huffman path: intensity-stereo frames ride it too (the
+        # per-band pan mix runs on device from the shipped ist plane,
+        # ops/mp3_huff._intensity_abcd)
         use_packed = not os.environ.get("AF_TPU_NO_DEVICE_HUFF")
-        packed = [d for d in decs
-                  if use_packed and (nch == 1 or not (d._hdr0[3] & 0x10))]
+        packed = list(decs) if use_packed else []
         classic = [d for d in decs if id(d) not in {id(p) for p in packed}]
         pending, demoted = ([], [])
         if packed:
             pending, demoted = self._decode_mp3_group_packed(
                 packed, nch, ngr, lib, to_device)
-        # demoted lanes hit a mid-stream intensity frame: their partial
-        # packed output is discarded and the stream re-decodes classically
-        # from a fresh probe (rare; correctness over throughput)
         redo = classic + [models.probe_all(d._src) for d in demoted]
         results = {}
         if redo:
@@ -721,14 +728,14 @@ class BatchDecoder:
         dev_state = {"overlap": overlap, "shist": shist}
 
         def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R, Lb, Wext,
-                      nbig_b, nc1_b):
+                      nbig_b, nc1_b, ist_f):
             (blob_d, ov, sh, n_act_d) = _shard_batch(
                 self._mesh, blob, dev_state["overlap"], dev_state["shist"],
                 n_act_arr)
             pcm, ov2, sh2 = mp3_huff.packed_window_blob(
                 blob_d, ov, sh, n_act_d, pats=pats, spats=spats,
                 L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch, Lb=Lb, Wext=Wext,
-                NBIG=nbig_b, NC1=nc1_b,
+                NBIG=nbig_b, NC1=nc1_b, IST=ist_f, MPEG1=(ngr == 2),
             )
             dev_state["overlap"] = ov2
             dev_state["shist"] = sh2
@@ -755,16 +762,15 @@ class BatchDecoder:
             flags = np.zeros(W, np.uint8)
             aa_l = np.zeros((G, nch), np.int32)   # C fills; device rebuilds
             wt_l = np.zeros((G, nch, 32), np.int32)
-            n, new_off, mw, istop = _native.mp3_parse_window_packed(
+            n, new_off, mw, has_ist = _native.mp3_parse_window_packed(
                 lib, d._view, d._offset, d._hdr0, W, ngr, nch,
                 states[bi], bits[bi], meta[bi], scfq[bi],
                 aa_l, wt_l, flags,
                 free_format_bytes=d._free_format_bytes,
+                ist=ists[bi] if nch == 2 else None,
             )
             d._offset = new_off
-            if istop:
-                demoted.append(d)
-                active[bi] = False
+            win_ist[bi] = has_ist
             if n == 0:
                 active[bi] = False
                 return 16
@@ -777,6 +783,9 @@ class BatchDecoder:
                 meta[bi, : len(li)] = meta[bi, li]
                 scfq[bi, : len(li)] = scfq[bi, li]
                 meta[bi, len(li):] = 0
+                gi = np.flatnonzero(np.repeat(fr_act, ngr))
+                ists[bi, : len(gi)] = ists[bi, gi]
+                ists[bi, len(gi):] = 0
             n_act[bi] = n_fr * ngr
             d._cur_sample += n_fr * ngr * 576 * nch
             if n < W:
@@ -788,6 +797,8 @@ class BatchDecoder:
             bits = np.empty((Bp, NL, LW), np.uint32)
             meta = np.zeros((Bp, NL, 16), np.int32)
             scfq = np.zeros((Bp, NL, 40), np.int16)
+            ists = np.zeros((Bp, G, 40), np.int16)
+            win_ist = np.zeros(Bp, bool)
             n_act = np.zeros(Bp, np.int32)
             live_lanes = [bi for bi in range(B) if active[bi]]
             if parse_pool is not None:
@@ -831,8 +842,9 @@ class BatchDecoder:
                 meta[:, :, [9, 10, 11, 12]],
                 np.zeros((Bp, NL, 1), meta.dtype),     # col 15: ovf row
             ], axis=2).astype(np.int16).reshape(L, 16)
-            n_bits, n_ovf, n_meta, n_scf, n_bp, total = \
-                mp3_huff.blob_layout(L, Wb, R, Lb, Wext)
+            ist_f = bool(win_ist.any()) and nch == 2
+            n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, total = \
+                mp3_huff.blob_layout(L, Wb, R, Lb, Wext, ist_f, nch)
             blob = np.empty(total, np.uint32)
             o = 0
             blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
@@ -852,11 +864,14 @@ class BatchDecoder:
             o += n_meta
             blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
             o += n_scf
+            if ist_f:
+                blob[o : o + n_ist] = ists.reshape(-1).view(np.uint32)
+                o += n_ist
             blob[o : o + n_bp] = np.ascontiguousarray(
                 np.stack([starts, d_pack], axis=1)
             ).reshape(-1).view(np.uint32)
             fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
-                              L, Wb, R, Lb, Wext, nbig_b, nc1_b)
+                              L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes
             self.stats["windows"] += 1
@@ -1072,6 +1087,13 @@ class BatchDecoder:
     # ------------------------------------------------ batched FLAC lockstep
     def _decode_flac_group(self, decs: List[FlacDecoder], nch: int,
                            to_device: bool = False):
+        import os as _os
+
+        from ..host import native as _native
+
+        if _os.environ.get("AF_TPU_FLAC_DEVICE_RICE") and \
+                _native.get_lib() is not None:
+            return self._decode_flac_group_rice(decs, nch, to_device)
         B = len(decs)
         W = FLAC_WINDOW_FRAMES
         outputs = [[] for _ in range(B)]
@@ -1290,6 +1312,224 @@ class BatchDecoder:
                               self._flac_finalize,
                               (decs, outputs, pending, nch))
         return group if to_device else group.finalize()
+
+    #: lane-row block-count buckets for the device-Rice mode (x256 bytes)
+    _RICE_NBLK_BUCKETS = (16, 32, 48, 64, 96, 128, 192)
+
+    def _decode_flac_group_rice(self, decs: List[FlacDecoder], nch: int,
+                                to_device: bool = False):
+        """Wire-optimal FLAC: the host runs ONLY the byte-level frame
+        sync index (af_flac_sync_index — no Rice walk); raw frame bytes
+        upload as-is (h2d inflation == 1.0) and the device FSM
+        (ops/flac_rice.flac_frame_entropy) decodes subframe headers +
+        residuals, feeding the same LPC/stereo device stages.  Frames the
+        FSM flags (corrupt, >18-bit effective width, chain mismatch)
+        re-decode on the host at frame granularity."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..host import native as _native
+        from ..ops import flac_rice
+
+        lib = _native.get_lib()
+        B = len(decs)
+        W = FLAC_WINDOW_FRAMES
+        outputs = [[] for _ in range(B)]
+        active = np.ones(B, dtype=bool)
+        pending = []
+        pool = ThreadPoolExecutor(max_workers=1)
+        max_block = 65535
+        for d in decs:
+            if not hasattr(d, "_rice_state"):
+                d._rice_state = np.array([-1, 0, d._cur_bit // 8],
+                                         np.int64)
+
+        while active.any():
+            t_host = time.perf_counter()
+            lanes = []   # (bi, off, size, rel_bit, bs, ca, bps)
+            for bi in range(B):
+                if not active[bi]:
+                    continue
+                d = decs[bi]
+                if d._frame_pos >= d.length_frames > 0:
+                    active[bi] = False
+                    continue
+                st = d._rice_state
+                n, offs, dbits, bsA, caA, bpsA = _native.flac_sync_index(
+                    lib, d._view, int(st[2]), d.bits_per_sample, nch,
+                    max_block, W, st)
+                if n == 0:
+                    active[bi] = False
+                    continue
+                end = int(st[2])
+                for i in range(n):
+                    if i + 1 < n:
+                        nxt, chk = int(offs[i + 1]), True
+                    elif n == W and end + 16 <= len(d._view):
+                        # st[2] is the already-synced successor offset
+                        nxt, chk = end, True
+                    else:
+                        # stream end: no successor — ship through EOF
+                        # (st[2] is a search cursor that stops short of
+                        # the last bytes) and skip the chain check
+                        nxt, chk = len(d._view), False
+                    lanes.append((bi, int(offs[i]), nxt - int(offs[i]),
+                                  int(dbits[i] - offs[i] * 8), int(bsA[i]),
+                                  int(caA[i]), int(bpsA[i]), chk))
+                    d._frame_pos += int(bsA[i])
+                if n < W:
+                    active[bi] = False
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            if not lanes:
+                break
+            t_enq = time.perf_counter()
+            n_l = len(lanes)
+            S = max(8, 1 << (n_l - 1).bit_length()) if n_l <= 128 \
+                else -(-n_l // 128) * 128
+            max_bs = max(p[4] for p in lanes)
+            max_bs = -(-max_bs // 1024) * 1024 if max_bs > 192 else 192
+            maxbytes = max(p[2] for p in lanes)
+            nblk_need = -(-maxbytes // (flac_rice.BLK_W * 4)) + 2
+            NBLK = next((x for x in self._RICE_NBLK_BUCKETS
+                         if nblk_need <= x), nblk_need)
+            rows = np.zeros((S, NBLK * flac_rice.BLK_W), np.uint32)
+            start_bits = np.zeros(S, np.int32)
+            bs_arr = np.zeros(S, np.int32)
+            ca_arr = np.zeros(S, np.int32)
+            bps_arr = np.full(S, 16, np.int32)
+            cap = (NBLK - 1) * flac_rice.BLK_W * 4
+            for si, (bi, off, size, rel, bs, ca, bps, chk) in \
+                    enumerate(lanes):
+                d = decs[bi]
+                raw = bytes(memoryview(d._view)[off : off + min(size, cap)])
+                pad = (-len(raw)) % 4
+                if pad:
+                    raw += b"\0" * pad
+                rows[si, : len(raw) // 4] = np.frombuffer(raw, ">u4")
+                start_bits[si] = rel
+                bs_arr[si] = bs
+                ca_arr[si] = ca
+                bps_arr[si] = bps
+            sizes = np.zeros(S, np.int64)   # 0 -> chain check skipped
+            sizes[: n_l] = [p[2] if p[7] else 0 for p in lanes]
+            use_s16 = all(decs[bi].bits_per_sample <= 16
+                          for bi, *_ in lanes)
+            out_shifts = np.zeros(S, np.int32)
+            for si, (bi, *_rest) in enumerate(lanes):
+                out_shifts[si] = 32 - decs[bi].bits_per_sample
+
+            def _rice_dispatch(rows, start_bits, bs_arr, ca_arr, bps_arr,
+                               sizes, out_shifts, S, max_bs, NBLK,
+                               use_s16, lanes):
+                # every per-window value arrives as an argument (the
+                # enclosing loop rebinds its locals while this runs)
+                blocks = rows.reshape(S * NBLK, flac_rice.BLK_W)
+                (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = _shard_batch(
+                    self._mesh, blocks, start_bits, bs_arr, bps_arr,
+                    ca_arr, out_shifts)
+                ent = flac_rice.flac_frame_entropy(
+                    blocks_d, sb_d, bs_d, bps_d, ca_d,
+                    L=S, NSAMP=max_bs, nch=nch, NBLK_ROW=NBLK)
+                Ln = S * nch
+                residual = ent["residual"].reshape(Ln, max_bs)
+                coeffs = ent["coeffs"].reshape(Ln, 32)
+                order = ent["order"].reshape(Ln)
+                shift = ent["shift"].reshape(Ln)
+                sub_bps = ent["sub_bps"].reshape(Ln)
+                exact = sub_bps > 16
+                samples = lpc_ops.flac_lpc(
+                    residual, coeffs, order, shift, exact
+                ).reshape(S, nch, max_bs)
+                post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
+                    else lpc_ops.flac_post_stereo_batch
+                out32 = post(samples, ca_d,
+                             ent["wasted"], osh_d)
+                _prefetch(out32, to_device)
+                # sticky lane errors + frame-chain validation (the sync
+                # index is header-validated; a mismatched end position
+                # means a mis-parse — redo those frames on the host)
+                err = np.asarray(ent["err"])
+                endb = np.asarray(ent["end_bits"]).astype(np.int64)
+                wide = np.asarray(ent["sub_bps"]).max(axis=1) > 18
+                chain = (((endb + 7) // 8) * 8 + 16 != sizes * 8) \
+                    & (sizes > 0)
+                bad = err | wide | chain
+                return out32, bad, rows.nbytes
+
+            fut = pool.submit(_rice_dispatch, rows, start_bits, bs_arr,
+                              ca_arr, bps_arr, sizes, out_shifts, S,
+                              max_bs, NBLK, use_s16, list(lanes))
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["windows"] += 1
+            slots = []
+            for si, (bi, off, size, rel, bs, ca, bps, chk) in \
+                    enumerate(lanes):
+                slot = [None]
+                outputs[bi].append(slot)
+                slots.append((slot, si, bs, bi, off))
+            pending.append((fut, slots))
+
+        pool.shutdown(wait=True)
+        resolved = []
+        for fut, slots in pending:
+            out32, bad, h2d = fut.result()
+            self.stats["h2d_bytes"] += h2d
+            resolved.append((out32, bad, slots))
+        pending[:] = resolved
+        group = _PendingGroup(self, "flac", decs, pending,
+                              self._flac_finalize_rice,
+                              (decs, outputs, pending, nch))
+        return group if to_device else group.finalize()
+
+    def _flac_finalize_rice(self, decs, outputs, pending, nch):
+        from ..host import native as _native
+
+        lib = _native.get_lib()
+        t0 = time.perf_counter()
+        n_redo = 0
+        for out32_dev, bad, slots in pending:
+            arr = np.asarray(out32_dev)
+            self.stats["d2h_bytes"] += arr.nbytes
+            for slot, si, bs, bi, off in slots:
+                if bad[si]:
+                    # host redo of this frame (corrupt / wide / chain)
+                    d = decs[bi]
+                    nat = _native.flac_parse_frame(
+                        lib, d._view, off * 8, d.bits_per_sample,
+                        nch, 65535)
+                    if nat is None:
+                        raise AudioFormatError("FLAC: corrupt frame")
+                    samples = lpc_ops.flac_lpc_np(
+                        nat["residual"], nat["coeffs"], nat["order"],
+                        nat["shift"]).astype(np.int32)
+                    out = np.asarray(lpc_ops.flac_post_stereo(
+                        samples, np.int32(nat["chan_assignment"]),
+                        nat["wasted"].astype(np.int32),
+                        np.int32(32 - d.bits_per_sample)))
+                    slot[0] = out.T[:bs]
+                    n_redo += 1
+                elif arr.dtype == np.int16:
+                    slot[0] = arr[si, :, :bs].T.astype(np.int32) << 16
+                else:
+                    slot[0] = arr[si, :, :bs].T
+        if n_redo:
+            self.stats["rice_host_redo"] = \
+                self.stats.get("rice_host_redo", 0) + n_redo
+        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+
+        result = []
+        for bi, d in enumerate(decs):
+            if outputs[bi]:
+                s32 = np.concatenate(
+                    [c[0] if isinstance(c, list) else c
+                     for c in outputs[bi]])
+            else:
+                s32 = np.zeros((0, nch), np.int32)
+            if d.length_frames:
+                s32 = s32[: d.length_frames]
+            pcm = (s32.astype(np.float64) * (1.0 / 2147483647.0)).astype(
+                np.float32)
+            result.append(pcm)
+        return result
 
     def _flac_finalize(self, decs, outputs, pending, nch):
         t0 = time.perf_counter()
@@ -1602,6 +1842,136 @@ class BatchDecoder:
             parsed.append(pk)
         d._silk_lockstep = parsed
         return True
+
+    @staticmethod
+    def _opus_mixed_eligible(d) -> bool:
+        """Catch-all lockstep for mapping-0 Opus streams the homogeneous
+        groups decline — mode switches, mixed frame sizes, multi-frame
+        hybrid: the common VBR speech+music shape (dopus.d:6400 mode
+        transitions).  Any stream the facade can decode is eligible,
+        because the group decoder replays the facade's own packet
+        generator per lane and only batches the CELT IMDCT answers."""
+        if getattr(d, "channel_mapping", 1) != 0:
+            return False
+        if getattr(d, "s16_parity", False):
+            return False  # parity diff-test mode rides the facade read path
+        try:
+            pkts = d._collect_packets()
+        except Exception:
+            return False
+        if not pkts:
+            return False
+        parsed = []
+        for data in pkts:
+            pk = _opus_parse(data)
+            if pk is None or pk["mode"] not in ("silk", "celt", "hybrid"):
+                return False
+            parsed.append(pk)
+        d._mixed_pkts = parsed
+        return True
+
+    def _decode_opus_mixed_group(self, decs, to_device: bool = False):
+        """Mode-switching Opus lockstep (lockstep-by-segment at frame
+        granularity): every lane drives the SAME packet generator the
+        facade uses (models/opus.py OpusStreamDecoder.decode_packet_gen),
+        so SILK synthesis, resampler flushes, redundancy crossfades and
+        the hybrid CELT delay FIFO are facade-identical by construction;
+        only the full-frame CELT IMDCTs are answered here, bucketed by
+        (blocks, blocksize) across lanes into one device call per bucket
+        per round (ops/celt_dsp.celt_imdct_ola).  The mode sequence is
+        known host-side after the TOC pre-scan, so lanes advance through
+        pure-SILK packets inline and re-sync at their next CELT frame."""
+        from ..models.celt import OVERLAP
+        from ..ops import celt_dsp
+
+        B = len(decs)
+        outs = [[] for _ in range(B)]
+        gens = [None] * B     # live decode_packet_gen per lane
+        nexts = [0] * B       # next packet index per lane
+        sends = [None] * B    # pending IMDCT answer per lane
+        pkts = [d._mixed_pkts for d in decs]
+        sds = [d._streams[0] for d in decs]
+        done = [False] * B
+        self.stats["opus_mixed_lanes"] = \
+            self.stats.get("opus_mixed_lanes", 0) + B
+        while not all(done):
+            t_host = time.perf_counter()
+            jobs = {}
+            for bi, d in enumerate(decs):
+                if done[bi]:
+                    continue
+                while True:
+                    if gens[bi] is None:
+                        if nexts[bi] >= len(pkts[bi]):
+                            done[bi] = True
+                            break
+                        gens[bi] = sds[bi].decode_packet_gen(
+                            pkts[bi][nexts[bi]])
+                        nexts[bi] += 1
+                        sends[bi] = None
+                    try:
+                        cd, params = gens[bi].send(sends[bi])
+                    except StopIteration as e:
+                        pcm = e.value
+                        g = np.float32(d._gain)
+                        outs[bi].append(
+                            pcm * g if d._gain != 1.0 else pcm)
+                        gens[bi] = None
+                        sends[bi] = None
+                        continue
+                    jobs.setdefault(
+                        (params["blocks"], params["blocksize"]), []
+                    ).append((bi, cd, params))
+                    break
+            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            if not jobs:
+                continue
+            t_enq = time.perf_counter()
+            for (blocks, bs), items in jobs.items():
+                frame = blocks * bs
+                co = np.stack([
+                    p["coeffs"][c, :frame]
+                    for (_, cd, p) in items
+                    for c in range(cd.output_channels)
+                ]).astype(np.float32)
+                tails = np.stack([
+                    cd.buf[c][1024 : 1024 + OVERLAP // 2]
+                    for (_, cd, p) in items
+                    for c in range(cd.output_channels)
+                ]).astype(np.float32)
+                raw, newtail = celt_dsp.celt_imdct_ola(
+                    co, tails, blocks, bs,
+                    scale=items[0][2]["imdct_scale"])
+                raw = np.asarray(raw)
+                newtail = np.asarray(newtail)
+                row = 0
+                for (bi, cd, p) in items:
+                    k = cd.output_channels
+                    sends[bi] = cd.apply_raw(
+                        raw[row : row + k].T, newtail[row : row + k].T,
+                        p["frame_size"])
+                    row += k
+                self.stats["h2d_bytes"] += co.nbytes + tails.nbytes
+            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+            self.stats["windows"] += 1
+        result = []
+        for bi, d in enumerate(decs):
+            sd = sds[bi]
+            total = sum(o.shape[0] for o in outs[bi])
+            want = d.preskip + d.length_frames - total
+            if want > 0 and sd._silk_rs is not None:
+                # EOS drain of the resampler tail (opus.py read())
+                cols = [rs.flush(want) for rs in sd._silk_rs]
+                tail = np.stack(cols, 1).astype(np.float32)
+                g = np.float32(d._gain)
+                outs[bi].append(tail * g if d._gain != 1.0 else tail)
+            pcm = np.concatenate(outs[bi]) if outs[bi] else \
+                np.zeros((0, d.channels), np.float32)
+            pcm = pcm[d.preskip :]
+            if d.length_frames:
+                pcm = pcm[: d.length_frames]
+            result.append(pcm)
+        return result
 
     @staticmethod
     def _hybrid_eligible(d) -> bool:

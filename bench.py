@@ -270,7 +270,8 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
         mp3_huff.LINBITS_TAB[tabs], meta[:, :, [9, 10, 11, 12]],
         np.zeros((B, NL, 1), meta.dtype),
     ], axis=2).astype(np.int16).reshape(L, 16)
-    n_bits, _, n_meta, n_scf, n_bp, total = mp3_huff.blob_layout(L, Wb, R)
+    n_bits, _, n_meta, n_scf, _ist0, n_bp, total = \
+        mp3_huff.blob_layout(L, Wb, R)
     blob = np.empty(total, np.uint32)
     o = 0
     blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)

@@ -1,0 +1,146 @@
+"""Device-side FLAC frame entropy (ops/flac_rice.py): the FSM must be
+BIT-EXACT against the host C parse (af_flac_parse_frame) across every
+subframe mode, and the device-Rice BatchDecoder mode
+(AF_TPU_FLAC_DEVICE_RICE=1: raw-bytes upload + byte-level sync index,
+drflac.d:1149-1242's hot loop on the accelerator) must match the facade."""
+
+import numpy as np
+import pytest
+
+import audio_formats_tpu as af
+from audio_formats_tpu import models
+from audio_formats_tpu.host import native
+from audio_formats_tpu.io.source import MemorySource
+from audio_formats_tpu.ops import flac_rice
+from audio_formats_tpu.parallel import BatchDecoder
+
+from golden import flac_ref
+
+
+def _need_lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    return lib
+
+
+def _make(rng, bps=16, C=2, mode="fixed2", stereo="independent",
+          bsz=1024, n=4096, wasted=0, escape_bits=None, rice2=False,
+          po=2):
+    if mode == "constant":
+        x = np.full((n, C), 137, np.int64)
+    else:
+        x = (2000 * np.sin(np.arange(n * C).reshape(n, C) / 7.0)
+             + 300 * rng.standard_normal((n, C))).astype(np.int64)
+    x = np.clip(x, -(1 << (bps - 1)), (1 << (bps - 1)) - 1)
+    if wasted:
+        x = (x >> wasted) << wasted
+    kw = dict(partition_order=po, rice2=rice2)
+    if escape_bits is not None:
+        kw["escape_bits"] = escape_bits
+    if wasted:
+        kw["wasted"] = wasted
+    return flac_ref.build_flac(x, 44100, bps, block_size=bsz,
+                               stereo_mode=stereo, modes=[mode] * C, **kw)
+
+
+CASES = [
+    ("fixed2", {}),
+    ("lpc8", {"mode": "lpc8"}),
+    ("constant", {"mode": "constant"}),
+    ("verbatim", {"mode": "verbatim"}),
+    ("wasted", {"mode": "lpc8", "wasted": 3}),
+    ("escape", {"escape_bits": 14}),
+    ("rice2", {"rice2": True}),
+    ("midside", {"mode": "lpc8", "stereo": "mid_side"}),
+    ("leftside", {"stereo": "left_side"}),
+    ("bs192", {"bsz": 192, "po": 1}),
+]
+
+
+@pytest.mark.parametrize("name,kw", CASES)
+def test_fsm_bit_exact_vs_host(rng, name, kw):
+    """FSM residual/coeffs/order/shift/wasted/bps == host C parse."""
+    lib = _need_lib()
+    kw = dict({"mode": "fixed2"}, **kw)
+    data = _make(rng, **kw)
+    d = models.probe_all(MemorySource(data))
+    view = d._view
+    st = np.array([-1, 0, d._cur_bit // 8], np.int64)
+    n, offs, dbits, bs, ca, bps = native.flac_sync_index(
+        lib, view, int(st[2]), d.bits_per_sample, d.channels, 65535,
+        64, st)
+    ref_frames, ref_bits = [], []
+    while True:
+        ref_bits.append(d._cur_bit)
+        p = d._parse_frame_tensors()
+        if p is None:
+            break
+        ref_frames.append(p)
+    assert n == len(ref_frames)
+    assert all(int(o) * 8 == rb for o, rb in zip(offs, ref_bits))
+
+    sizes = list(np.diff(offs)) + [len(view) - int(offs[-1])]
+    NBLK = -(-max(sizes) // (flac_rice.BLK_W * 4)) + 2
+    rows = flac_rice.build_frame_rows(view, offs, sizes, NBLK)
+    NSAMP = max(192, max(int(b) for b in bs))
+    out = flac_rice.flac_frame_entropy(
+        rows, (dbits - offs * 8).astype(np.int32), bs.astype(np.int32),
+        bps.astype(np.int32), ca.astype(np.int32),
+        L=n, NSAMP=NSAMP, nch=d.channels, NBLK_ROW=NBLK)
+    assert not np.asarray(out["err"]).any()
+    for fi, p in enumerate(ref_frames):
+        bsz, cah, res, cf, orr, sh, wa, bpsh = p
+        np.testing.assert_array_equal(
+            np.asarray(out["residual"][fi, :, :bsz]), res[:, :bsz])
+        np.testing.assert_array_equal(np.asarray(out["coeffs"][fi]), cf)
+        np.testing.assert_array_equal(np.asarray(out["order"][fi]), orr)
+        np.testing.assert_array_equal(np.asarray(out["shift"][fi]), sh)
+        np.testing.assert_array_equal(np.asarray(out["wasted"][fi]), wa)
+        np.testing.assert_array_equal(np.asarray(out["sub_bps"][fi]),
+                                      bpsh)
+        # frame chain: device end position + align + CRC16 == next start
+        if fi + 1 < n:
+            endb = int(out["end_bits"][fi])
+            assert ((endb + 7) // 8) * 8 + 16 == sizes[fi] * 8
+
+
+def test_device_rice_batch_equals_facade(rng, monkeypatch):
+    """AF_TPU_FLAC_DEVICE_RICE=1: raw-bytes upload + device FSM, output
+    equal to the facade (mixed subframe modes, ragged lengths)."""
+    _need_lib()
+    streams = [
+        _make(rng, mode="lpc8", stereo="mid_side"),
+        _make(rng, n=3000),
+        _make(rng, mode="lpc8", wasted=2),
+    ]
+    refs = []
+    for data in streams:
+        s = af.AudioStream().open_from_memory(data)
+        assert not s.is_error()
+        refs.append(s.read_samples_float(10 ** 6))
+    monkeypatch.setenv("AF_TPU_FLAC_DEVICE_RICE", "1")
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert dec.stats["group_demotions"] == 0
+    assert dec.stats.get("rice_host_redo", 0) == 0
+    for g, ref in zip(got, refs):
+        assert g.shape == ref.shape
+        np.testing.assert_allclose(g, ref, atol=0, rtol=0)
+
+
+def test_device_rice_corrupt_lane_isolated(rng, monkeypatch):
+    """A corrupt stream in the device-Rice group must not poison the
+    clean lanes (SURVEY §5 error lattice at batch scale)."""
+    _need_lib()
+    good = _make(rng)
+    bad = bytearray(_make(rng))
+    bad[len(bad) // 2 :] = b"\xff" * (len(bad) - len(bad) // 2)
+    monkeypatch.setenv("AF_TPU_FLAC_DEVICE_RICE", "1")
+    dec = BatchDecoder([good, bytes(bad), good])
+    got = dec.decode_all()
+    s = af.AudioStream().open_from_memory(good)
+    ref = s.read_samples_float(10 ** 6)
+    for gi in (0, 2):
+        assert got[gi] is not None and got[gi].shape == ref.shape
+        np.testing.assert_allclose(got[gi], ref, atol=0, rtol=0)

@@ -132,26 +132,32 @@ def test_packed_batch_ms_switching_frames(rng):
     assert np.abs(got - ref).max() / peak < 4e-6
 
 
-def test_intensity_stream_routes_to_classic(rng):
-    """A stream whose header declares intensity stereo must bypass the
-    device-Huffman path (its mix needs decoded content) and still decode
-    correctly through BatchDecoder."""
-    data = _build(rng, channels=2, mode_ext=1)
+@pytest.mark.parametrize("mode_ext", [1, 3])
+def test_intensity_stream_rides_packed(rng, mode_ext):
+    """Intensity-stereo streams (pure and intensity+MS) ride the
+    device-Huffman path: the per-band pan mix runs on device from the
+    shipped ist plane (ops/mp3_huff._intensity_abcd, minimp3.d:963),
+    with zero demotions — matching the facade."""
+    data = _build(rng, channels=2, mode_ext=mode_ext)
     ref = _facade(data)
-    got = BatchDecoder([data]).decode_all()[0]
+    dec = BatchDecoder([data])
+    got = dec.decode_all()[0]
+    assert dec.stats["group_demotions"] == 0
+    assert dec.stats["windows"] >= 1
     peak = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / peak < 4e-6
 
 
-def test_mid_stream_intensity_demotes_lane(rng):
-    """A stream that turns intensity ON mid-stream demotes from the packed
-    path to the classic path (af_mp3_parse_window_packed stops before the
-    intensity frame and flags it)."""
-    ext = [0, 0, 0, 1, 0, 0, 0, 0, 0, 0]
+def test_mid_stream_intensity_stays_packed(rng):
+    """A stream that turns intensity ON mid-stream keeps the packed path
+    (the ist plane ships for the windows that need it); a plain lane
+    alongside decodes in the same group."""
+    ext = [0, 0, 0, 1, 0, 0, 1, 1, 0, 0]
     data = _build(rng, channels=2, mode_ext=ext)
     good = _build(rng, channels=2)  # healthy lane alongside
     dec = BatchDecoder([data, good])
     out = dec.decode_all()
+    assert dec.stats["group_demotions"] == 0
     for d, got in zip((data, good), out):
         ref = _facade(d)
         assert got.shape == ref.shape

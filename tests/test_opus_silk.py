@@ -495,3 +495,61 @@ def test_hybrid_batch_equals_facade(channels):
         assert g.shape == ref.shape
         peak = np.abs(ref).max() + 1e-9
         assert np.abs(g - ref).max() / peak < 1e-5
+
+
+@needs_oracle
+def test_mode_switch_batch_equals_facade():
+    """A mode-switching stream (SILK -> CELT -> SILK -> hybrid, the
+    common VBR speech+music shape) rides the mixed-mode lockstep group
+    (batch.py _decode_opus_mixed_group) with zero demotions, matching
+    the per-stream facade: the group replays the facade's own packet
+    generator, so transitions/redundancy cannot diverge
+    (dopus.d:6400)."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    O = opus_oracle
+    lib = O.get_lib()
+    rng = np.random.default_rng(21)
+    N = 960
+    npkt = 12
+    t = np.arange(N * npkt) / 48000.0
+    sig = (6000 * np.sin(2 * np.pi * 220 * t) *
+           (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+           2500 * np.sin(2 * np.pi * 4500 * t) +
+           600 * rng.standard_normal(t.size))
+    sig = np.clip(sig, -32000, 32000).astype(np.int16)[:, None]
+    enc = O.OracleEncoder(48000, 1, bitrate=24000,
+                          application=O.OPUS_APPLICATION_AUDIO)
+    # OPUS_SET_FORCE_MODE (opus_private.h, exposed through the public
+    # ctl vararg entry in release builds): MODE_SILK_ONLY=1000,
+    # MODE_HYBRID=1001, MODE_CELT_ONLY=1002
+    FORCE_MODE = 11002
+    seq = [1000, 1000, 1000, 1002, 1002, 1002,
+           1000, 1000, 1001, 1001, 1002, 1000]
+    bw = {1000: O.OPUS_BANDWIDTH_WIDEBAND,
+          1001: O.OPUS_BANDWIDTH_SUPERWIDEBAND,
+          1002: O.OPUS_BANDWIDTH_FULLBAND}
+    pkts = []
+    for n in range(npkt):
+        lib.opus_encoder_ctl(ctypes.c_void_p(enc._enc),
+                             O.OPUS_SET_BANDWIDTH, bw[seq[n]])
+        lib.opus_encoder_ctl(ctypes.c_void_p(enc._enc),
+                             FORCE_MODE, seq[n])
+        pkts.append((enc.encode(sig[n * N : (n + 1) * N]), N))
+    modes = {parse_packet(p)["mode"] for p, _ in pkts}
+    if len(modes) < 2:
+        pytest.skip(f"encoder refused to switch modes: {modes}")
+    streams = [opus_ref.build_ogg_opus(pkts, channels=1, preskip=312),
+               opus_ref.build_ogg_opus(pkts[:7], channels=1, preskip=120)]
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert dec.stats.get("opus_mixed_lanes", 0) == 2
+    assert dec.stats["group_demotions"] == 0
+    for data, g in zip(streams, got):
+        st = af.AudioStream()
+        st.open_from_memory(data)
+        ref = st.read_samples_float(st.get_length_in_frames())
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(g - ref).max() / peak < 1e-5
