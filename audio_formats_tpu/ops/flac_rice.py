@@ -115,14 +115,13 @@ def _read(buf, pos, width):
     return _extract32(a, b, c, pos & 31, width)
 
 
-def _gather_window(blocks, lane_base, pos, nblk_row):
+def _gather_window(blocks, pos, npool):
     """[L, 2*BLK_W] working window: the two aligned BLK_W-word blocks
-    around each lane's bit cursor, via ROW gathers of the reshaped
-    [L*nblk_row, BLK_W] block matrix."""
-    blk = jnp.clip(pos >> jnp.int32(11), 0, nblk_row - 2)
-    idx = lane_base + blk
-    w1 = jnp.take(blocks, idx, axis=0)
-    w2 = jnp.take(blocks, idx + 1, axis=0)
+    around each lane's bit cursor, via ROW gathers of the shared
+    [NPOOL, BLK_W] frame pool."""
+    blk = jnp.clip(pos >> jnp.int32(11), 0, npool - 2)
+    w1 = jnp.take(blocks, blk, axis=0)
+    w2 = jnp.take(blocks, blk + 1, axis=0)
     return jnp.concatenate([w1, w2], axis=1), blk << jnp.int32(11)
 
 
@@ -139,45 +138,54 @@ def _roll_right(x, amount, nbits):
     return x
 
 
-def build_frame_rows(view, offs, nbytes_each, NBLK_ROW: int):
-    """Host helper: [L, NBLK_ROW*BLK_W] u32 BE rows from raw frame bytes
-    (one frame per row, starting at its byte offset; the last block of
-    every row stays zero as the FSM's overrun guard)."""
-    L = len(offs)
-    rows = np.zeros((L, NBLK_ROW * BLK_W), np.uint32)
-    mv = memoryview(view)
-    for i, (o, nb) in enumerate(zip(offs, nbytes_each)):
-        nb = min(nb, (NBLK_ROW - 1) * BLK_W * 4)
-        raw = bytes(mv[o : o + nb])
-        pad = (-len(raw)) % 4
-        if pad:
-            raw += b"\0" * pad
-        rows[i, : len(raw) // 4] = np.frombuffer(raw, ">u4")
-    return rows.reshape(L * NBLK_ROW, BLK_W)
+def pool_blocks_needed(nbytes_each) -> int:
+    """Blocks for a shared pool holding every frame at BLK-aligned
+    offsets, plus two trailing zero blocks (overrun guard)."""
+    blk_b = BLK_W * 4
+    return sum(-(-int(nb) // blk_b) for nb in nbytes_each) + 2
+
+
+def build_frame_pool(frames, NPOOL: int):
+    """Host helper: ONE shared [NPOOL, BLK_W] u32 BE pool with each raw
+    frame at a BLK-aligned offset (upload == compressed bytes + <=255 B
+    per-frame alignment).  frames: list of (view, byte_off, nbytes).
+    Returns (pool, base_bits [L] int32 — each frame's first bit)."""
+    blk_b = BLK_W * 4
+    pool = np.zeros(NPOOL * blk_b, np.uint8)
+    base_bits = np.zeros(len(frames), np.int64)
+    cur = 0
+    for i, (view, off, nb) in enumerate(frames):
+        nb = min(int(nb), (NPOOL - 2 - cur) * blk_b)
+        pool[cur * blk_b : cur * blk_b + nb] = \
+            np.frombuffer(view, np.uint8, nb, int(off))
+        base_bits[i] = cur * blk_b * 8
+        cur += -(-nb // blk_b)
+    big = pool.view(">u4").astype(np.uint32)
+    return big.reshape(NPOOL, BLK_W), base_bits
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "NSAMP", "nch", "NBLK_ROW"))
+    jax.jit, static_argnames=("L", "NSAMP", "nch", "NPOOL"))
 def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
-                       L: int, NSAMP: int, nch: int, NBLK_ROW: int):
+                       L: int, NSAMP: int, nch: int, NPOOL: int):
     """Decode subframe headers + residuals for L frame lanes.
 
-    blocks:     [L*NBLK_ROW, BLK_W] u32 BE words — each lane's raw frame
-                bytes (from the frame start), zero-padded; the LAST block
-                of every row must be zeros (window overrun guard).
-    start_bits: [L] bit offset of subframe 0 (after the frame header).
+    blocks:     [NPOOL, BLK_W] u32 BE words — the SHARED frame pool
+                (build_frame_pool): every lane's raw frame bytes at a
+                BLK-aligned offset; the last two blocks must be zeros
+                (window overrun guard).
+    start_bits: [L] ABSOLUTE pool bit of subframe 0 (frame base bit +
+                header length).
     bs:         [L] block size; bps0: [L] frame sample bits; chass: [L]
                 channel assignment (af_flac_parse_frame meta[1]).
 
     Returns dict with residual [L, nch, NSAMP] i32 (warm-ups in
     [0, order) as af_flac_parse_frame), coeffs [L, nch, 32], order,
     shift, wasted, sub_bps [L, nch] i32, err [L] bool, end_bits [L] i32
-    (cursor after the last subframe, pre byte-align).
+    (ABSOLUTE cursor after the last subframe, pre byte-align).
     """
-    lane_base = jnp.arange(L, dtype=jnp.int32) * NBLK_ROW
     pos = start_bits.astype(jnp.int32)
     err = jnp.zeros(L, bool)
-    zero = jnp.zeros(L, jnp.int32)
 
     residuals = []
     coeffs_out = []
@@ -186,11 +194,11 @@ def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
     wasted_out = []
     bps_out = []
 
-    max_pos = jnp.int32((NBLK_ROW - 1) * BLK_BITS - 64)
+    max_pos = jnp.int32((NPOOL - 2) * BLK_BITS - 64)
 
     for ci in range(nch):
         # ---------------- subframe header phase (one window gather) ----
-        buf, base = _gather_window(blocks, lane_base, pos, NBLK_ROW)
+        buf, base = _gather_window(blocks, pos, NPOOL)
         lp = pos - base                       # local bit cursor
 
         sub_bps = bps0 + jnp.where(
@@ -288,7 +296,7 @@ def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
         def body(carry, s0):
             pos, mode, kpar, cnt, err = carry
             posc = jnp.clip(pos, 0, max_pos)
-            buf, base = _gather_window(blocks, lane_base, posc, NBLK_ROW)
+            buf, base = _gather_window(blocks, posc, NPOOL)
             lp = posc - base
             outs = []
             for j in range(K_SAMP):

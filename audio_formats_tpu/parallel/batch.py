@@ -1313,8 +1313,9 @@ class BatchDecoder:
                               (decs, outputs, pending, nch))
         return group if to_device else group.finalize()
 
-    #: lane-row block-count buckets for the device-Rice mode (x256 bytes)
-    _RICE_NBLK_BUCKETS = (16, 32, 48, 64, 96, 128, 192)
+    #: shared-pool block buckets for the device-Rice mode (x256 bytes)
+    _RICE_POOL_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384,
+                          32768, 65536, 98304, 131072)
 
     def _decode_flac_group_rice(self, decs: List[FlacDecoder], nch: int,
                                 to_device: bool = False):
@@ -1336,7 +1337,7 @@ class BatchDecoder:
         outputs = [[] for _ in range(B)]
         active = np.ones(B, dtype=bool)
         pending = []
-        pool = ThreadPoolExecutor(max_workers=1)
+        pool_w = ThreadPoolExecutor(max_workers=1)
         max_block = 65535
         for d in decs:
             if not hasattr(d, "_rice_state"):
@@ -1387,28 +1388,23 @@ class BatchDecoder:
                 else -(-n_l // 128) * 128
             max_bs = max(p[4] for p in lanes)
             max_bs = -(-max_bs // 1024) * 1024 if max_bs > 192 else 192
-            maxbytes = max(p[2] for p in lanes)
-            nblk_need = -(-maxbytes // (flac_rice.BLK_W * 4)) + 2
-            NBLK = next((x for x in self._RICE_NBLK_BUCKETS
-                         if nblk_need <= x), nblk_need)
-            rows = np.zeros((S, NBLK * flac_rice.BLK_W), np.uint32)
+            need = flac_rice.pool_blocks_needed([p[2] for p in lanes])
+            NPOOL = next((x for x in self._RICE_POOL_BUCKETS
+                          if need <= x), need)
+            pool, base_bits = flac_rice.build_frame_pool(
+                [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
             start_bits = np.zeros(S, np.int32)
             bs_arr = np.zeros(S, np.int32)
             ca_arr = np.zeros(S, np.int32)
             bps_arr = np.full(S, 16, np.int32)
-            cap = (NBLK - 1) * flac_rice.BLK_W * 4
             for si, (bi, off, size, rel, bs, ca, bps, chk) in \
                     enumerate(lanes):
-                d = decs[bi]
-                raw = bytes(memoryview(d._view)[off : off + min(size, cap)])
-                pad = (-len(raw)) % 4
-                if pad:
-                    raw += b"\0" * pad
-                rows[si, : len(raw) // 4] = np.frombuffer(raw, ">u4")
-                start_bits[si] = rel
+                start_bits[si] = base_bits[si] + rel
                 bs_arr[si] = bs
                 ca_arr[si] = ca
                 bps_arr[si] = bps
+            base_arr = np.zeros(S, np.int64)
+            base_arr[: n_l] = base_bits
             sizes = np.zeros(S, np.int64)   # 0 -> chain check skipped
             sizes[: n_l] = [p[2] if p[7] else 0 for p in lanes]
             use_s16 = all(decs[bi].bits_per_sample <= 16
@@ -1417,18 +1413,17 @@ class BatchDecoder:
             for si, (bi, *_rest) in enumerate(lanes):
                 out_shifts[si] = 32 - decs[bi].bits_per_sample
 
-            def _rice_dispatch(rows, start_bits, bs_arr, ca_arr, bps_arr,
-                               sizes, out_shifts, S, max_bs, NBLK,
-                               use_s16, lanes):
+            def _rice_dispatch(pool, start_bits, bs_arr, ca_arr, bps_arr,
+                               sizes, base_arr, out_shifts, S, max_bs,
+                               NPOOL, use_s16):
                 # every per-window value arrives as an argument (the
                 # enclosing loop rebinds its locals while this runs)
-                blocks = rows.reshape(S * NBLK, flac_rice.BLK_W)
                 (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = _shard_batch(
-                    self._mesh, blocks, start_bits, bs_arr, bps_arr,
+                    self._mesh, pool, start_bits, bs_arr, bps_arr,
                     ca_arr, out_shifts)
                 ent = flac_rice.flac_frame_entropy(
                     blocks_d, sb_d, bs_d, bps_d, ca_d,
-                    L=S, NSAMP=max_bs, nch=nch, NBLK_ROW=NBLK)
+                    L=S, NSAMP=max_bs, nch=nch, NPOOL=NPOOL)
                 Ln = S * nch
                 residual = ent["residual"].reshape(Ln, max_bs)
                 coeffs = ent["coeffs"].reshape(Ln, 32)
@@ -1448,16 +1443,17 @@ class BatchDecoder:
                 # index is header-validated; a mismatched end position
                 # means a mis-parse — redo those frames on the host)
                 err = np.asarray(ent["err"])
-                endb = np.asarray(ent["end_bits"]).astype(np.int64)
+                endb = np.asarray(ent["end_bits"]).astype(np.int64) \
+                    - base_arr
                 wide = np.asarray(ent["sub_bps"]).max(axis=1) > 18
                 chain = (((endb + 7) // 8) * 8 + 16 != sizes * 8) \
                     & (sizes > 0)
                 bad = err | wide | chain
-                return out32, bad, rows.nbytes
+                return out32, bad, pool.nbytes
 
-            fut = pool.submit(_rice_dispatch, rows, start_bits, bs_arr,
-                              ca_arr, bps_arr, sizes, out_shifts, S,
-                              max_bs, NBLK, use_s16, list(lanes))
+            fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
+                                ca_arr, bps_arr, sizes, base_arr,
+                                out_shifts, S, max_bs, NPOOL, use_s16)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["windows"] += 1
             slots = []
@@ -1468,7 +1464,7 @@ class BatchDecoder:
                 slots.append((slot, si, bs, bi, off))
             pending.append((fut, slots))
 
-        pool.shutdown(wait=True)
+        pool_w.shutdown(wait=True)
         resolved = []
         for fut, slots in pending:
             out32, bad, h2d = fut.result()

@@ -81,13 +81,14 @@ def test_fsm_bit_exact_vs_host(rng, name, kw):
     assert all(int(o) * 8 == rb for o, rb in zip(offs, ref_bits))
 
     sizes = list(np.diff(offs)) + [len(view) - int(offs[-1])]
-    NBLK = -(-max(sizes) // (flac_rice.BLK_W * 4)) + 2
-    rows = flac_rice.build_frame_rows(view, offs, sizes, NBLK)
+    NPOOL = flac_rice.pool_blocks_needed(sizes)
+    pool, base_bits = flac_rice.build_frame_pool(
+        [(view, o, sz) for o, sz in zip(offs, sizes)], NPOOL)
     NSAMP = max(192, max(int(b) for b in bs))
     out = flac_rice.flac_frame_entropy(
-        rows, (dbits - offs * 8).astype(np.int32), bs.astype(np.int32),
-        bps.astype(np.int32), ca.astype(np.int32),
-        L=n, NSAMP=NSAMP, nch=d.channels, NBLK_ROW=NBLK)
+        pool, (base_bits + dbits - offs * 8).astype(np.int32),
+        bs.astype(np.int32), bps.astype(np.int32), ca.astype(np.int32),
+        L=n, NSAMP=NSAMP, nch=d.channels, NPOOL=NPOOL)
     assert not np.asarray(out["err"]).any()
     for fi, p in enumerate(ref_frames):
         bsz, cah, res, cf, orr, sh, wa, bpsh = p
@@ -101,7 +102,7 @@ def test_fsm_bit_exact_vs_host(rng, name, kw):
                                       bpsh)
         # frame chain: device end position + align + CRC16 == next start
         if fi + 1 < n:
-            endb = int(out["end_bits"][fi])
+            endb = int(out["end_bits"][fi]) - int(base_bits[fi])
             assert ((endb + 7) // 8) * 8 + 16 == sizes[fi] * 8
 
 
