@@ -1881,6 +1881,13 @@ class BatchDecoder:
         from ..ops import celt_dsp
 
         B = len(decs)
+        for d in decs:
+            # re-probed lanes (bisect recovery) lost the eligibility
+            # stash; recompute — a lane that no longer parses raises
+            # here and the lattice isolates it
+            if not hasattr(d, "_mixed_pkts") and \
+                    not self._opus_mixed_eligible(d):
+                raise AudioFormatError("Opus: lane not mixed-eligible")
         outs = [[] for _ in range(B)]
         gens = [None] * B     # live decode_packet_gen per lane
         nexts = [0] * B       # next packet index per lane
