@@ -44,8 +44,11 @@ BLK_W = 64
 BLK_BITS = BLK_W * 32
 #: samples decoded per rebase; worst-case sample cost is
 #: crossing(10) + unary(<=64) + 1 + remainder(<=32) ~ 107 bits, so
-#: 16 x 107 = 1712 < BLK_BITS keeps the window valid for a whole body
-K_SAMP = 16
+#: 8 x 107 = 856 < BLK_BITS keeps the window valid for a whole body.
+#: The block gathers are measured free, so a small K costs nothing at
+#: runtime — it halves the unrolled scan body, and compile time /
+#: executable size (which load over the dev tunnel) scale with that
+K_SAMP = 8
 
 
 def _u32(x):
@@ -146,22 +149,40 @@ def pool_blocks_needed(nbytes_each) -> int:
 
 
 def build_frame_pool(frames, NPOOL: int):
-    """Host helper: ONE shared [NPOOL, BLK_W] u32 BE pool with each raw
+    """Host helper: ONE shared [nused, BLK_W] u32 BE pool with each raw
     frame at a BLK-aligned offset (upload == compressed bytes + <=255 B
     per-frame alignment).  frames: list of (view, byte_off, nbytes).
-    Returns (pool, base_bits [L] int32 — each frame's first bit)."""
+    Returns (pool, base_bits [L] int32 — each frame's first bit).
+
+    The pool is EXACT-size (only the blocks actually used): upload it
+    as-is so the wire carries just the compressed bytes, then zero-pad
+    to the kernel's bucketed NPOOL shape ON DEVICE with ``pad_pool`` —
+    NPOOL bucketing then costs compile variants nothing on the wire."""
     blk_b = BLK_W * 4
-    pool = np.zeros(NPOOL * blk_b, np.uint8)
+    need = sum(-(-int(nb) // blk_b) for _, _, nb in frames)
+    nused = min(need, max(NPOOL - 2, 0))
+    pool = np.zeros(nused * blk_b, np.uint8)
     base_bits = np.zeros(len(frames), np.int64)
     cur = 0
     for i, (view, off, nb) in enumerate(frames):
-        nb = min(int(nb), (NPOOL - 2 - cur) * blk_b)
+        nb = min(int(nb), (nused - cur) * blk_b)
+        nb = max(nb, 0)
         pool[cur * blk_b : cur * blk_b + nb] = \
             np.frombuffer(view, np.uint8, nb, int(off))
         base_bits[i] = cur * blk_b * 8
         cur += -(-nb // blk_b)
     big = pool.view(">u4").astype(np.uint32)
-    return big.reshape(NPOOL, BLK_W), base_bits
+    return big.reshape(nused, BLK_W), base_bits
+
+
+def pad_pool(pool_dev, NPOOL: int):
+    """Zero-pad an uploaded exact-size pool to the kernel's [NPOOL,
+    BLK_W] shape on device (the trailing zero blocks double as the
+    window-overrun guard).  Runs outside jit as one tiny memset+copy."""
+    n = pool_dev.shape[0]
+    if n >= NPOOL:
+        return pool_dev[:NPOOL]
+    return jnp.pad(pool_dev, ((0, NPOOL - n), (0, 0)))
 
 
 @functools.partial(
@@ -231,14 +252,21 @@ def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
         cval = _sext(_read(buf, lp, sub_bps), sub_bps)
         lp = lp + jnp.where(is_const, sub_bps, 0)
 
-        # warm-up samples (fixed/lpc; order <= 32) — static unroll
-        warm = jnp.zeros((L, 32), jnp.int32)
+        # warm-up samples (fixed/lpc; order <= 32) — fori keeps the
+        # graph small (compile time + executable size load over the
+        # dev tunnel; the loop itself is 32 tiny masked reads)
         need_warm = is_lpc | is_fixed
-        for i in range(32):
+
+        def _warm_body(i, st):
+            warm, lp = st
             take = need_warm & (i < order)
-            v = _sext(_read(buf, lp, sub_bps), sub_bps)
-            warm = warm.at[:, i].set(jnp.where(take, v, warm[:, i]))
-            lp = lp + jnp.where(take, sub_bps, 0)
+            v = jnp.where(take, _sext(_read(buf, lp, sub_bps), sub_bps),
+                          0)
+            return warm.at[:, i].set(v), \
+                lp + jnp.where(take, sub_bps, 0)
+
+        warm, lp = jax.lax.fori_loop(
+            0, 32, _warm_body, (jnp.zeros((L, 32), jnp.int32), lp))
 
         # LPC precision/shift/coeffs
         prec = _read(buf, lp, 4).astype(jnp.int32)
@@ -248,12 +276,14 @@ def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
         shv = _sext(_read(buf, lp, 5), 5)
         shv = jnp.maximum(shv, 0)
         lp = lp + jnp.where(is_lpc, 5, 0)
-        cf = jnp.zeros((L, 32), jnp.int32)
-        for j in range(32):
+        def _coef_body(j, st):
+            cf, lp = st
             take = is_lpc & (j < order)
-            v = _sext(_read(buf, lp, prec), prec)
-            cf = cf.at[:, j].set(jnp.where(take, v, cf[:, j]))
-            lp = lp + jnp.where(take, prec, 0)
+            v = jnp.where(take, _sext(_read(buf, lp, prec), prec), 0)
+            return cf.at[:, j].set(v), lp + jnp.where(take, prec, 0)
+
+        cf, lp = jax.lax.fori_loop(
+            0, 32, _coef_body, (jnp.zeros((L, 32), jnp.int32), lp))
         fixed_cf = jnp.take(
             jnp.asarray(_FIXED_COEF), jnp.clip(order, 0, 4), axis=0)
         cf = jnp.where(is_fixed[:, None],

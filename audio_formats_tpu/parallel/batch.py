@@ -1091,7 +1091,18 @@ class BatchDecoder:
 
         from ..host import native as _native
 
-        if _os.environ.get("AF_TPU_FLAC_DEVICE_RICE") and \
+        # Two grouped FLAC paths, both bit-exact:
+        #  * packed residual planes (default): host Rice walk + packed
+        #    upload; chip chain ~37k x device-resident — fastest
+        #    whenever the host->device link is healthy.
+        #  * device-Rice (AF_TPU_FLAC_DEVICE_RICE=1): host runs only
+        #    the sync index, raw frame bytes upload as-is (wire ==
+        #    compressed, inflation ~1.0) and the FSM decodes on chip
+        #    at ~1.4k x.  Wins end-to-end only on very thin links —
+        #    measured crossover ~40 MB/s uplink (bench.py picks per
+        #    run from its link probe).
+        rice_env = _os.environ.get("AF_TPU_FLAC_DEVICE_RICE")
+        if rice_env not in (None, "", "0") and \
                 _native.get_lib() is not None:
             return self._decode_flac_group_rice(decs, nch, to_device)
         B = len(decs)
@@ -1313,9 +1324,16 @@ class BatchDecoder:
                               (decs, outputs, pending, nch))
         return group if to_device else group.finalize()
 
-    #: shared-pool block buckets for the device-Rice mode (x256 bytes)
-    _RICE_POOL_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384,
-                          32768, 65536, 98304, 131072)
+    #: shared-pool block buckets for the device-Rice mode (x256 bytes).
+    #: VERY coarse on purpose: each (S, NPOOL, NSAMP) combination is a
+    #: separate compile + executable load over the dev tunnel (minutes).
+    #: Pool padding is FREE on the wire — the exact-size pool uploads
+    #: and pads to the bucket on device (flac_rice.pad_pool) — so one
+    #: bucket should cover every full window of a run (the top bucket
+    #: is 134 MB of HBM, trivial against a 16 GB chip)
+    _RICE_POOL_BUCKETS = (1024, 8192, 65536, 524288)
+    #: lane-count buckets (same trade-off; padded lanes decode zeros)
+    _RICE_S_BUCKETS = (64, 512, 1536, 6144, 12288)
 
     def _decode_flac_group_rice(self, decs: List[FlacDecoder], nch: int,
                                 to_device: bool = False):
@@ -1384,13 +1402,14 @@ class BatchDecoder:
                 break
             t_enq = time.perf_counter()
             n_l = len(lanes)
-            S = max(8, 1 << (n_l - 1).bit_length()) if n_l <= 128 \
-                else -(-n_l // 128) * 128
+            S = next((x for x in self._RICE_S_BUCKETS if n_l <= x),
+                     -(-n_l // 12288) * 12288)
             max_bs = max(p[4] for p in lanes)
-            max_bs = -(-max_bs // 1024) * 1024 if max_bs > 192 else 192
+            max_bs = next((x for x in (256, 1024, 4096) if max_bs <= x),
+                          -(-max_bs // 4096) * 4096)
             need = flac_rice.pool_blocks_needed([p[2] for p in lanes])
             NPOOL = next((x for x in self._RICE_POOL_BUCKETS
-                          if need <= x), need)
+                          if need <= x), -(-need // 524288) * 524288)
             pool, base_bits = flac_rice.build_frame_pool(
                 [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
             start_bits = np.zeros(S, np.int32)
@@ -1421,6 +1440,8 @@ class BatchDecoder:
                 (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = _shard_batch(
                     self._mesh, pool, start_bits, bs_arr, bps_arr,
                     ca_arr, out_shifts)
+                # wire carried the exact pool; bucket-pad on device
+                blocks_d = flac_rice.pad_pool(blocks_d, NPOOL)
                 ent = flac_rice.flac_frame_entropy(
                     blocks_d, sb_d, bs_d, bps_d, ca_d,
                     L=S, NSAMP=max_bs, nch=nch, NPOOL=NPOOL)

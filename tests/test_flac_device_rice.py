@@ -4,6 +4,7 @@ subframe mode, and the device-Rice BatchDecoder mode
 (AF_TPU_FLAC_DEVICE_RICE=1: raw-bytes upload + byte-level sync index,
 drflac.d:1149-1242's hot loop on the accelerator) must match the facade."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -84,6 +85,7 @@ def test_fsm_bit_exact_vs_host(rng, name, kw):
     NPOOL = flac_rice.pool_blocks_needed(sizes)
     pool, base_bits = flac_rice.build_frame_pool(
         [(view, o, sz) for o, sz in zip(offs, sizes)], NPOOL)
+    pool = flac_rice.pad_pool(jnp.asarray(pool), NPOOL)
     NSAMP = max(192, max(int(b) for b in bs))
     out = flac_rice.flac_frame_entropy(
         pool, (base_bits + dbits - offs * 8).astype(np.int32),
