@@ -632,6 +632,137 @@ def _opus_mode_gauge():
     return res
 
 
+def bench_mixed_content(mp3, flac):
+    """Scheduler behavior on REALISTIC mixed content: one batch holding
+    normal MP3 + FLAC lanes alongside the real-world straggler types —
+    MPEG-2 intensity-stereo MP3 (minimp3.d:963-1000) and mode-switching
+    Opus (dopus.d:6400) — plus QOA, WAV and Vorbis lanes.  The contract:
+    every lane decodes through a device group (demotions == 0, the
+    mode-switching lanes ride the mixed-mode lockstep group), and the
+    straggler lanes match their per-stream facade decode."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+    from golden import mp3_ref, qoa_ref, vorbis_ref, wav_ref
+
+    rng = np.random.default_rng(5)
+    out = {}
+    streams = list(mp3[:12]) + list(flac[:12])
+    check_idx = []  # (index, facade-vs-batch cross-check)
+
+    # MPEG-2 intensity-stereo MP3 lanes
+    for _ in range(2):
+        frames = []
+        for _f in range(12):
+            ql = np.zeros(576, np.int64)
+            ql[rng.choice(500, 60, replace=False)] = \
+                rng.integers(-40, 41, 60)
+            qr = np.zeros(576, np.int64)
+            qr[rng.choice(96, 25, replace=False)] = \
+                rng.integers(-30, 31, 25)
+            frames.append([[{"q": ql}, {"q": qr}]])
+        check_idx.append(len(streams))
+        streams.append(mp3_ref.build_mp3_mpeg2(
+            frames, channels=2, mode_ext=1, ch1_sfc=2 * 70,
+            ch1_iscf=[1, 3, 5, 2, 4, 6, 1, 2, 3, 4, 5, 6,
+                      1, 2, 3, 4, 5, 6]))
+
+    # QOA + WAV lanes
+    t = np.arange(6000)[:, None]
+    for k in range(3):
+        x = np.clip(np.round(8000 * np.sin(
+            2 * np.pi * (150 + 90 * k) * t * [1, 1.31] / 44100)),
+            -32768, 32767).astype(np.int64)
+        streams.append(qoa_ref.encode(
+            x.astype(np.int16), 44100))
+        streams.append(wav_ref.build_wav(
+            wav_ref.pack_pcm(x, 16), fmt_tag=1, channels=2,
+            sample_rate=44100, bits=16))
+
+    # Vorbis lanes (independent golden fixture)
+    try:
+        fix = vorbis_ref.Fixture(channels=1)
+        frames = []
+        for _ in range(8):
+            r = np.zeros(fix.bs0 // 2)
+            r[rng.choice(len(r), 30, replace=False)] = \
+                rng.integers(-5, 6, 30) * fix.vq_delta
+            frames.append({"posts": [[60, 70, 80, 90]],
+                           "residues": [r], "long": False})
+        streams.append(fix.build(
+            [fix.audio_packet(fr["posts"], fr["residues"])
+             for fr in frames]))
+    except Exception:
+        pass
+
+    # mode-switching Opus lanes (forced SILK/CELT/hybrid tour)
+    n_opus = 0
+    try:
+        import ctypes
+
+        from golden import opus_oracle as O
+        from golden import opus_ref
+        from audio_formats_tpu.models.opus import parse_packet
+
+        lib = O.get_lib()
+        if lib is not None:
+            N = 960
+            npkt = 12
+            tt = np.arange(N * npkt) / 48000.0
+            sig = (6000 * np.sin(2 * np.pi * 220 * tt)
+                   * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * tt))
+                   + 2500 * np.sin(2 * np.pi * 4500 * tt)
+                   + 600 * rng.standard_normal(tt.size))
+            sig = np.clip(sig, -32000, 32000).astype(np.int16)[:, None]
+            enc = O.OracleEncoder(48000, 1, bitrate=24000,
+                                  application=O.OPUS_APPLICATION_AUDIO)
+            FORCE_MODE = 11002  # OPUS_SET_FORCE_MODE (opus_private.h)
+            seq = [1000, 1000, 1000, 1002, 1002, 1002,
+                   1000, 1000, 1001, 1001, 1002, 1000]
+            bw = {1000: O.OPUS_BANDWIDTH_WIDEBAND,
+                  1001: O.OPUS_BANDWIDTH_SUPERWIDEBAND,
+                  1002: O.OPUS_BANDWIDTH_FULLBAND}
+            pkts = []
+            for n in range(npkt):
+                lib.opus_encoder_ctl(ctypes.c_void_p(enc._enc),
+                                     O.OPUS_SET_BANDWIDTH, bw[seq[n]])
+                lib.opus_encoder_ctl(ctypes.c_void_p(enc._enc),
+                                     FORCE_MODE, seq[n])
+                pkts.append((enc.encode(sig[n * N : (n + 1) * N]), N))
+            if len({parse_packet(p)["mode"] for p, _ in pkts}) >= 2:
+                for pre in (312, 120):
+                    check_idx.append(len(streams))
+                    streams.append(opus_ref.build_ogg_opus(
+                        pkts, channels=1, preskip=pre))
+                    n_opus += 1
+    except Exception as e:
+        out["opus_mixed"] = f"error: {e}"
+
+    t0 = time.perf_counter()
+    dec = BatchDecoder(list(streams))
+    res = dec.decode_all()
+    dt = time.perf_counter() - t0
+    out["lanes"] = len(streams)
+    out["audio_s"] = round(dec.stats["decoded_seconds"], 1)
+    out["rtx"] = round(dec.stats["decoded_seconds"] / dt, 1)
+    out["group_demotions"] = dec.stats["group_demotions"]
+    out["lanes_demoted"] = dec.stats.get("lanes_demoted", 0)
+    out["opus_mixed_lanes"] = dec.stats.get("opus_mixed_lanes", 0)
+    out["opus_mixed_expected"] = n_opus
+    # straggler lanes must match their per-stream facade decode
+    worst = 0.0
+    for i in check_idx:
+        s = af.AudioStream()
+        s.open_from_memory(streams[i])
+        ref = s.read_samples_float(10 ** 6)
+        got = np.asarray(res[i])
+        m = min(len(ref), len(got))
+        pk = float(np.abs(ref[:m]).max()) + 1e-12
+        worst = max(worst, float(
+            np.abs(got[:m] - ref[:m]).max()) / pk)
+    out["straggler_rel_vs_facade"] = worst
+    return out
+
+
 def measure_link():
     import jax
 
@@ -705,6 +836,10 @@ def main():
     dl_rtx = dec_np.stats["decoded_seconds"] / (time.perf_counter() - t0)
 
     accuracy = measure_accuracy()
+    try:
+        mixed = bench_mixed_content(mp3, flac)
+    except Exception as e:  # gauge must never kill the bench
+        mixed = {"error": str(e)}
     dsp_rtx = bench_device_dsp_only()
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3, B=1024)
     fres_rtx, fres_bytes, fres_audio = bench_device_resident_flac(
@@ -774,6 +909,9 @@ def main():
                 audio / max(1e-9, best_stats["host_ms"] / 1e3)
                 / max(1, os.cpu_count() or 1), 1),
             "accuracy_vs_golden": accuracy,
+            # realistic mixed-content scheduler gauge (straggler lane
+            # types present; the contract is demotions == 0)
+            "mixed_content": mixed,
             "backend": jax.default_backend(),
         },
     }
