@@ -387,7 +387,12 @@ int af_flac_sync_index(
     int32_t* bps_arr) {
   int64_t expect = state[0];
   int n = 0;
-  while (n < max_frames && off + 16 <= nbytes) {
+  // margin 6 = the minimum validated header (sync2 + meta2 + num1 +
+  // crc1, flac_header_at bounds-checks the rest): a tiny final
+  // constant frame can start within 16 bytes of EOF and must still
+  // index (truncated bodies are caught downstream by the frame
+  // chain / err lattice)
+  while (n < max_frames && off + 6 <= nbytes) {
     int bs, ca, bps, fixed_bs;
     int64_t num;
     int hl = flac_header_at(data, off, nbytes, streaminfo_bps, expect_ch,
@@ -397,7 +402,7 @@ int af_flac_sync_index(
       // resync: search forward for the next candidate
       int64_t q = off + 1;
       int found = 0;
-      while (q + 16 <= nbytes) {
+      while (q + 6 <= nbytes) {
         if (data[q] == 0xFF && (data[q + 1] & 0xFC) == 0xF8) {
           hl = flac_header_at(data, q, nbytes, streaminfo_bps, expect_ch,
                               max_block, expect, &bs, &ca, &bps, &num,
@@ -420,7 +425,7 @@ int af_flac_sync_index(
     // constant subframes can be tiny; be conservative)
     off += hl + 2;
     // search for the next header from here
-    while (off + 16 <= nbytes &&
+    while (off + 6 <= nbytes &&
            !(data[off] == 0xFF && (data[off + 1] & 0xFC) == 0xF8 &&
              flac_header_at(data, off, nbytes, streaminfo_bps, expect_ch,
                             max_block, expect, &bs, &ca, &bps, &num,

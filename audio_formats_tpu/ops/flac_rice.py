@@ -372,7 +372,8 @@ def flac_frame_entropy(blocks, start_bits, bs, bps0, chass,
         rs = jnp.swapaxes(RS, 0, 1).reshape(L, nblk * K_SAMP)[:, :NSAMP]
 
         # assemble: [warm-ups | residuals] with the dynamic order offset
-        rs = _roll_right(rs, wcount, 13)
+        # wcount = LPC order <= 32, so 6 roll stages suffice
+        rs = _roll_right(rs, wcount, 6)
         iota = jnp.arange(NSAMP, dtype=jnp.int32)[None, :]
         warm_exp = jnp.pad(warm, ((0, 0), (0, NSAMP - 32))) \
             if NSAMP > 32 else warm[:, :NSAMP]

@@ -1400,91 +1400,25 @@ class BatchDecoder:
             self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
             if not lanes:
                 break
-            t_enq = time.perf_counter()
-            n_l = len(lanes)
-            S = next((x for x in self._RICE_S_BUCKETS if n_l <= x),
-                     -(-n_l // 12288) * 12288)
-            max_bs = max(p[4] for p in lanes)
-            max_bs = next((x for x in (256, 1024, 4096) if max_bs <= x),
-                          -(-max_bs // 4096) * 4096)
-            need = flac_rice.pool_blocks_needed([p[2] for p in lanes])
-            NPOOL = next((x for x in self._RICE_POOL_BUCKETS
-                          if need <= x), -(-need // 524288) * 524288)
-            pool, base_bits = flac_rice.build_frame_pool(
-                [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
-            start_bits = np.zeros(S, np.int32)
-            bs_arr = np.zeros(S, np.int32)
-            ca_arr = np.zeros(S, np.int32)
-            bps_arr = np.full(S, 16, np.int32)
-            for si, (bi, off, size, rel, bs, ca, bps, chk) in \
-                    enumerate(lanes):
-                start_bits[si] = base_bits[si] + rel
-                bs_arr[si] = bs
-                ca_arr[si] = ca
-                bps_arr[si] = bps
-            base_arr = np.zeros(S, np.int64)
-            base_arr[: n_l] = base_bits
-            sizes = np.zeros(S, np.int64)   # 0 -> chain check skipped
-            sizes[: n_l] = [p[2] if p[7] else 0 for p in lanes]
-            use_s16 = all(decs[bi].bits_per_sample <= 16
-                          for bi, *_ in lanes)
-            out_shifts = np.zeros(S, np.int32)
-            for si, (bi, *_rest) in enumerate(lanes):
-                out_shifts[si] = 32 - decs[bi].bits_per_sample
-
-            def _rice_dispatch(pool, start_bits, bs_arr, ca_arr, bps_arr,
-                               sizes, base_arr, out_shifts, S, max_bs,
-                               NPOOL, use_s16):
-                # every per-window value arrives as an argument (the
-                # enclosing loop rebinds its locals while this runs)
-                (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = _shard_batch(
-                    self._mesh, pool, start_bits, bs_arr, bps_arr,
-                    ca_arr, out_shifts)
-                # wire carried the exact pool; bucket-pad on device
-                blocks_d = flac_rice.pad_pool(blocks_d, NPOOL)
-                ent = flac_rice.flac_frame_entropy(
-                    blocks_d, sb_d, bs_d, bps_d, ca_d,
-                    L=S, NSAMP=max_bs, nch=nch, NPOOL=NPOOL)
-                Ln = S * nch
-                residual = ent["residual"].reshape(Ln, max_bs)
-                coeffs = ent["coeffs"].reshape(Ln, 32)
-                order = ent["order"].reshape(Ln)
-                shift = ent["shift"].reshape(Ln)
-                sub_bps = ent["sub_bps"].reshape(Ln)
-                exact = sub_bps > 16
-                samples = lpc_ops.flac_lpc(
-                    residual, coeffs, order, shift, exact
-                ).reshape(S, nch, max_bs)
-                post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
-                    else lpc_ops.flac_post_stereo_batch
-                out32 = post(samples, ca_d,
-                             ent["wasted"], osh_d)
-                _prefetch(out32, to_device)
-                # sticky lane errors + frame-chain validation (the sync
-                # index is header-validated; a mismatched end position
-                # means a mis-parse — redo those frames on the host)
-                err = np.asarray(ent["err"])
-                endb = np.asarray(ent["end_bits"]).astype(np.int64) \
-                    - base_arr
-                wide = np.asarray(ent["sub_bps"]).max(axis=1) > 18
-                chain = (((endb + 7) // 8) * 8 + 16 != sizes * 8) \
-                    & (sizes > 0)
-                bad = err | wide | chain
-                return out32, bad, pool.nbytes
-
-            fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
-                                ca_arr, bps_arr, sizes, base_arr,
-                                out_shifts, S, max_bs, NPOOL, use_s16)
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["windows"] += 1
-            slots = []
-            for si, (bi, off, size, rel, bs, ca, bps, chk) in \
-                    enumerate(lanes):
-                slot = [None]
-                outputs[bi].append(slot)
-                slots.append((slot, si, bs, bi, off))
-            pending.append((fut, slots))
-
+            # the kernel's bit cursors are int32, so one dispatch's pool
+            # must stay under 2^31 bits — the 524288-block top bucket
+            # (2^30 bits).  Windows wider than that (possible at
+            # GROUP=1024 with 24-bit frames) split into several
+            # dispatches, each int32-safe
+            blk_b = flac_rice.BLK_W * 4
+            chunks, cur, blocks = [], [], 0
+            for p in lanes:
+                nb = -(-p[2] // blk_b)
+                if cur and blocks + nb + 2 > 524288:
+                    chunks.append(cur)
+                    cur, blocks = [], 0
+                cur.append(p)
+                blocks += nb
+            chunks.append(cur)
+            for lanes in chunks:
+                self._rice_dispatch_lanes(
+                    decs, lanes, nch, outputs, pending, pool_w,
+                    to_device)
         pool_w.shutdown(wait=True)
         resolved = []
         for fut, slots in pending:
@@ -1497,12 +1431,104 @@ class BatchDecoder:
                               (decs, outputs, pending, nch))
         return group if to_device else group.finalize()
 
+    def _rice_dispatch_lanes(self, decs, lanes, nch, outputs, pending,
+                             pool_w, to_device):
+        """Build and submit ONE device-Rice dispatch for a lane chunk
+        (pool + per-lane arrays + the worker-thread device call)."""
+        from ..ops import flac_rice
+
+        t_enq = time.perf_counter()
+        n_l = len(lanes)
+        S = next((x for x in self._RICE_S_BUCKETS if n_l <= x),
+                 -(-n_l // 12288) * 12288)
+        max_bs = max(p[4] for p in lanes)
+        max_bs = next((x for x in (256, 1024, 4096) if max_bs <= x),
+                      -(-max_bs // 4096) * 4096)
+        need = flac_rice.pool_blocks_needed([p[2] for p in lanes])
+        NPOOL = next((x for x in self._RICE_POOL_BUCKETS
+                      if need <= x), -(-need // 524288) * 524288)
+        pool, base_bits = flac_rice.build_frame_pool(
+            [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
+        start_bits = np.zeros(S, np.int32)
+        bs_arr = np.zeros(S, np.int32)
+        ca_arr = np.zeros(S, np.int32)
+        bps_arr = np.full(S, 16, np.int32)
+        for si, (bi, off, size, rel, bs, ca, bps, chk) in \
+                enumerate(lanes):
+            start_bits[si] = base_bits[si] + rel
+            bs_arr[si] = bs
+            ca_arr[si] = ca
+            bps_arr[si] = bps
+        base_arr = np.zeros(S, np.int64)
+        base_arr[: n_l] = base_bits
+        sizes = np.zeros(S, np.int64)   # 0 -> chain check skipped
+        sizes[: n_l] = [p[2] if p[7] else 0 for p in lanes]
+        use_s16 = all(decs[bi].bits_per_sample <= 16
+                      for bi, *_ in lanes)
+        out_shifts = np.zeros(S, np.int32)
+        for si, (bi, *_rest) in enumerate(lanes):
+            out_shifts[si] = 32 - decs[bi].bits_per_sample
+
+        def _rice_dispatch(pool, start_bits, bs_arr, ca_arr, bps_arr,
+                           sizes, base_arr, out_shifts, S, max_bs,
+                           NPOOL, use_s16):
+            # every per-window value arrives as an argument (the
+            # enclosing loop rebinds its locals while this runs)
+            (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = _shard_batch(
+                self._mesh, pool, start_bits, bs_arr, bps_arr,
+                ca_arr, out_shifts)
+            # wire carried the exact pool; bucket-pad on device
+            blocks_d = flac_rice.pad_pool(blocks_d, NPOOL)
+            ent = flac_rice.flac_frame_entropy(
+                blocks_d, sb_d, bs_d, bps_d, ca_d,
+                L=S, NSAMP=max_bs, nch=nch, NPOOL=NPOOL)
+            Ln = S * nch
+            residual = ent["residual"].reshape(Ln, max_bs)
+            coeffs = ent["coeffs"].reshape(Ln, 32)
+            order = ent["order"].reshape(Ln)
+            shift = ent["shift"].reshape(Ln)
+            sub_bps = ent["sub_bps"].reshape(Ln)
+            exact = sub_bps > 16
+            samples = lpc_ops.flac_lpc(
+                residual, coeffs, order, shift, exact
+            ).reshape(S, nch, max_bs)
+            post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
+                else lpc_ops.flac_post_stereo_batch
+            out32 = post(samples, ca_d,
+                         ent["wasted"], osh_d)
+            _prefetch(out32, to_device)
+            # sticky lane errors + frame-chain validation (the sync
+            # index is header-validated; a mismatched end position
+            # means a mis-parse — redo those frames on the host)
+            err = np.asarray(ent["err"])
+            endb = np.asarray(ent["end_bits"]).astype(np.int64) \
+                - base_arr
+            wide = np.asarray(ent["sub_bps"]).max(axis=1) > 18
+            chain = (((endb + 7) // 8) * 8 + 16 != sizes * 8) \
+                & (sizes > 0)
+            bad = err | wide | chain
+            return out32, bad, pool.nbytes
+
+        fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
+                            ca_arr, bps_arr, sizes, base_arr,
+                            out_shifts, S, max_bs, NPOOL, use_s16)
+        self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+        self.stats["windows"] += 1
+        slots = []
+        for si, (bi, off, size, rel, bs, ca, bps, chk) in \
+                enumerate(lanes):
+            slot = [None]
+            outputs[bi].append(slot)
+            slots.append((slot, si, bs, bi, off))
+        pending.append((fut, slots))
+
     def _flac_finalize_rice(self, decs, outputs, pending, nch):
         from ..host import native as _native
 
         lib = _native.get_lib()
         t0 = time.perf_counter()
         n_redo = 0
+        corrupt = set()      # lanes whose redo frame fails to parse
         for out32_dev, bad, slots in pending:
             arr = np.asarray(out32_dev)
             self.stats["d2h_bytes"] += arr.nbytes
@@ -1514,7 +1540,17 @@ class BatchDecoder:
                         lib, d._view, off * 8, d.bits_per_sample,
                         nch, 65535)
                     if nat is None:
-                        raise AudioFormatError("FLAC: corrupt frame")
+                        # unparseable frame discovered at finalize time:
+                        # contain to THIS lane.  The facade treats a
+                        # parse failure as end-of-decode (truncation,
+                        # no sticky error — _parse_frame_tensors returns
+                        # None and read() stops, matching drflac's
+                        # fewer-samples-on-damage behavior); batch must
+                        # match, and raising here would abort every
+                        # innocent lane's already-decoded result
+                        corrupt.add(bi)
+                        slot[0] = np.zeros((0, nch), np.int32)
+                        continue
                     samples = lpc_ops.flac_lpc_np(
                         nat["residual"], nat["coeffs"], nat["order"],
                         nat["shift"]).astype(np.int32)
@@ -1532,6 +1568,18 @@ class BatchDecoder:
             self.stats["rice_host_redo"] = \
                 self.stats.get("rice_host_redo", 0) + n_redo
         self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        for bi in corrupt:
+            self.stats["flac_truncated_lanes"] = \
+                self.stats.get("flac_truncated_lanes", 0) + 1
+            # decode stops at the unparseable frame: drop the lane's
+            # slots from there on (slot lists are window-ordered)
+            seen = False
+            for c in outputs[bi]:
+                if isinstance(c, list) and c[0] is not None \
+                        and c[0].shape[0] == 0:
+                    seen = True
+                if seen and isinstance(c, list):
+                    c[0] = np.zeros((0, nch), np.int32)
 
         result = []
         for bi, d in enumerate(decs):
@@ -1952,22 +2000,8 @@ class BatchDecoder:
                 continue
             t_enq = time.perf_counter()
             for (blocks, bs), items in jobs.items():
-                frame = blocks * bs
-                co = np.stack([
-                    p["coeffs"][c, :frame]
-                    for (_, cd, p) in items
-                    for c in range(cd.output_channels)
-                ]).astype(np.float32)
-                tails = np.stack([
-                    cd.buf[c][1024 : 1024 + OVERLAP // 2]
-                    for (_, cd, p) in items
-                    for c in range(cd.output_channels)
-                ]).astype(np.float32)
-                raw, newtail = celt_dsp.celt_imdct_ola(
-                    co, tails, blocks, bs,
-                    scale=items[0][2]["imdct_scale"])
-                raw = np.asarray(raw)
-                newtail = np.asarray(newtail)
+                raw, newtail, nb = self._celt_imdct_bucket(
+                    [(cd, p) for (_, cd, p) in items], blocks, bs)
                 row = 0
                 for (bi, cd, p) in items:
                     k = cd.output_channels
@@ -1975,7 +2009,7 @@ class BatchDecoder:
                         raw[row : row + k].T, newtail[row : row + k].T,
                         p["frame_size"])
                     row += k
-                self.stats["h2d_bytes"] += co.nbytes + tails.nbytes
+                self.stats["h2d_bytes"] += nb
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
             self.stats["windows"] += 1
         result = []
@@ -1996,6 +2030,41 @@ class BatchDecoder:
                 pcm = pcm[: d.length_frames]
             result.append(pcm)
         return result
+
+    @staticmethod
+    def _celt_imdct_bucket(items, blocks, bs):
+        """Bucketed CELT IMDCT + OLA for the lockstep Opus groups: one
+        row per output channel, each packet scaled by ITS OWN
+        imdct_scale — the scale is per-packet (0.5 when a stereo-coded
+        packet downmixes to mono output, models/celt.py:1243-1246), so
+        bucket-mates must not inherit item 0's.
+
+        items: [(celt_decoder, params)] in row order.  Returns
+        (raw [rows, frame], newtail [rows, OVERLAP//2], bytes)."""
+        from ..models.celt import OVERLAP
+        from ..ops import celt_dsp
+
+        frame = blocks * bs
+        co, tails, scales = [], [], []
+        for cd, p in items:
+            for c in range(cd.output_channels):
+                co.append(p["coeffs"][c, :frame])
+                tails.append(cd.buf[c][1024 : 1024 + OVERLAP // 2])
+                scales.append(np.float32(p["imdct_scale"]))
+        co = np.stack(co).astype(np.float32)
+        tails = np.stack(tails).astype(np.float32)
+        sc = np.asarray(scales, np.float32)
+        if np.all(sc == sc[0]):
+            raw, newtail = celt_dsp.celt_imdct_ola(
+                co, tails, blocks, bs, scale=float(sc[0]))
+        else:
+            # mixed scales in one bucket: pre-multiply rows host-side
+            # (0.5/1.0 are exact f32 scalings — bit-identical to the
+            # uniform in-kernel path)
+            raw, newtail = celt_dsp.celt_imdct_ola(
+                co * sc[:, None], tails, blocks, bs)
+        return (np.asarray(raw), np.asarray(newtail),
+                co.nbytes + tails.nbytes)
 
     @staticmethod
     def _hybrid_eligible(d) -> bool:
@@ -2052,6 +2121,12 @@ class BatchDecoder:
         from ..ops.resample import BatchedFittedUpsampler
 
         B = len(decs)
+        for d in decs:
+            # re-probed lanes lost the eligibility stash; recompute (a
+            # still-eligible lane reproduces the same group key)
+            if not hasattr(d, "_silk_lockstep") and \
+                    not self._hybrid_eligible(d):
+                raise AudioFormatError("Opus: lane not hybrid-eligible")
         # hybrid configs 12-15: 10 ms (even) / 20 ms (odd)
         dur_ms = 20 if (config & 1) else 10
         frame48 = dur_ms * 48
@@ -2116,22 +2191,10 @@ class BatchDecoder:
                 ).append(bi)
             raws = {}
             for (blocks, bs), lanes_b in buckets.items():
-                frame_n = blocks * bs
-                co = np.stack([
-                    stash[bi][0]["coeffs"][c, :frame_n]
-                    for bi in lanes_b
-                    for c in range(sds[bi]._celt.output_channels)
-                ]).astype(np.float32)
-                tails = np.stack([
-                    sds[bi]._celt.buf[c][1024 : 1024 + OVERLAP // 2]
-                    for bi in lanes_b
-                    for c in range(sds[bi]._celt.output_channels)
-                ]).astype(np.float32)
-                raw, newtail = celt_dsp.celt_imdct_ola(
-                    co, tails, blocks, bs,
-                    scale=stash[lanes_b[0]][0]["imdct_scale"])
-                raw = np.asarray(raw)
-                newtail = np.asarray(newtail)
+                raw, newtail, nb = self._celt_imdct_bucket(
+                    [(sds[bi]._celt, stash[bi][0]) for bi in lanes_b],
+                    blocks, bs)
+                self.stats["h2d_bytes"] += nb
                 row = 0
                 for bi in lanes_b:
                     k = sds[bi]._celt.output_channels
@@ -2202,6 +2265,12 @@ class BatchDecoder:
         from ..ops.resample import BatchedFittedUpsampler
 
         B = len(decs)
+        for d in decs:
+            # re-probed lanes lost the eligibility stash; recompute (a
+            # still-eligible lane reproduces the same group key)
+            if not hasattr(d, "_silk_lockstep") and \
+                    not self._silk_eligible(d):
+                raise AudioFormatError("Opus: lane not SILK-eligible")
         bw = config // 4
         dur_ms = [10, 20, 40, 60][config & 3]
         frame48 = dur_ms * 48 * nfr          # nfr frames per packet
@@ -2275,6 +2344,14 @@ class BatchDecoder:
         from ..ops import celt_dsp
 
         B = len(decs)
+        for d in decs:
+            # re-probed lanes (bisect recovery) lost the eligibility
+            # stash; recompute — a lane that no longer qualifies raises
+            # here and the lattice isolates it (same recipe as the
+            # mixed-mode group)
+            if not hasattr(d, "_lockstep_packets") and \
+                    not self._opus_eligible(d):
+                raise AudioFormatError("Opus: lane not lockstep-eligible")
         # flatten every lane's packets into frame lists
         lane_frames = []
         for d in decs:
@@ -2306,22 +2383,9 @@ class BatchDecoder:
                     (params["blocks"], params["blocksize"]), []
                 ).append((bi, d, cd, params, n))
             for (blocks, bs), items in buckets.items():
-                frame = blocks * bs
-                co = np.stack([
-                    p["coeffs"][c, :frame]
-                    for (_, d, cd, p, _) in items
-                    for c in range(cd.output_channels)
-                ]).astype(np.float32)
-                tails = np.stack([
-                    cd.buf[c][1024 : 1024 + OVERLAP // 2]
-                    for (_, d, cd, p, _) in items
-                    for c in range(cd.output_channels)
-                ]).astype(np.float32)
-                raw, newtail = celt_dsp.celt_imdct_ola(
-                    co, tails, blocks, bs,
-                    scale=items[0][3]["imdct_scale"])
-                raw = np.asarray(raw)
-                newtail = np.asarray(newtail)
+                raw, newtail, nb = self._celt_imdct_bucket(
+                    [(cd, p) for (_, _, cd, p, _) in items], blocks, bs)
+                self.stats["h2d_bytes"] += nb
                 row = 0
                 for (bi, d, cd, p, n) in items:
                     k = cd.output_channels

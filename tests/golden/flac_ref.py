@@ -231,8 +231,17 @@ def encode_frame(samples: np.ndarray, frame_index: int, sample_rate: int,
 
     body = _BW()
     modes = modes or ["fixed2"] * C
+    # predictor order must not exceed the blocksize (tiny final frames):
+    # fall back to verbatim, the encoder-side rule libFLAC applies
+    def _fit(mode):
+        if mode.startswith("fixed") and int(mode[5:]) > B:
+            return "verbatim"
+        if mode.startswith("lpc") and int(mode[3:]) > B:
+            return "verbatim"
+        return mode
     for c in range(C):
-        _write_subframe(body, chans[c], sub_bps[c], modes[c], **sub_kw)
+        _write_subframe(body, chans[c], sub_bps[c], _fit(modes[c]),
+                        **sub_kw)
     body.align()
     frame = head + bytes(body.bytes)
     return frame + _crc16(frame).to_bytes(2, "big")

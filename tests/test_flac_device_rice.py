@@ -147,3 +147,50 @@ def test_device_rice_corrupt_lane_isolated(rng, monkeypatch):
     for gi in (0, 2):
         assert got[gi] is not None and got[gi].shape == ref.shape
         np.testing.assert_allclose(got[gi], ref, atol=0, rtol=0)
+
+
+def test_device_rice_one_sample_final_frame(rng, monkeypatch):
+    """A 1-sample final frame (legal FLAC; blocksize 1..65535) sits
+    within 16 bytes of EOF — the sync index must still find it
+    (af_host.cc af_flac_sync_index margin) and the lane must stay
+    bit-exact and error-free."""
+    _need_lib()
+    streams = []
+    for i, tail in enumerate((1, 2, 17)):
+        n = 1024 * 3 + tail
+        x = (rng.standard_normal((n, 2)) * 6000).astype(np.int64)
+        streams.append(flac_ref.build_flac(x, 44100, 16,
+                                           block_size=1024))
+    refs = []
+    for data in streams:
+        s = af.AudioStream().open_from_memory(data)
+        assert not s.is_error()
+        refs.append(s.read_samples_float(10 ** 6))
+    monkeypatch.setenv("AF_TPU_FLAC_DEVICE_RICE", "1")
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    assert all(e is None for e in dec.errors)
+    for g, ref, data in zip(got, refs, streams):
+        assert g.shape == ref.shape
+        np.testing.assert_array_equal(g, ref)
+
+
+def test_device_rice_truncation_matches_facade(rng, monkeypatch):
+    """An unparseable mid-stream frame truncates the lane exactly like
+    the facade (drflac's fewer-samples-on-damage, no sticky error) and
+    is counted in stats; clean lanes stay bit-exact."""
+    _need_lib()
+    good = _make(rng)
+    bad = bytearray(_make(rng, n=3000))
+    bad[len(bad) // 2 :] = b"\x55" * (len(bad) - len(bad) // 2)
+    bad = bytes(bad)
+    s = af.AudioStream().open_from_memory(bad)
+    ref_bad = s.read_samples_float(10 ** 6)
+    monkeypatch.setenv("AF_TPU_FLAC_DEVICE_RICE", "1")
+    dec = BatchDecoder([good, bad, good])
+    got = dec.decode_all()
+    np.testing.assert_array_equal(got[1], ref_bad)
+    s = af.AudioStream().open_from_memory(good)
+    ref = s.read_samples_float(10 ** 6)
+    for gi in (0, 2):
+        np.testing.assert_array_equal(got[gi], ref)
