@@ -465,6 +465,25 @@ class OpusStreamDecoder:
         self._delayed = 0
         return fl
 
+    def drain_tail(self, want: int) -> np.ndarray:
+        """EOS drain: `want` more samples from the SILK resampler tail,
+        PLUS the pending hybrid CELT delay FIFO and any unfinished
+        redundancy fade.  These are the samples the reference's
+        delayed_samples bookkeeping defers (dopus.d:6393, FIFO
+        dopus.d:6424-6466); dropping the FIFO here would silence the
+        CELT layer's contribution to the final `delayed` samples of a
+        hybrid stream."""
+        cols = [rs.flush(want) for rs in self._silk_rs]
+        out = np.stack(cols, 1).astype(np.float32)
+        hd = self._celt_hyb_delay
+        if hd.shape[0]:
+            m = min(out.shape[0], hd.shape[0])
+            out[:m] += hd[:m, : out.shape[1]]
+            self._celt_hyb_delay = hd[:0]
+        self._apply_red_carry(out)
+        self._silk_rs = None
+        return out
+
     def decode_packet(self, pk) -> np.ndarray:
         """Single-stream driver: answer each CELT synthesis request from
         decode_packet_gen with the host IMDCT (CeltDecoder.synthesize).
@@ -918,9 +937,7 @@ class OpusDecoder:
                         if sd._silk_rs is not None and \
                                 self._pos < self.length_frames:
                             want = self.length_frames - self._pos
-                            cols = [rs.flush(want) for rs in sd._silk_rs]
-                            drained = np.stack(cols, 1).astype(np.float32)
-                            sd._silk_rs = None
+                            drained = sd.drain_tail(want)
                             break
                     if drained is not None:
                         if drained.shape[1] < self.channels:

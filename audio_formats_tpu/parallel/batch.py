@@ -2018,9 +2018,9 @@ class BatchDecoder:
             total = sum(o.shape[0] for o in outs[bi])
             want = d.preskip + d.length_frames - total
             if want > 0 and sd._silk_rs is not None:
-                # EOS drain of the resampler tail (opus.py read())
-                cols = [rs.flush(want) for rs in sd._silk_rs]
-                tail = np.stack(cols, 1).astype(np.float32)
+                # EOS drain of the resampler tail + hybrid CELT FIFO +
+                # redundancy carry (opus.py drain_tail)
+                tail = sd.drain_tail(want)
                 g = np.float32(d._gain)
                 outs[bi].append(tail * g if d._gain != 1.0 else tail)
             pcm = np.concatenate(outs[bi]) if outs[bi] else \
@@ -2239,6 +2239,15 @@ class BatchDecoder:
                         cols = [rs.flush_row(bi * nch + c, want)
                                 for c in range(nch)]
                         tail = np.stack(cols, 1).astype(np.float32)
+                        # hybrid lanes: add the pending CELT delay FIFO
+                        # + unfinished redundancy fade, as the facade's
+                        # drain_tail does (dopus.d:6424-6466)
+                        hd = sd._celt_hyb_delay
+                        if hd.shape[0]:
+                            m = min(tail.shape[0], hd.shape[0])
+                            tail[:m] += hd[:m, : tail.shape[1]]
+                            sd._celt_hyb_delay = hd[:0]
+                        sd._apply_red_carry(tail)
                         outs[bi].append(
                             tail * g if d._gain != 1.0 else tail)
         result = []

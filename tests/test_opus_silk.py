@@ -553,3 +553,50 @@ def test_mode_switch_batch_equals_facade():
         assert g.shape == ref.shape
         peak = np.abs(ref).max() + 1e-9
         assert np.abs(g - ref).max() / peak < 1e-5
+
+
+@needs_oracle
+def test_hybrid_eos_drain_includes_celt_fifo():
+    """The EOS drain must carry the hybrid CELT delay FIFO (and any
+    unfinished redundancy fade) into the drained tail — not just the
+    SILK resampler flush (dopus.d:6424-6466 delayed-samples timeline).
+    Without it the final `delayed` samples of a hybrid stream lose the
+    CELT layer entirely (measured ~24 dB tail SNR vs libopus; with the
+    FIFO ~33 dB).  Facade and batch must agree."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.models.opus import parse_packet as _pp
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    O = opus_oracle
+    rng = np.random.default_rng(5)
+    N = 960
+    t = np.arange(N * 8) / 48000.0
+    sig = (6000 * np.sin(2 * np.pi * 220 * t) *
+           (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) +
+           2000 * np.sin(2 * np.pi * 5000 * t) +
+           700 * rng.standard_normal(t.size))
+    sig = np.clip(sig, -32000, 32000).astype(np.int16)[:, None]
+    enc = O.OracleEncoder(48000, 1, bitrate=36000,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE,
+                          bandwidth=O.OPUS_BANDWIDTH_FULLBAND)
+    pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N) for n in range(8)]
+    if not {_pp(p)["config"] for p, _ in pkts} <= set(range(12, 16)):
+        pytest.skip("encoder did not emit hybrid packets")
+    dec48 = O.OracleDecoder(48000, 1)
+    g = 10.0 ** (-1024 / 5120.0)
+    ref = np.concatenate([dec48.decode(p) for p, _ in pkts]) * g
+    data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
+    st = af.AudioStream()
+    st.open_from_memory(data)
+    got = st.read_samples_float(st.get_length_in_frames())
+    m = min(len(got), len(ref))
+    tail = slice(m - 300, m)
+    err = got[tail] - ref[tail]
+    snr = 10 * np.log10((ref[tail] ** 2).mean()
+                        / max(1e-20, (err ** 2).mean()))
+    assert snr > 28.0, f"tail SNR {snr:.1f} dB (CELT FIFO dropped?)"
+    bat = BatchDecoder([data]).decode_all()[0]
+    assert bat.shape == got.shape
+    peak = np.abs(got).max() + 1e-9
+    assert np.abs(bat - got).max() / peak < 1e-5
