@@ -2304,6 +2304,14 @@ class BatchDecoder:
                     rd = RangeDecoder(fr)
                     cols.append(silks[bi].decode_superframe(
                         rd, bw, coded, dur_ms))
+                    if rd.tell() + 17 <= len(fr) * 8:
+                        # unconsumed tail = a mode-transition CELT
+                        # redundancy frame (dopus.d:6340): the lockstep
+                        # group cannot splice the 5 ms fade at the
+                        # native rate — demote this lane so the facade
+                        # path decodes it (opus.py SILK-only branch)
+                        raise AudioFormatError(
+                            "Opus: SILK redundancy tail in group")
                 native = np.concatenate(cols, axis=0)
                 X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
             self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3

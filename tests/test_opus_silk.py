@@ -600,3 +600,52 @@ def test_hybrid_eos_drain_includes_celt_fifo():
     assert bat.shape == got.shape
     peak = np.abs(got).max() + 1e-9
     assert np.abs(bat - got).max() / peak < 1e-5
+
+
+@needs_oracle
+def test_silk_redundancy_tail_lane_demotes():
+    """A SILK packet with an unconsumed tail (the facade decodes it as a
+    mode-transition CELT redundancy frame, opus.py SILK-only branch /
+    dopus.d:6340) cannot ride the lockstep SILK group: the lane must
+    demote to the facade path and still match it exactly, while clean
+    lanes stay grouped."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    O = opus_oracle
+    rng = np.random.default_rng(9)
+    N = 960
+    t = np.arange(N * 6) / 48000.0
+    sig = np.clip(6000 * np.sin(2 * np.pi * 220 * t)
+                  + 700 * rng.standard_normal(t.size),
+                  -32000, 32000).astype(np.int16)[:, None]
+    enc = O.OracleEncoder(48000, 1, bitrate=24000,
+                          application=O.OPUS_APPLICATION_VOIP,
+                          signal=O.OPUS_SIGNAL_VOICE,
+                          bandwidth=O.OPUS_BANDWIDTH_WIDEBAND)
+    pkts = []
+    for n in range(6):
+        pkt = enc.encode(sig[n * N : (n + 1) * N])
+        info = parse_packet(pkt)
+        if info["config"] >= 12 or len(info["frames"]) != 1:
+            pytest.skip("encoder did not produce single-frame SILK packets")
+        pkts.append((pkt, N))
+    # graft a fake redundancy tail onto packet 3 of stream B (extra
+    # bytes after the SILK payload read as the redundancy region)
+    tweaked = list(pkts)
+    tweaked[3] = (tweaked[3][0] + bytes(8), N)
+    streams = [opus_ref.build_ogg_opus(pkts, channels=1, preskip=312),
+               opus_ref.build_ogg_opus(tweaked, channels=1, preskip=312),
+               opus_ref.build_ogg_opus(pkts[:4], channels=1, preskip=312)]
+    dec = BatchDecoder(streams)
+    got = dec.decode_all()
+    for data, g in zip(streams, got):
+        st = af.AudioStream()
+        st.open_from_memory(data)
+        ref = st.read_samples_float(st.get_length_in_frames())
+        if g is None:
+            assert st.is_error()
+            continue
+        assert g.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(g - ref).max() / peak < 1e-5
