@@ -930,22 +930,41 @@ class OpusDecoder:
                     break
                 pk = self._reader.next_packet()
                 if pk is None:
-                    # drain the SILK resampler tails so the stream reaches
-                    # its granule-declared length
+                    # drain the SILK resampler tails (+ hybrid CELT
+                    # FIFOs) so the stream reaches its granule-declared
+                    # length — EVERY substream, routed through the same
+                    # channel map as _decode_packet (a 5.1 SILK file
+                    # drains all streams, not stream 0 repeated)
                     drained = None
-                    for sd in self._streams:
-                        if sd._silk_rs is not None and \
-                                self._pos < self.length_frames:
-                            want = self.length_frames - self._pos
-                            drained = sd.drain_tail(want)
-                            break
+                    want = self.length_frames - self._pos
+                    if want > 0 and any(sd._silk_rs is not None
+                                        for sd in self._streams):
+                        outs = []
+                        for sd in self._streams:
+                            k = sd.channels
+                            if sd._silk_rs is not None:
+                                o = sd.drain_tail(want)
+                                if o.shape[0] < want:
+                                    o = np.pad(o, ((0, want - o.shape[0]),
+                                                   (0, 0)))
+                                outs.append(o)
+                            else:
+                                outs.append(np.zeros((want, k),
+                                                     np.float32))
+                        drained = np.zeros((want, self.channels),
+                                           np.float32)
+                        for ch in range(self.channels):
+                            idx = self.channel_map[ch]
+                            if idx == 255:
+                                continue
+                            if idx < 2 * self.n_coupled:
+                                drained[:, ch] = outs[idx // 2][:, idx & 1]
+                            else:
+                                drained[:, ch] = \
+                                    outs[idx - self.n_coupled][:, 0]
                     if drained is not None:
-                        if drained.shape[1] < self.channels:
-                            drained = np.repeat(drained, self.channels,
-                                                axis=1)[:, : self.channels]
                         self._buf = self._maybe_s16(
-                            drained[:, : self.channels]
-                            * np.float32(self._gain))
+                            drained * np.float32(self._gain))
                         self._buf_start = 0
                         continue
                     break

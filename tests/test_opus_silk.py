@@ -649,3 +649,102 @@ def test_silk_redundancy_tail_lane_demotes():
         assert g.shape == ref.shape
         peak = np.abs(ref).max() + 1e-9
         assert np.abs(g - ref).max() / peak < 1e-5
+
+
+@needs_oracle
+def test_multistream_silk_eos_drain():
+    """5.1 SILK multistream: the EOS drain must flush EVERY substream's
+    resampler through the channel map (not repeat stream 0's columns),
+    so the final `delayed` samples of all 6 channels stay correct and
+    the stream reaches its granule-declared length."""
+    import struct
+
+    import audio_formats_tpu as af
+    from audio_formats_tpu.io import ogg as aogg
+
+    O = opus_oracle
+    lib = O.get_lib()
+    lib.opus_multistream_encoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_encoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_encode.restype = ctypes.c_int32
+    lib.opus_multistream_encode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32]
+    lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_decoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_decode_float.restype = ctypes.c_int
+    lib.opus_multistream_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+
+    CH, streams, coupled = 6, 4, 2
+    mapping = (ctypes.c_ubyte * CH)(0, 4, 1, 2, 3, 5)
+    err = ctypes.c_int(0)
+    enc = lib.opus_multistream_encoder_create(
+        48000, CH, streams, coupled, mapping, 2048, ctypes.byref(err))
+    assert err.value == 0
+    lib.opus_multistream_encoder_ctl(ctypes.c_void_p(enc), 4002, 48000)
+    lib.opus_multistream_encoder_ctl(ctypes.c_void_p(enc), 4024, 3001)
+    lib.opus_multistream_encoder_ctl(ctypes.c_void_p(enc), 4008, 1103)
+    rng = np.random.default_rng(3)
+    N, npkt = 960, 6
+    t = np.arange(N * npkt) / 48000.0
+    sig = np.stack(
+        [np.clip(6000 * np.sin(2 * np.pi * (200 + 90 * c) * t)
+                 * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+                 + 300 * rng.standard_normal(t.size), -32000, 32000)
+         for c in range(CH)], 1).astype(np.int16)
+    pkts = []
+    for n in range(npkt):
+        block = np.ascontiguousarray(sig[n * N : (n + 1) * N])
+        out = np.zeros(8000, np.uint8)
+        ln = lib.opus_multistream_encode(
+            ctypes.c_void_p(enc),
+            block.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), N,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+        assert ln > 0
+        pkts.append((bytes(out[:ln]), N))
+    if parse_packet(pkts[2][0])["mode"] != "silk":
+        pytest.skip("encoder did not choose SILK for the substreams")
+    dec = lib.opus_multistream_decoder_create(
+        48000, CH, streams, coupled, mapping, ctypes.byref(err))
+    refs = []
+    for p, _ in pkts:
+        buf = (ctypes.c_uint8 * len(p)).from_buffer_copy(p)
+        o = np.zeros(5760 * CH, np.float32)
+        n = lib.opus_multistream_decode_float(
+            ctypes.c_void_p(dec),
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), len(p),
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 5760, 0)
+        refs.append(o[: n * CH].reshape(n, CH))
+    ref = np.concatenate(refs)
+    head = (b"OpusHead" + bytes([1, CH]) + struct.pack("<H", 312) +
+            struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([1]) +
+            bytes([streams, coupled]) + bytes(mapping))
+    vendor = b"af-tpu"
+    tags = (b"OpusTags" + struct.pack("<I", len(vendor)) + vendor +
+            struct.pack("<I", 0))
+    pages = [aogg.build_page([head], 99, 0, 0, bos=True),
+             aogg.build_page([tags], 99, 1, 0)]
+    g, seq = 0, 2
+    for i, (p, n) in enumerate(pkts):
+        g += n
+        pages.append(aogg.build_page([p], 99, seq, g,
+                                     eos=(i == npkt - 1)))
+        seq += 1
+    st = af.AudioStream()
+    st.open_from_memory(b"".join(pages))
+    out = st.read_samples_float(st.get_length_in_frames())
+    assert out.shape[0] == N * npkt - 312  # reaches granule length
+    refc = ref[312:]
+    m = min(len(out), len(refc))
+    tail = slice(m - 300, m)
+    e = out[tail] - refc[tail]
+    snr = 10 * np.log10((refc[tail] ** 2).mean()
+                        / max(1e-20, (e ** 2).mean()))
+    assert snr > 40.0, f"tail SNR {snr:.1f} dB (per-stream drain broken?)"
