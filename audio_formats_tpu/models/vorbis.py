@@ -689,12 +689,12 @@ class VorbisDecoder:
         br = BitReaderLSB(packet)
         try:
             if br.read(1) != 0:
-                return None, 0  # not an audio packet
+                return None  # not an audio packet
             mode_idx = br.read(ilog(len(self._modes) - 1))
         except AudioFormatError:
-            return None, 0
+            return None
         if mode_idx >= len(self._modes):
-            return None, 0
+            return None
         blockflag, mapping_idx = self._modes[mode_idx]
         m = self._mappings[mapping_idx]
         n = self._bs1 if blockflag else self._bs0

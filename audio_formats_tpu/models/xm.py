@@ -298,15 +298,26 @@ class XmDecoder:
                             d[base + 4 * k : base + 4 * k + 2], "little")
                         value = int.from_bytes(
                             d[base + 4 * k + 2 : base + 4 * k + 4], "little")
-                        env.points.append((frame, value))
-                ins.vol_env.n = d[off + 225]
-                ins.pan_env.n = d[off + 226]
-                ins.vol_env.sustain = d[off + 227]
-                ins.vol_env.loop_start = d[off + 228]
-                ins.vol_env.loop_end = d[off + 229]
-                ins.pan_env.sustain = d[off + 230]
-                ins.pan_env.loop_start = d[off + 231]
-                ins.pan_env.loop_end = d[off + 232]
+                        # spec range is 0..64; the reference keeps raw
+                        # u16 values and feeds value/64 into sqrt-pan
+                        # panning math, which goes NaN for corrupt data
+                        # (libxm.d:2026-2031) — clamp instead (fuzz
+                        # finding)
+                        env.points.append((frame, min(value, 64)))
+                # num_points is clamped to the 12-slot array like the
+                # reference (libxm.d:720-725); the sustain/loop indices
+                # are raw u8 there and index the fixed array unchecked
+                # (UB for >=12 in a release build, libxm.d:1987-2008) —
+                # clamp them instead of replicating the out-of-bounds
+                # read (fuzz finding)
+                ins.vol_env.n = min(d[off + 225], 12)
+                ins.pan_env.n = min(d[off + 226], 12)
+                ins.vol_env.sustain = min(d[off + 227], 11)
+                ins.vol_env.loop_start = min(d[off + 228], 11)
+                ins.vol_env.loop_end = min(d[off + 229], 11)
+                ins.pan_env.sustain = min(d[off + 230], 11)
+                ins.pan_env.loop_start = min(d[off + 231], 11)
+                ins.pan_env.loop_end = min(d[off + 232], 11)
                 vt, pt = d[off + 233], d[off + 234]
                 ins.vol_env.enabled = bool(vt & 1)
                 ins.vol_env.sustain_on = bool(vt & 2)
@@ -1004,9 +1015,11 @@ class XmDecoder:
                 y = ch.tremor_param & 0x0F
                 ch.tremor_on = ((t - 1) % (x + y + 2)) > x
 
-            panning = ch.panning + (
+            # clamp into sqrt's domain: the reference's sqrtf goes NaN
+            # when corrupt panning data escapes [0,1] (libxm.d:2026-2031)
+            panning = min(1.0, max(0.0, ch.panning + (
                 ch.panning_envelope_panning - 0.5
-            ) * (0.5 - abs(ch.panning - 0.5)) * 2.0
+            ) * (0.5 - abs(ch.panning - 0.5)) * 2.0))
             if ch.tremor_on:
                 volume = 0.0
             else:

@@ -60,7 +60,8 @@ def build_xm(patterns, order, instruments, channels=4, linear=True,
             ihdr += bytes([len(pts)])  # num vol points
             ihdr += bytes([0])  # num pan points
             ihdr += bytes([(vol_env or {}).get("sustain", 0)])
-            ihdr += bytes([0, 0])  # vol loop start/end
+            ihdr += bytes([(vol_env or {}).get("loop_start", 0),
+                           (vol_env or {}).get("loop_end", 0)])
             ihdr += bytes([0, 0, 0])  # pan sustain/loop
             vtype = 0
             if vol_env:

@@ -188,3 +188,36 @@ def test_unused_floor0_config_tolerated(rng):
     data = _encode(fix0, frames)
     out = _open(data).read_samples_float(10 ** 6)
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-7)
+
+
+def test_non_audio_packet_mid_stream_skipped(rng):
+    """A packet whose first bit marks it non-audio (or whose mode index
+    is out of range) must be SKIPPED mid-stream, not crash the read —
+    stb_vorbis treats it as invalid and resynchronizes
+    (stb_vorbis2.d:2300 vorbis_decode_initial returning false).
+    Regression: the entropy stage returned a (None, 0) tuple that the
+    caller then subscripted (fuzz finding)."""
+    fix = vorbis_ref.Fixture(channels=1)
+    frames = _mk_frames(fix, rng, 6)
+    packets = [
+        fix.audio_packet(fr["posts"], fr["residues"])
+        for fr in frames
+    ]
+    ref = _open(fix.build(packets)).read_samples_float(10 ** 6)
+    pre = _open(fix.build(packets[:3])).read_samples_float(10 ** 6)
+    # splice a non-audio (type-odd first bit) packet mid-stream: it must
+    # be skipped; the stream stays decodable and the pre-junk prefix is
+    # untouched.  (A garbage packet whose first bit is 0 decodes as a
+    # garbage AUDIO packet — also crash-free, but alters PCM, so only
+    # the odd-bit case checks sample equality.)
+    bad = packets[:3] + [(bytes([0x01, 0x55]), 0)] + packets[3:]
+    out = _open(fix.build(bad)).read_samples_float(10 ** 6)
+    assert np.isfinite(np.asarray(out)).all()
+    k = len(pre)
+    assert k > 0 and len(out) >= k
+    np.testing.assert_allclose(out[:k], ref[:k], rtol=0, atol=1e-7)
+    # garbage audio-typed packet: crash-free, finite output (regression:
+    # the entropy stage returned a (None, 0) tuple on a bad mode index)
+    bad2 = packets[:3] + [(bytes([0xFE]), 0)] + packets[3:]
+    out2 = _open(fix.build(bad2)).read_samples_float(10 ** 6)
+    assert np.isfinite(np.asarray(out2)).all()

@@ -235,3 +235,34 @@ def test_linear_interpolation_switch():
         assert d3.linear_interpolation is True
     finally:
         DEFAULT_CODEC_CONFIG.xm_linear_interpolation = False
+
+
+def test_envelope_loop_indices_out_of_range():
+    """Corrupt sustain/loop point indices (raw u8 in the file) must be
+    clamped at load: the reference indexes its fixed 12-slot points
+    array unchecked (libxm.d:1987-2008, UB in release builds) — here
+    the file must still open and play without raising (fuzz finding)."""
+    data = _simple_xm(vol_env={
+        "points": [(0, 64), (16, 32), (32, 0)],
+        "sustain_on": True, "sustain": 250,
+        "loop_on": True, "loop_start": 200, "loop_end": 255,
+    }, fadeout=1024)
+    s = _open(data)
+    out = s.read_samples_float(2000)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_envelope_values_out_of_range_clamped():
+    """Envelope point values are u16 in the file but spec-ranged 0..64;
+    corrupt values must clamp at load — the reference divides the raw
+    value by 64 and feeds the result into sqrt-panning math, which goes
+    NaN on corrupt data (libxm.d:2026-2031).  Output must stay finite
+    and at unity envelope volume (fuzz finding)."""
+    data = _simple_xm(vol_env={
+        "points": [(0, 60000), (16, 65535), (32, 64)],
+        "sustain_on": False, "loop_on": False,
+    }, fadeout=0)
+    s = _open(data)
+    out = np.asarray(s.read_samples_float(2000))
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.0 + 1e-6
