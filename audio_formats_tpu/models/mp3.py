@@ -897,6 +897,11 @@ class Mp3Decoder:
         h = view[off : off + 4]
         if not _hdr_compare(self._hdr0, h):
             return None, 0
+        if (1 if _is_mono(h) else 2) != self.channels:
+            # mid-stream channel change: the reference stops the
+            # read with MP3D_E_DECODE (minimp3_ex.d:411-414) —
+            # header compare does not cover the mode bits
+            return None, 0
         fb = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
         if off + fb > len(view):
             return None, 0
@@ -1129,6 +1134,11 @@ class Mp3Decoder:
         view = self._view
         h = view[off : off + 4]
         if not _hdr_compare(self._hdr0, h):
+            return None, 0
+        if (1 if _is_mono(h) else 2) != self.channels:
+            # mid-stream channel change: the reference stops the
+            # read with MP3D_E_DECODE (minimp3_ex.d:411-414) —
+            # header compare does not cover the mode bits
             return None, 0
         fb = _hdr_frame_bytes(h, self._free_format_bytes) + _hdr_padding(h)
         if off + fb > len(view):

@@ -146,6 +146,7 @@ def qoa_decode_pallas(history, weights, dequantized, interpret=False):
     return out[:, :L].T
 
 
+@jax.jit
 def decode_slices(history, weights, scalefactors, codes):
     """Decode QOA slices: dequantize 3-bit codes then run the LMS scan.
 

@@ -67,7 +67,7 @@ def _mp3_master(rng, seconds, channels=2):
 
 
 def _mp3_frame_offsets(data):
-    """Byte offsets of每 frame header (golden builder emits no padding, but
+    """Byte offsets of every frame header (golden builder emits no padding, but
     scan real headers to stay robust)."""
     offs = []
     off = 0
@@ -406,6 +406,94 @@ def bench_device_resident_flac(flac_streams, B=512, W=12, reps=4):
     t_hi = min(run(hi) for _ in range(2))
     dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
     return audio / dt, packed.nbytes + warm.nbytes, audio
+
+
+QOA_CORPUS_PATH = f"/tmp/af_tpu_bench_qoa_{CORPUS_VERSION}.pkl"
+
+
+def bench_device_resident_qoa(B=32, secs=10, reps=6):
+    """Full QOA decode with slice payloads RESIDENT on device: QOA's
+    entropy layer is fixed-layout bit unpacking (staged once), so the
+    batched LMS predictor scan (ops/lms.py) IS the complete decode —
+    this is the chip's whole-format rate for the qoa.d:455-534 hot
+    loop, complementing the MP3/FLAC rows."""
+    import jax
+
+    from audio_formats_tpu import models
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu.ops import lms as lms_ops
+    from audio_formats_tpu.parallel.encode import encode_qoa_batch
+
+    if os.path.exists(QOA_CORPUS_PATH):
+        with open(QOA_CORPUS_PATH, "rb") as f:
+            streams = pickle.load(f)
+    else:
+        rng = np.random.default_rng(11)
+        n = secs * 44100
+        t = np.arange(n) / 44100.0
+        pcms = []
+        for i in range(8):  # 8 distinct stereo masters, lanes repeat them
+            x = np.stack([
+                0.3 * np.sin(2 * np.pi * (180 + 23 * i) * t)
+                + 0.02 * rng.standard_normal(n),
+                0.25 * np.sin(2 * np.pi * (240 + 31 * i) * t)
+                + 0.02 * rng.standard_normal(n),
+            ], 1).astype(np.float32)
+            pcms.append(np.clip(x, -1, 1))
+        streams = encode_qoa_batch(pcms, 44100)
+        with open(QOA_CORPUS_PATH, "wb") as f:
+            pickle.dump(streams, f)
+    pool = list(streams)
+    while len(pool) < B:
+        pool += list(streams)
+    decs = [models.probe_all(MemorySource(q)) for q in pool[:B]]
+    FULL_S = 256
+    H, Wt, SF, CD = [], [], [], []
+    audio = 0.0
+    for d in decs:
+        pos = d._byte_pos
+        while True:
+            p = d._parse_frame_at(pos)
+            if p is None:
+                break
+            h, w, sf, codes, f_samples, f_size = p
+            S = sf.shape[1]
+            if S < FULL_S:
+                sf = np.pad(sf, ((0, 0), (0, FULL_S - S)))
+                codes = np.pad(codes, ((0, 0), (0, FULL_S - S), (0, 0)))
+            H.append(h)
+            Wt.append(w)
+            SF.append(sf.astype(np.int8))
+            CD.append(codes.astype(np.int8))
+            audio += f_samples / 44100.0
+            pos += f_size
+    hist = np.concatenate(H).astype(np.int32)
+    wts = np.concatenate(Wt).astype(np.int32)
+    sf8 = np.concatenate(SF)
+    cd8 = np.concatenate(CD)
+    L = hist.shape[0]
+    Lp = -(-L // 1024) * 1024
+    hp = np.zeros((Lp, 4), np.int32)
+    wp = np.zeros((Lp, 4), np.int32)
+    sp = np.zeros((Lp, FULL_S), np.int8)
+    cp = np.zeros((Lp, FULL_S, 20), np.int8)
+    hp[:L], wp[:L], sp[:L], cp[:L] = hist, wts, sf8, cd8
+    args = [jax.device_put(a) for a in (hp, wp, sp, cp)]
+    out = lms_ops.decode_slices(*args)
+    _ = np.asarray(out[0, 0])
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = lms_ops.decode_slices(*args)
+        _ = np.asarray(out[0, 0])
+        return time.perf_counter() - t0
+
+    lo, hi = reps, reps * 3
+    t_lo = min(run(lo) for _ in range(2))
+    t_hi = min(run(hi) for _ in range(2))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
+    return audio / dt, hp.nbytes + wp.nbytes + sp.nbytes + cp.nbytes, audio
 
 
 def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
@@ -850,6 +938,10 @@ def main():
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3, B=1024)
     fres_rtx, fres_bytes, fres_audio = bench_device_resident_flac(
         flac, B=512)
+    try:
+        qres_rtx, qres_bytes, qres_audio = bench_device_resident_qoa()
+    except Exception as e:  # auxiliary row must never kill the bench
+        qres_rtx, qres_bytes, qres_audio = 0.0, 0, 0.0
     # aggregate device-resident MP3+FLAC: the BASELINE.md metric shape,
     # measured at the chip — per-format window rates extrapolated to the
     # CORPUS audio proportions (512 MP3 + 512 FLAC streams), so the mix
@@ -902,13 +994,16 @@ def main():
             # the chip's true rate, independent of the dev tunnel weather
             "device_resident_full_decode_rtx_mp3_b1024": round(res_rtx, 2),
             "device_resident_full_decode_rtx_flac_b512": round(fres_rtx, 2),
+            "device_resident_full_decode_rtx_qoa_b32": round(qres_rtx, 2),
             # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
             # corpus-audio weighted
             "device_resident_full_decode_rtx_agg_b1024": round(agg_rtx, 2),
             "device_resident_window": {
                 "bytes": res_bytes, "audio_s": round(res_audio, 1),
                 "flac_bytes": fres_bytes,
-                "flac_audio_s": round(fres_audio, 1)},
+                "flac_audio_s": round(fres_audio, 1),
+                "qoa_bytes": qres_bytes,
+                "qoa_audio_s": round(qres_audio, 1)},
             # host entropy stage rate per core (the host-side ceiling:
             # a real multi-core host scales this by its parse-pool width)
             "host_stage_rtx_per_core": round(

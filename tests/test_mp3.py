@@ -392,3 +392,53 @@ def test_native_index_matches_python(rng, monkeypatch):
         assert np.array_equal(d1._index_offsets, d2._index_offsets), i
         assert np.array_equal(d1._index_samples, d2._index_samples), i
         assert d1._total_samples == d2._total_samples, i
+
+
+def test_mid_stream_channel_change_truncates(rng):
+    """A mono frame spliced into a stereo stream must STOP the read at
+    that frame (the reference's MP3D_E_DECODE channel-change stop,
+    minimp3_ex.d:411-414) — never index out of bounds (fuzz finding).
+    The samples before the splice decode normally."""
+    from audio_formats_tpu.models.mp3 import _hdr_frame_bytes, _hdr_padding
+
+    def frames_of(q_seed, n, channels):
+        frames = []
+        for i in range(n):
+            grs = []
+            for g in range(2):
+                q = np.zeros(576, np.int64)
+                idx = rng.choice(300, 20, replace=False)
+                q[idx] = rng.integers(-30, 31, 20)
+                grs.append([{"q": q, "global_gain": 214}
+                            for _ in range(channels)])
+            frames.append(grs)
+        return mp3_ref.build_mp3(frames, channels=channels)
+
+    stereo = frames_of(1, 8, 2)
+    mono = frames_of(2, 2, 1)
+
+    def frame_slices(data):
+        offs, off = [], 0
+        while off + 4 <= len(data):
+            fb = _hdr_frame_bytes(data[off : off + 4], 0) + \
+                _hdr_padding(data[off : off + 4])
+            if fb <= 4:
+                break
+            offs.append((off, off + fb))
+            off += fb
+        return offs
+
+    so = frame_slices(stereo)
+    mo = frame_slices(mono)
+    assert len(so) >= 6 and len(mo) >= 1
+    spliced = stereo[: so[4][0]] + mono[mo[0][0] : mo[0][1]] \
+        + stereo[so[4][0] :]
+    s = AudioStream().open_from_memory(spliced)
+    if s.is_error():
+        return  # rejecting the stream outright is also reference-legal
+    out = np.asarray(s.read_samples_float(10 ** 6))
+    assert np.isfinite(out).all()
+    # clean reference: the stream decoded without the splice
+    ref = np.asarray(AudioStream().open_from_memory(stereo)
+                     .read_samples_float(10 ** 6))
+    assert out.shape[0] <= ref.shape[0]
