@@ -825,13 +825,21 @@ def bench_mixed_content(mp3, flac):
     except Exception as e:
         out["opus_mixed"] = f"error: {e}"
 
+    # first pass compiles the small-batch bucket variants and carries
+    # the correctness checks; the second, warm pass is the honest
+    # steady-state rate for a service decoding mixed content
     t0 = time.perf_counter()
     dec = BatchDecoder(list(streams))
     res = dec.decode_all()
+    dt_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec = BatchDecoder(list(streams))
+    dec.decode_all()
     dt = time.perf_counter() - t0
     out["lanes"] = len(streams)
     out["audio_s"] = round(dec.stats["decoded_seconds"], 1)
     out["rtx"] = round(dec.stats["decoded_seconds"] / dt, 1)
+    out["rtx_cold"] = round(dec.stats["decoded_seconds"] / dt_cold, 1)
     out["group_demotions"] = dec.stats["group_demotions"]
     out["lanes_demoted"] = dec.stats.get("lanes_demoted", 0)
     out["opus_mixed_lanes"] = dec.stats.get("opus_mixed_lanes", 0)
