@@ -274,12 +274,37 @@ def _extract(a, b, c, o, width):
     return jnp.where(w > 0, val, jnp.uint32(0))
 
 
+_SUM_CHUNK = 64  # measured XLA fusion threshold (v5e): a [L, R] compare
+# intermediate with L·R beyond ~6M elements is materialized to HBM and the
+# step cost jumps ~40x (2 -> 87 us/step at L=98304, R=512); chunking the
+# reduction through a fori_loop keeps every [L, 64] slab fused in
+# VMEM/registers and runs at the VPU compute floor (measured 7 ms vs 12+ ms
+# for the one-shot sum on the 98304x512x192-step window, and vs 24 ms for a
+# Python-unrolled chunk loop, which XLA re-fuses into the materialized form)
+
+
 def _interval_sum(key, starts, d_pack):
     """ONE packed sum: Σ_r (key >= s_r)·Δ_r, telescoping to the packed
-    (ln, payload) value — the R-linear term is the FSM's dominant cost,
-    so halving the selects/adds here is the main lever."""
-    ge = key[:, None] >= starts[None, :]
-    return jnp.sum(jnp.where(ge, d_pack[None, :], 0), axis=1)
+    (ln, payload) value — this sum is the FSM's dominant cost term.
+    Bit-exact regardless of chunking: integer additions in chunk order."""
+    R = starts.shape[0]
+    if R <= _SUM_CHUNK:
+        ge = key[:, None] >= starts[None, :]
+        return jnp.sum(jnp.where(ge, d_pack[None, :], 0), axis=1)
+    n_chunks = -(-R // _SUM_CHUNK)
+    pad = n_chunks * _SUM_CHUNK - R
+    if pad:  # pad with +inf starts (never taken) / zero deltas
+        starts = jnp.concatenate(
+            [starts, jnp.full(pad, 0x7FFFFFFF, starts.dtype)])
+        d_pack = jnp.concatenate([d_pack, jnp.zeros(pad, d_pack.dtype)])
+    sr = starts.reshape(n_chunks, _SUM_CHUNK)
+    dr = d_pack.reshape(n_chunks, _SUM_CHUNK)
+
+    def body(c, acc):
+        ge = key[:, None] >= sr[c][None, :]
+        return acc + jnp.sum(jnp.where(ge, dr[c][None, :], 0), axis=1)
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(key))
 
 
 # --------------------------------------------------------------- the decoder
@@ -386,8 +411,12 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
         pos = jnp.minimum(pos + jnp.where(active, adv, 0), max_pos)
         # complete tables have no gaps: ln==0 only on the empty table
         # (x=y=0, consumes nothing) — that is minimp3's table-0 behavior
-        outx = jnp.where(active, jnp.where(xneg, -xv, xv), 0)
-        outy = jnp.where(active, jnp.where(yneg, -yv, yv), 0)
+        # i16 outputs: |value| <= 15 + 2^13 (linbits) = 8207, and the
+        # narrower stacked [NBIG, L] planes halve the assembly traffic
+        outx = jnp.where(active, jnp.where(xneg, -xv, xv), 0) \
+            .astype(jnp.int16)
+        outy = jnp.where(active, jnp.where(yneg, -yv, yv), 0) \
+            .astype(jnp.int16)
         return (pos, err), (outx, outy)
 
     pos0 = bit_start.astype(jnp.int32)
@@ -431,7 +460,8 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
             hasbit = ((vmask >> (3 - s)) & 1) == 1
             take = pv & hasbit
             sbit = _extract(a, b, c, o, take.astype(jnp.int32))
-            outs.append(jnp.where(take, jnp.where(sbit == 1, -1, 1), 0))
+            outs.append(jnp.where(
+                take, jnp.where(sbit == 1, -1, 1), 0).astype(jnp.int8))
             o = o + take.astype(jnp.int32)
         pos = jnp.minimum(
             jnp.where(act, pos + (o - sh.astype(jnp.int32)), pos), max_pos
@@ -460,7 +490,8 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
             c1,
         )
     iota = jnp.arange(576, dtype=jnp.int32)[None, :]
-    q = jnp.where(iota < (2 * bv)[:, None], qb, c1)
+    q = jnp.where(iota < (2 * bv)[:, None],
+                  qb.astype(jnp.int32), c1.astype(jnp.int32))
     return q, err
 
 
