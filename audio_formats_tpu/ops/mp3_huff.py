@@ -467,14 +467,17 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
             jnp.where(act, pos + (o - sh.astype(jnp.int32)), pos), max_pos
         )
         stopped = stopped | (~bit_ok) | (s0 + 2 >= tw)
-        return (pos, stopped), jnp.stack(outs, axis=-1)
+        # four SEPARATE [L] planes: a per-step [L, 4] stack tiles as
+        # (sublane, 4-wide lane) on TPU — 32x write padding per step
+        return (pos, stopped), tuple(outs)
 
     (pos, stopped), C1 = jax.lax.scan(
         c1_step, (pos, jnp.zeros(L, bool)),
         jnp.arange(NC1, dtype=jnp.int32),
         unroll=4,
     )
-    c1 = jnp.swapaxes(C1, 0, 1).reshape(L, NC1 * 4)
+    # interleave the 4 planes once: [L, NC1, 4] -> [L, NC1*4]
+    c1 = jnp.stack([o.T for o in C1], axis=-1).reshape(L, NC1 * 4)
     if NC1 * 4 < 576:
         c1 = jnp.pad(c1, ((0, 0), (0, 576 - NC1 * 4)))
     # place count1 output at sample offset 2·bv: binary-decomposed roll
@@ -515,15 +518,14 @@ def dequant(q, scfq, pattern, pats: tuple):
 @functools.partial(jax.jit, static_argnames=("spats",))
 def reorder_short(xq, pattern, spats: tuple):
     """Apply the short-block reorder for the present short patterns as
-    permutation matmuls (exact; a per-lane gather would be ~40× slower)."""
+    STATIC column permutations + select (exact, two passes over [L, 576]
+    per pattern).  A per-lane dynamic gather would be ~40× slower; the
+    round-2 permutation MATMUL was exact too but cost an f32-HIGHEST
+    [576,576] contraction per pattern (~6 bf16 MXU passes)."""
     for p in spats:
-        m = (pattern == p)[:, None]
-        xq = jnp.where(
-            m,
-            jnp.dot(jnp.where(m, xq, 0.0), jnp.asarray(_perm_matrix(p)),
-                    precision=jax.lax.Precision.HIGHEST),
-            xq,
-        )
+        perm = jnp.asarray(np.argmax(_perm_matrix(p), axis=0))
+        xq = jnp.where((pattern == p)[:, None],
+                       jnp.take(xq, perm, axis=1), xq)
     return xq
 
 

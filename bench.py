@@ -258,6 +258,11 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
         mw_max = max(mw_max, mw)
     Wb = next(w for w in (16, 32, 64, LW) if mw_max <= w)
     live = meta[:, :, 2] > 0
+    # content-sized scan buckets — the production scheduler's plan
+    # (batch.py uses scan_buckets too; spec maxima would pay 288+144
+    # steps where this corpus needs far fewer)
+    nbig_b, nc1_b = mp3_huff.scan_buckets(
+        meta[:, :, 3][live], mp3_huff.TOTAL_W[meta[:, :, 10][live]])
     pats = tuple(sorted(int(p) for p in np.unique(meta[:, :, 10][live])))
     cids = {int(mp3_huff.CODE_ID[t])
             for t in np.unique(meta[:, :, 6:9][live])}
@@ -288,7 +293,7 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
     na = jax.device_put(n_act)
     pcm, overlap, shist = mp3_huff.packed_window_blob(
         blob_d, overlap, shist, na, pats=pats, spats=spats,
-        L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
+        L=L, Wb=Wb, R=R, B=B, G=G, nch=nch, NBIG=nbig_b, NC1=nc1_b)
     _ = np.asarray(pcm[0, 0, 0, 0])
 
     def run(k):
@@ -297,7 +302,8 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
         for _ in range(k):
             pcm, o2, s2 = mp3_huff.packed_window_blob(
                 blob_d, overlap, shist, na, pats=pats, spats=spats,
-                L=L, Wb=Wb, R=R, B=B, G=G, nch=nch)
+                L=L, Wb=Wb, R=R, B=B, G=G, nch=nch,
+                NBIG=nbig_b, NC1=nc1_b)
             overlap, shist = o2, s2
         _ = np.asarray(pcm[0, 0, 0, 0])
         return time.perf_counter() - t0
