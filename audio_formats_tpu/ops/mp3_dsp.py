@@ -338,20 +338,20 @@ def mp3_window_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     xb = jnp.concatenate(
         [new_top, xb[..., 8:10], new_bot[..., ::-1]], axis=-1
     )
-    # IMDCT: ONE matmul against all four window matrices side by side
-    # (K=18 → N=144), then a per-band one-hot select-sum.  Outputs
-    # pcm(18) ‖ ov'(18) per window type.
-    matcat = mats.transpose(1, 0, 2).reshape(18, 4 * 36)  # [18, w*36]
-    out_all = jnp.einsum(
-        "bgcki,iwj->bgckwj",
-        xb,
-        matcat.reshape(18, 4, 36),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, G, nch, 32, 4, 36]
-    oh = (
-        wtype[..., None] == jnp.arange(4)[None, None, None, None, :]
-    )  # [B, G, nch, 32, 4]
-    out = jnp.sum(jnp.where(oh[..., None], out_all, 0.0), axis=-2)
+    # IMDCT: per window type, MASK the coefficients and accumulate the
+    # [18]→[36] matmul — four K=18 matmuls into one [.., 36] buffer.
+    # (Computing all four types side by side and selecting after
+    # materialized a [B,G,nch,32,4,36] intermediate — 1.8 GB at the
+    # production window — for 4x the memory traffic.)  HIGH precision:
+    # 3-pass bf16 MXU (~1e-7 rel) — well inside the 1e-4 contract,
+    # 2x the rate of HIGHEST's 6-pass f32 emulation.
+    out = jnp.zeros(xb.shape[:4] + (36,), jnp.float32)
+    for w in range(4):
+        xw = jnp.where((wtype == w)[..., None], xb, 0.0)
+        out = out + jnp.einsum(
+            "bgcki,ij->bgckj", xw, mats[w],
+            precision=jax.lax.Precision.HIGH,
+        )
     Y = out[..., :18]   # U(w_g)·c_g
     OV = out[..., 18:]  # V(w_g)·c_g = overlap emitted by granule g
     # OLA: granule g adds the PREVIOUS granule's overlap (carried at g=0)
@@ -363,6 +363,11 @@ def mp3_window_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     idx = n_act.reshape(B, 1, 1, 1, 1).astype(jnp.int32)
     new_overlap = jnp.take_along_axis(ov_stack, idx, axis=1)[:, 0]
     # frequency inversion + to slot layout [B, nch, G*18, 32]
+    # (an A/B of a band-major formulation that folded the signs and the
+    # slot relayout into split Toeplitz matrices measured WORSE fused —
+    # 101 vs 93 ms blocked at the production window: XLA's layout
+    # assignment already absorbs these transposes into the dot operands,
+    # while the explicit prev-granule concat added a real pass)
     S = jnp.swapaxes(grb, -1, -2) * _SIGN_T[None, None, None]
     S = jnp.swapaxes(S, 1, 2).reshape(B, nch, ngr * 18, 32)
     Sfull = jnp.concatenate([shist, S], axis=2)  # [B, nch, 16+18G, 32]
@@ -375,7 +380,7 @@ def mp3_window_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     pcm = jnp.dot(
         Swin.reshape(B * nch * ngr, 34 * 32),
         jnp.asarray(SYNTH_TOEPLITZ),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     pcm = pcm.reshape(B, nch, ngr, 18, 32)
     pcm = jnp.swapaxes(pcm, 1, 2).reshape(B, ngr, nch, 576)
