@@ -734,7 +734,7 @@ def packed_device_stage(bits, meta16, scfq, starts, d_pack,
 # one execute per window.
 
 def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0,
-                IST: bool = False, nch: int = 2):
+                IST: bool = False, nch: int = 2, PB: bool = False):
     """Static u32 offsets for the window blob.
 
     With Lb > 0 the bit rows ship SPLIT: a tight [L, Wb] plane plus an
@@ -745,11 +745,20 @@ def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0,
     Lb == 0 layout) uploads ~4x the real payload; the split plane cuts
     h2d traffic to near the compressed size.
 
+    With PB (pooled bits) the blob carries NO bit plane at all: the lane
+    bit rows ship as ONE exact-size u32 pool in a separate upload (each
+    lane's span_words, concatenated in lane order; per-lane span rides
+    meta col 15, so the device reconstructs every offset with a cumsum —
+    zero extra wire) and the device rebuilds the padded rows with row
+    gathers + a binary word-roll.  Wire cost = exactly the copied
+    maindata bytes; the FLAC device-Rice path's pad-on-device trick
+    (flac_rice.pad_pool) keeps NPOOLW compile buckets off the wire.
+
     IST windows carry one extra plane: per-granule right-channel
     intensity positions ([L/nch, 40] i16) for the device pan mix —
     windows without intensity frames pay nothing."""
-    n_bits = L * Wb
-    n_ovf = Lb * Wext
+    n_bits = 0 if PB else L * Wb
+    n_ovf = 0 if PB else Lb * Wext
     n_meta = L * 8           # 16 int16 columns = 8 u32 per lane
     n_scf = L * 20           # 40 int16 = 20 u32
     n_ist = (L // nch) * 20 if IST else 0
@@ -761,6 +770,56 @@ def blob_layout(L: int, Wb: int, R: int, Lb: int = 0, Wext: int = 0,
 #: overflow-plane row buckets (static jit arg -> keep the set tiny);
 #: row indices ride an int16 meta column, so the top bucket is 32768
 OVF_BUCKETS = (2048, 8192, 32768)
+
+
+def pool_bucket(n_words: int) -> int:
+    """Static kernel bucket for a pooled bit plane (x2 geometric: the
+    bucket never rides the wire — the exact-size pool is padded to it on
+    device, so coarseness costs a memset, not upload)."""
+    b = 1 << 14
+    while b < n_words + 16:
+        b <<= 1
+    return b
+
+
+def pad_pool_words(pool_dev, NPOOLW: int):
+    """Zero-pad an uploaded exact-size u32 pool to the kernel's bucketed
+    length on device (one tiny memset+copy outside jit; the tail zeros
+    double as the row-gather overrun guard)."""
+    n = pool_dev.shape[0]
+    if n >= NPOOLW:
+        return pool_dev[:NPOOLW]
+    return jnp.pad(pool_dev, (0, NPOOLW - n))
+
+
+def _roll_left_words(x, amount, nbits: int = 4):
+    """Per-lane LEFT roll of the word axis by a dynamic amount in
+    [0, 2^nbits) via binary decomposition (scatter/gather-free)."""
+    n = x.shape[1]
+    for k in range(nbits):
+        step = 1 << k
+        if step >= n:
+            break
+        x = jnp.where(((amount >> k) & 1)[:, None] == 1,
+                      jnp.roll(x, -step, axis=1), x)
+    return x
+
+
+def _rows_from_pool(pool, span, L: int, row_w: int):
+    """Rebuild the padded [L, row_w] u32 lane rows from the pooled bit
+    plane: per-lane word offsets are the exclusive cumsum of span (the
+    host packs lanes in the same order), rows come from aligned 16-word
+    ROW gathers of the pool + a binary word-roll, and words >= span are
+    zeroed — reproducing the C stage's zero row tail exactly."""
+    npool_rows = pool.shape[0] // 16
+    pool_rows = pool[: npool_rows * 16].reshape(npool_rows, 16)
+    offs = jnp.cumsum(span) - span
+    nrw = (row_w + 15) // 16 + 1
+    idx = (offs >> 4)[:, None] + jnp.arange(nrw, dtype=jnp.int32)[None, :]
+    g = jnp.take(pool_rows, jnp.clip(idx, 0, npool_rows - 1), axis=0)
+    g = _roll_left_words(g.reshape(L, nrw * 16), offs & 15)
+    iw = jnp.arange(row_w, dtype=jnp.int32)[None, :]
+    return jnp.where(iw < span[:, None], g[:, :row_w], jnp.uint32(0))
 
 
 #: static scan-length buckets: the big-values scan runs max(bv) steps
@@ -811,14 +870,15 @@ def bits_plan(lanew, mw_max: int, L: int, lane_words: int):
 @functools.partial(
     jax.jit,
     static_argnames=("pats", "spats", "L", "Wb", "R", "B", "G", "nch",
-                     "Lb", "Wext", "NBIG", "NC1", "IST", "MPEG1"),
+                     "Lb", "Wext", "NBIG", "NC1", "IST", "MPEG1", "PW"),
 )
 def packed_window_blob(blob, overlap, shist, n_act,
                        pats: tuple, spats: tuple,
                        L: int, Wb: int, R: int, B: int, G: int, nch: int,
                        Lb: int = 0, Wext: int = 0,
                        NBIG: int = 288, NC1: int = 144,
-                       IST: bool = False, MPEG1: bool = True):
+                       IST: bool = False, MPEG1: bool = True,
+                       pool=None, PW: int = 0):
     """One-shot MP3 window: unpack the blob, run the Huffman FSM + dequant
     + reorder + stereo mix (MS butterfly, or the general intensity 2x2
     when IST), then the scan-free window DSP.  Returns
@@ -831,13 +891,14 @@ def packed_window_blob(blob, overlap, shist, n_act,
     from . import mp3_dsp
 
     n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, _ = blob_layout(
-        L, Wb, R, Lb, Wext, IST, nch)
+        L, Wb, R, Lb, Wext, IST, nch, PB=PW > 0)
     o = 0
-    bits = blob[o : o + n_bits].reshape(L, Wb)
-    o += n_bits
-    if Lb:
-        ovf = blob[o : o + n_ovf].reshape(Lb, Wext)
-        o += n_ovf
+    if not PW:
+        bits = blob[o : o + n_bits].reshape(L, Wb)
+        o += n_bits
+        if Lb:
+            ovf = blob[o : o + n_ovf].reshape(Lb, Wext)
+            o += n_ovf
     meta16 = jax.lax.bitcast_convert_type(
         blob[o : o + n_meta].reshape(L, 8), jnp.int16
     ).reshape(L, 16)
@@ -856,15 +917,22 @@ def packed_window_blob(blob, overlap, shist, n_act,
         blob[o : o + n_bp].reshape(R, 2, 1), jnp.int32
     ).reshape(R, 2)
     starts, d_pack = bp[:, 0], bp[:, 1]
-    if Lb:
-        idx = meta16[:, 15].astype(jnp.int32)
+    if PW:
+        # pooled bit plane (exact wire): rows rebuilt from per-lane
+        # spans (meta col 15) — the 4-word zero tail contract holds
+        # because span <= Wb and words >= span are zero-masked
+        bits = _rows_from_pool(
+            pool, meta16[:, 15].astype(jnp.int32), L, Wb + 4)
+    else:
+        if Lb:
+            idx = meta16[:, 15].astype(jnp.int32)
+            bits = jnp.concatenate(
+                [bits, jnp.take(ovf, idx, axis=0)], axis=1)
+        # 4 zero words of tail: peeks past a lane's span read
+        # deterministic zeros, and max_pos=(W-3)*32 can never clamp
+        # below a bit_limit ending inside the widest bucket's last words
         bits = jnp.concatenate(
-            [bits, jnp.take(ovf, idx, axis=0)], axis=1)
-    # 4 zero words of tail: peeks past a lane's span read deterministic
-    # zeros, and max_pos=(W-3)*32 can never clamp below a bit_limit that
-    # ends inside the last words of the widest bucket
-    bits = jnp.concatenate(
-        [bits, jnp.zeros((L, 4), blob.dtype)], axis=1)
+            [bits, jnp.zeros((L, 4), blob.dtype)], axis=1)
     xq, aa, wt = packed_device_stage(
         bits, meta16[:, :15], scfq, starts, d_pack,
         pats=pats, spats=spats, W=Wb + (Wext if Lb else 0) + 4,

@@ -728,14 +728,24 @@ class BatchDecoder:
         dev_state = {"overlap": overlap, "shist": shist}
 
         def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R, Lb, Wext,
-                      nbig_b, nc1_b, ist_f):
+                      nbig_b, nc1_b, ist_f, pool_w=None):
             (blob_d, ov, sh, n_act_d) = _shard_batch(
                 self._mesh, blob, dev_state["overlap"], dev_state["shist"],
                 n_act_arr)
+            pw = 0
+            pool_d = None
+            if pool_w is not None:
+                import jax
+
+                # exact-size upload; bucket padding happens on device so
+                # the wire carries only the copied maindata words
+                pw = mp3_huff.pool_bucket(pool_w.size)
+                pool_d = mp3_huff.pad_pool_words(jax.device_put(pool_w), pw)
             pcm, ov2, sh2 = mp3_huff.packed_window_blob(
                 blob_d, ov, sh, n_act_d, pats=pats, spats=spats,
                 L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch, Lb=Lb, Wext=Wext,
                 NBIG=nbig_b, NC1=nc1_b, IST=ist_f, MPEG1=(ngr == 2),
+                pool=pool_d, PW=pw,
             )
             dev_state["overlap"] = ov2
             dev_state["shist"] = sh2
@@ -750,6 +760,15 @@ class BatchDecoder:
         n_workers = max(1, min(8, (_os.cpu_count() or 1)))
         parse_pool = ThreadPoolExecutor(max_workers=n_workers) \
             if n_workers > 1 else None
+        # pooled exact-wire bit plane: opt-in (bench flips it on when the
+        # measured uplink is thin, like AF_TPU_FLAC_DEVICE_RICE); the
+        # mesh path keeps the L-major split planes, whose layout shards
+        # cleanly on the batch axis
+        pool_bits = (
+            self._mesh is None
+            and _os.environ.get("AF_TPU_MP3_POOL_BITS", "")
+            not in ("", "0")
+        )
 
         def _parse_lane(bi):
             d = decs[bi]
@@ -816,6 +835,13 @@ class BatchDecoder:
             lanew = meta[:, :, 0].reshape(-1)
             Wb, Lb, Wext = mp3_huff.bits_plan(
                 lanew, mw_max, Bp * NL, LW)
+            if pool_bits:
+                # pooled exact-wire bit plane (blob_layout PB): rows are
+                # rebuilt on device from per-lane spans, so the bit rows
+                # leave the plan and Wb becomes the window-max bucket
+                Wb = next(w for w in (16, 24, 32, 48, 64, 96, LW)
+                          if mw_max <= w)
+                Lb = Wext = 0
             live = meta[:, :, 2] > 0
             # scan lengths sized to the window's actual big-values /
             # count1 region (static buckets; spec maxima only when needed)
@@ -843,12 +869,20 @@ class BatchDecoder:
                 np.zeros((Bp, NL, 1), meta.dtype),     # col 15: ovf row
             ], axis=2).astype(np.int16).reshape(L, 16)
             ist_f = bool(win_ist.any()) and nch == 2
+            pool_w = None
+            if pool_bits:
+                flat = bits.reshape(L, LW)
+                sp = np.minimum(lanew, LW)
+                meta16[:, 15] = sp.astype(np.int16)
+                pool_w = flat[np.arange(LW)[None, :] < sp[:, None]]
             n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, total = \
-                mp3_huff.blob_layout(L, Wb, R, Lb, Wext, ist_f, nch)
+                mp3_huff.blob_layout(L, Wb, R, Lb, Wext, ist_f, nch,
+                                     PB=pool_bits)
             blob = np.empty(total, np.uint32)
             o = 0
-            blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
-            o += n_bits
+            if not pool_bits:
+                blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
+                o += n_bits
             if Lb:
                 # tail words of the overflowing lanes (row 0 stays zero
                 # so non-overflowing lanes read zeros past their span)
@@ -871,9 +905,11 @@ class BatchDecoder:
                 np.stack([starts, d_pack], axis=1)
             ).reshape(-1).view(np.uint32)
             fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
-                              L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f)
+                              L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
+                              pool_w)
             self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes
+            self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes \
+                + (pool_w.nbytes if pool_w is not None else 0)
             self.stats["windows"] += 1
             pending.append((fut, n_act.copy()))
         pool.shutdown(wait=True)

@@ -912,6 +912,13 @@ def main():
         os.environ["AF_TPU_FLAC_DEVICE_RICE"] = "1"
     flac_mode = "device_rice" if os.environ.get(
         "AF_TPU_FLAC_DEVICE_RICE") not in (None, "", "0") else "packed"
+    # MP3 pooled bit plane: same crossover logic — ships exactly the
+    # copied maindata words (h2d inflation ~1.0 for the bit planes) at
+    # the cost of an on-device row rebuild; wins only on a thin link
+    if os.environ.get("AF_TPU_MP3_POOL_BITS") is None and up_bw < 40e6:
+        os.environ["AF_TPU_MP3_POOL_BITS"] = "1"
+    mp3_mode = "pool" if os.environ.get(
+        "AF_TPU_MP3_POOL_BITS") not in (None, "", "0") else "split"
 
     # warmup/compile at the same batch-bucket widths with short slices
     warm = BatchDecoder(
@@ -994,6 +1001,7 @@ def main():
             # from the uplink probe; device_rice => FLAC wire bytes ==
             # compressed bytes + <=255 B/frame alignment)
             "flac_wire_mode": flac_mode,
+            "mp3_wire_mode": mp3_mode,
             "h2d_inflation": round(
                 best_stats["h2d_bytes"]
                 / max(1, sum(len(b) for b in mp3 + flac)), 2),

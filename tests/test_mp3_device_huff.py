@@ -194,6 +194,31 @@ def test_split_bit_plane_matches_plain(rng, monkeypatch):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_pooled_bit_plane_matches_plain(rng, monkeypatch):
+    """The pooled exact-wire bit plane (AF_TPU_MP3_POOL_BITS: lanes ship
+    concatenated at their true spans, rows rebuilt on device from the
+    cumsum of meta col 15) must reproduce the padded-row layout exactly —
+    including the zero-tail contract past each lane's span."""
+    data = _build(rng, channels=2, mode_ext=[2, 0] * 5)
+    ref = BatchDecoder([data]).decode_all()[0]
+    monkeypatch.setenv("AF_TPU_MP3_POOL_BITS", "1")
+    got = BatchDecoder([data]).decode_all()[0]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pooled_bit_plane_many_lanes(rng, monkeypatch):
+    """Pool offsets accumulate across lanes: a multi-stream batch with
+    distinct spans (varied content + a mono lane) decodes identically."""
+    datas = [_build(rng, channels=2, n_frames=6),
+             _build(rng, channels=2, n_frames=4, big=False),
+             _build(rng, channels=1, n_frames=5)]
+    ref = BatchDecoder(datas).decode_all()
+    monkeypatch.setenv("AF_TPU_MP3_POOL_BITS", "1")
+    got = BatchDecoder(datas).decode_all()
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(g, r)
+
+
 def test_bits_plan_cost_model():
     """bits_plan picks the split exactly when it uploads fewer words."""
     L, LW = 4096, native.LANE_WORDS
