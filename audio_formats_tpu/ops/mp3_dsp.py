@@ -342,15 +342,16 @@ def mp3_window_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     # [18]→[36] matmul — four K=18 matmuls into one [.., 36] buffer.
     # (Computing all four types side by side and selecting after
     # materialized a [B,G,nch,32,4,36] intermediate — 1.8 GB at the
-    # production window — for 4x the memory traffic.)  HIGH precision:
-    # 3-pass bf16 MXU (~1e-7 rel) — well inside the 1e-4 contract,
-    # 2x the rate of HIGHEST's 6-pass f32 emulation.
+    # production window — for 4x the memory traffic.)  HIGHEST stays:
+    # Precision.HIGH was A/B'd (~1 ms on the fused window, noise-level)
+    # and on the CPU backend it broke the 4e-6 sharded==unsharded
+    # lattice contract (rel 2.1e-5), so the cheap pass isn't worth it.
     out = jnp.zeros(xb.shape[:4] + (36,), jnp.float32)
     for w in range(4):
         xw = jnp.where((wtype == w)[..., None], xb, 0.0)
         out = out + jnp.einsum(
             "bgcki,ij->bgckj", xw, mats[w],
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
     Y = out[..., :18]   # U(w_g)·c_g
     OV = out[..., 18:]  # V(w_g)·c_g = overlap emitted by granule g
@@ -380,7 +381,7 @@ def mp3_window_dsp(q, scale, mix, perm, aa_bands, wtype, overlap, shist,
     pcm = jnp.dot(
         Swin.reshape(B * nch * ngr, 34 * 32),
         jnp.asarray(SYNTH_TOEPLITZ),
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
     pcm = pcm.reshape(B, nch, ngr, 18, 32)
     pcm = jnp.swapaxes(pcm, 1, 2).reshape(B, ngr, nch, 576)
