@@ -907,15 +907,23 @@ def main():
     # never on a PCIe-attached host)
     up_bw, down_bw = measure_link()
     from audio_formats_tpu.host import native as _native
+    # crossover: device-Rice loses to the packed path on chip time
+    # (1.4k x vs 37k x device-resident), so it pays only when something
+    # OTHER than the chip binds — a thin link (saves ~22% FLAC wire at
+    # inflation 1.00) or a core-starved host (deletes the host Rice+pack
+    # stage entirely; on this 1-core box the host stage otherwise binds
+    # the moment the link is fat)
+    host_starved = (os.cpu_count() or 1) <= 2
     if os.environ.get("AF_TPU_FLAC_DEVICE_RICE") is None \
-            and up_bw < 40e6 and _native.get_lib() is not None:
+            and (up_bw < 40e6 or host_starved) \
+            and _native.get_lib() is not None:
         os.environ["AF_TPU_FLAC_DEVICE_RICE"] = "1"
     flac_mode = "device_rice" if os.environ.get(
         "AF_TPU_FLAC_DEVICE_RICE") not in (None, "", "0") else "packed"
-    # MP3 pooled bit plane: same crossover logic — ships exactly the
-    # copied maindata words (h2d inflation ~1.0 for the bit planes) at
-    # the cost of an on-device row rebuild; wins only on a thin link
-    if os.environ.get("AF_TPU_MP3_POOL_BITS") is None and up_bw < 40e6:
+    # MP3 pooled bit plane: bitwise-identical output, ships exactly the
+    # copied maindata words (bit-plane inflation ~1.0) for ~1 ms/window
+    # of on-device row rebuild — cheap enough to run whenever single-chip
+    if os.environ.get("AF_TPU_MP3_POOL_BITS") is None:
         os.environ["AF_TPU_MP3_POOL_BITS"] = "1"
     mp3_mode = "pool" if os.environ.get(
         "AF_TPU_MP3_POOL_BITS") not in (None, "", "0") else "split"
