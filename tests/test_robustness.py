@@ -178,6 +178,28 @@ def test_per_lane_demotion_keeps_group(rng, monkeypatch):
         j += 1
 
 
+def test_batch_lattice_isolates_corrupt_lanes_pool_mode(rng, monkeypatch):
+    """The MP3 pooled bit plane must keep the error lattice intact: the
+    pool offsets come from a cumsum over ALL lanes, so a corrupt lane
+    (span 0 after parse failure) must not shift its neighbours."""
+    monkeypatch.setenv("AF_TPU_MP3_POOL_BITS", "1")
+    fx = _fixtures(rng)
+    good = fx["mp3"]
+    b = bytearray(good)
+    for pos in rng.integers(len(b) // 4, len(b), 32):
+        b[pos] ^= 0xFF
+    bad = bytes(b)
+    items = [good, bad, good, bad, good]
+    out = BatchDecoder(items).decode_all()
+    solo = BatchDecoder([good]).decode_all()[0]
+    for i in (0, 2, 4):
+        assert out[i] is not None and out[i].shape == solo.shape
+        peak = np.abs(solo).max() + 1e-9
+        assert np.abs(out[i] - solo).max() / peak < 4e-6
+    for j in (1, 3):
+        assert out[j] is None or np.isfinite(np.asarray(out[j])).all()
+
+
 def test_batch_lattice_isolates_corrupt_lanes(rng):
     """One corrupted lane per format, mixed with good lanes: good lanes
     must produce exactly their solo-decode output."""
