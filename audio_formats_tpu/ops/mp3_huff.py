@@ -344,6 +344,18 @@ def huff_decode(rows, bit_start, bit_limit, bv, bnd0, bnd1,
                 rank0, rank1, rank2, lin0, lin1, lin2, c1tab, pattern,
                 starts, d_pack,
                 pats: tuple, W: int, NBIG: int, NC1: int):
+    """Decode big-values + count1 for L independent lanes (jit wrapper
+    over ``_huff_core`` — see it for the argument contract)."""
+    return _huff_core(rows, bit_start, bit_limit, bv, bnd0, bnd1,
+                      rank0, rank1, rank2, lin0, lin1, lin2, c1tab,
+                      pattern, starts, d_pack,
+                      pats=pats, W=W, NBIG=NBIG, NC1=NC1)
+
+
+def _huff_core(rows, bit_start, bit_limit, bv, bnd0, bnd1,
+               rank0, rank1, rank2, lin0, lin1, lin2, c1tab, pattern,
+               starts, d_pack,
+               pats: tuple, W: int, NBIG: int, NC1: int):
     """Decode big-values + count1 for L independent lanes.
 
     rows:      [L, >=W] uint32 big-endian words (lane bit regions)
@@ -663,10 +675,14 @@ def packed_device_stage(bits, meta16, scfq, starts, d_pack,
     cols = [meta16[:, i].astype(jnp.int32) for i in range(15)]
     (bit_start, bit_limit, bv, bnd0, bnd1, rank0, rank1, rank2,
      lin0, lin1, lin2, c1tab, pattern, ms, btype) = cols
-    q, _err = huff_decode(bits, bit_start, bit_limit, bv, bnd0, bnd1,
-                          rank0, rank1, rank2, lin0, lin1, lin2,
-                          c1tab, pattern, starts, d_pack,
-                          pats=pats, W=W, NBIG=NBIG, NC1=NC1)
+    # (a bv-sorted segmented FSM — per-half static scan lengths with a
+    # device sort/unsort — was built and A/B'd here: zero net gain, the
+    # half-L scans scale sub-linearly and the gathers eat the saved
+    # steps, so it was removed)
+    q, _err = _huff_core(bits, bit_start, bit_limit, bv, bnd0, bnd1,
+                         rank0, rank1, rank2, lin0, lin1, lin2,
+                         c1tab, pattern, starts, d_pack,
+                         pats=pats, W=W, NBIG=NBIG, NC1=NC1)
     xq = dequant(q, scfq, pattern, pats=pats)
     if nch == 2 and ist is not None:
         # intensity windows: the general per-coefficient 2x2 mix replaces

@@ -19,6 +19,8 @@ producing frames and its `errors` entry is set; other lanes are unaffected
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from typing import List, Optional, Sequence
 
@@ -38,10 +40,12 @@ from ..ops import lms as lms_ops
 from ..ops import lpc as lpc_ops
 from ..ops import mp3_dsp
 
-#: frames per device call in the MP3 lockstep scheduler
-MP3_WINDOW_FRAMES = 24
+#: frames per device call in the MP3 lockstep scheduler (env-tunable:
+#: bigger windows amortize the link's per-transfer/dispatch fixed cost
+#: over more audio at the price of device memory per call)
+MP3_WINDOW_FRAMES = int(os.environ.get("AF_TPU_MP3_WINDOW", "24"))
 #: FLAC frames per device call
-FLAC_WINDOW_FRAMES = 12
+FLAC_WINDOW_FRAMES = int(os.environ.get("AF_TPU_FLAC_WINDOW", "12"))
 
 
 def pcm_ops_int_to_float_dev(seg, kind: str):
@@ -292,6 +296,7 @@ class BatchDecoder:
             except AudioFormatError as e:
                 self.decoders.append(None)
                 self.errors.append(e.message)
+        self._stats_lock = threading.Lock()
         self.stats = {
             "decoded_seconds": 0.0,
             "decoded_seconds_by_format": {},
@@ -308,10 +313,20 @@ class BatchDecoder:
             "group_demotions": 0,
         }
 
+    def _stat_add(self, key: str, val, fmt: str = None):
+        """Thread-safe stats accumulation: format groups may decode
+        CONCURRENTLY (AF_TPU_GROUP_THREADS), and a bare ``+=`` on a dict
+        entry is a read-modify-write race across threads."""
+        with self._stats_lock:
+            if fmt is None:
+                self.stats[key] = self.stats.get(key, 0) + val
+            else:
+                by = self.stats[key]
+                by[fmt] = by.get(fmt, 0.0) + val
+
     def _note_seconds(self, fmt: str, seconds: float):
-        self.stats["decoded_seconds"] += seconds
-        by = self.stats["decoded_seconds_by_format"]
-        by[fmt] = by.get(fmt, 0.0) + seconds
+        self._stat_add("decoded_seconds", seconds)
+        self._stat_add("decoded_seconds_by_format", seconds, fmt=fmt)
 
     def _reprobe(self, i):
         """Fresh decoder for lane i (a failed grouped run leaves decoder
@@ -344,13 +359,13 @@ class BatchDecoder:
             return fn([self.decoders[i] for i in chunk], *args,
                       to_device=to_device)
         except Exception as e:
-            self.stats["group_demotions"] += 1
-            excs = self.stats.setdefault("group_exceptions", [])
-            if len(excs) < 32:
-                excs.append(f"{type(e).__name__}: {e}")
+            self._stat_add("group_demotions", 1)
+            with self._stats_lock:
+                excs = self.stats.setdefault("group_exceptions", [])
+                if len(excs) < 32:
+                    excs.append(f"{type(e).__name__}: {e}")
             if len(chunk) == 1:
-                self.stats["lanes_demoted"] = \
-                    self.stats.get("lanes_demoted", 0) + 1
+                self._stat_add("lanes_demoted", 1)
                 self._reprobe(chunk[0])
                 return [None]
             mid = len(chunk) // 2
@@ -472,25 +487,48 @@ class BatchDecoder:
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
 
+        jobs = []
+
+        def plan(chunk, fn, *args):
+            jobs.append((chunk, fn, args))
+
         for (nch, mpeg1), lanes in mp3_groups.items():
             for c in range(0, len(lanes), GROUP):
-                run(lanes[c : c + GROUP], self._decode_mp3_group, nch,
-                    2 if mpeg1 else 1)
+                plan(lanes[c : c + GROUP], self._decode_mp3_group, nch,
+                     2 if mpeg1 else 1)
         for (nch, layer), lanes in l12_groups.items():
             for c in range(0, len(lanes), GROUP):
-                run(lanes[c : c + GROUP], self._decode_l12_group, nch)
+                plan(lanes[c : c + GROUP], self._decode_l12_group, nch)
         for nch, lanes in flac_groups.items():
             for c in range(0, len(lanes), GROUP):
-                run(lanes[c : c + GROUP], self._decode_flac_group, nch)
+                plan(lanes[c : c + GROUP], self._decode_flac_group, nch)
         for nch, lanes in qoa_groups.items():
             for c in range(0, len(lanes), GROUP):
-                run(lanes[c : c + GROUP], self._decode_qoa_group, nch)
+                plan(lanes[c : c + GROUP], self._decode_qoa_group, nch)
         for kind, lanes in wav_groups.items():
             for c in range(0, len(lanes), GROUP):
-                run(lanes[c : c + GROUP], self._decode_wav_group, kind)
+                plan(lanes[c : c + GROUP], self._decode_wav_group, kind)
         for nch, lanes in vorbis_groups.items():
             for c in range(0, len(lanes), GROUP):
-                run(lanes[c : c + GROUP], self._decode_vorbis_group, nch)
+                plan(lanes[c : c + GROUP], self._decode_vorbis_group, nch)
+        # format groups run CONCURRENTLY on multi-core hosts (lane sets
+        # are disjoint; stats ride _stat_add's lock): one group's host
+        # parse and C entropy stage overlap another group's uploads and
+        # device windows.  On a 1-core host concurrency CONTENDS instead
+        # (measured: host stage 5.3 -> 16 s, best rtx 291 -> 245 on the
+        # bench corpus), so the default adapts to the core count.
+        default_threads = "2" if (os.cpu_count() or 1) > 1 else "1"
+        conc = int(os.environ.get("AF_TPU_GROUP_THREADS",
+                                  default_threads)) \
+            if self._mesh is None else 1
+        if conc > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=conc) as ex:
+                list(ex.map(lambda j: run(j[0], j[1], *j[2]), jobs))
+        else:
+            for chunk, fn, args in jobs:
+                run(chunk, fn, *args)
         for nch, lanes in opus_groups.items():
             for c in range(0, len(lanes), GROUP):
                 chunk = lanes[c : c + GROUP]
@@ -595,7 +633,7 @@ class BatchDecoder:
                 n_slots[bi] = got * spf_slots
                 d._cur_sample += got * d._spf * nch
                 d._offset = offs[bi]
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not n_slots.any():
                 break
             t_enq = time.perf_counter()
@@ -604,9 +642,9 @@ class BatchDecoder:
             pcm, sh2 = mp3_dsp.mp3_synth_slots(S_d, sh_d, nch=nch)
             dev_state["shist"] = sh2
             _prefetch(pcm, to_device)
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += Sarr.nbytes
-            self.stats["windows"] += 1
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("h2d_bytes", Sarr.nbytes)
+            self._stat_add("windows", 1)
             pending.append((pcm, n_slots.copy()))
         group = _PendingGroup(self, "mp3", decs, pending,
                               self._l12_finalize, (decs, pending, nch))
@@ -617,7 +655,7 @@ class BatchDecoder:
         outs = [[] for _ in decs]
         for pcm_dev, n_slots in pending:
             arr = np.asarray(pcm_dev)  # [Bp, nch, TS*32]
-            self.stats["d2h_bytes"] += arr.nbytes
+            self._stat_add("d2h_bytes", arr.nbytes)
             for bi in range(len(decs)):
                 k = int(n_slots[bi]) * 32
                 if k:
@@ -631,7 +669,7 @@ class BatchDecoder:
             if d._total_samples:
                 full = full[: d._total_samples // max(1, nch)]
             t_res.append(np.ascontiguousarray(full.astype(np.float32)))
-        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
         return t_res
 
     def _decode_mp3_group(self, decs: List[Mp3Decoder], nch: int, ngr: int,
@@ -825,7 +863,7 @@ class BatchDecoder:
             else:
                 mws = [_parse_lane(bi) for bi in live_lanes]
             mw_max = max([16] + mws)
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not n_act.any():
                 break
             t_enq = time.perf_counter()
@@ -907,10 +945,11 @@ class BatchDecoder:
             fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
                               L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
                               pool_w)
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += blob.nbytes + n_act.nbytes \
-                + (pool_w.nbytes if pool_w is not None else 0)
-            self.stats["windows"] += 1
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("h2d_bytes", blob.nbytes + n_act.nbytes
+                           + (pool_w.nbytes
+                              if pool_w is not None else 0))
+            self._stat_add("windows", 1)
             pending.append((fut, n_act.copy()))
         pool.shutdown(wait=True)
         if parse_pool is not None:
@@ -990,7 +1029,7 @@ class BatchDecoder:
                 d._cur_sample += n_fr * ngr * 576 * nch
                 if n < W:
                     active[bi] = False
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not n_act.any():
                 break
             t_enq = time.perf_counter()
@@ -1004,11 +1043,12 @@ class BatchDecoder:
                 dequant=False, use_mix=False,
             )
             _prefetch(pcm, to_device)
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += (
-                xq.nbytes + aa.nbytes + wt.nbytes + n_act.nbytes
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add(
+                "h2d_bytes",
+                xq.nbytes + aa.nbytes + wt.nbytes + n_act.nbytes,
             )
-            self.stats["windows"] += 1
+            self._stat_add("windows", 1)
             pending.append((pcm, n_act.copy()))
         return pending
 
@@ -1020,7 +1060,7 @@ class BatchDecoder:
         t0 = time.perf_counter()
         for pcm_dev, n_act in pending:
             pcm = np.asarray(pcm_dev)
-            self.stats["d2h_bytes"] += pcm.nbytes
+            self._stat_add("d2h_bytes", pcm.nbytes)
             for bi in range(B):
                 n = int(n_act[bi])
                 if not n:
@@ -1028,7 +1068,7 @@ class BatchDecoder:
                 outputs[bi].append(
                     pcm[bi][:n].transpose(0, 2, 1).reshape(-1, nch)
                 )
-        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
         result = []
         for bi, d in enumerate(decs):
             if outputs[bi]:
@@ -1114,7 +1154,7 @@ class BatchDecoder:
             # the next window; the tunnel transfer overlaps the host entropy
             # stage instead of serializing after it
             _prefetch(pcm, to_device)
-            self.stats["windows"] += 1
+            self._stat_add("windows", 1)
             pending.append((pcm, n_act.copy()))
             for bi in range(B):
                 decs[bi]._cur_sample += int(n_act[bi]) * 576 * nch
@@ -1202,7 +1242,7 @@ class BatchDecoder:
                 parsed[bi] = out
                 progress = progress or prog
                 max_bs = max(max_bs, mbs)
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
             if not lanes:
                 if not progress:
@@ -1337,8 +1377,8 @@ class BatchDecoder:
             fut = pool.submit(
                 _flac_dispatch, residual, coeffs, order, shift, exact,
                 assigns, wasteds, out_shifts, max_bs, S, use_s16)
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["windows"] += 1
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("windows", 1)
             slots = []
             for si, (bi, p) in enumerate(lanes):
                 slot = [None]
@@ -1352,7 +1392,7 @@ class BatchDecoder:
         resolved = []
         for fut, slots in pending:
             out32, h2d = fut.result()
-            self.stats["h2d_bytes"] += h2d
+            self._stat_add("h2d_bytes", h2d)
             resolved.append((out32, slots))
         pending[:] = resolved
         group = _PendingGroup(self, "flac", decs, pending,
@@ -1433,7 +1473,7 @@ class BatchDecoder:
                     d._frame_pos += int(bsA[i])
                 if n < W:
                     active[bi] = False
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not lanes:
                 break
             # the kernel's bit cursors are int32, so one dispatch's pool
@@ -1459,7 +1499,7 @@ class BatchDecoder:
         resolved = []
         for fut, slots in pending:
             out32, bad, h2d = fut.result()
-            self.stats["h2d_bytes"] += h2d
+            self._stat_add("h2d_bytes", h2d)
             resolved.append((out32, bad, slots))
         pending[:] = resolved
         group = _PendingGroup(self, "flac", decs, pending,
@@ -1548,8 +1588,8 @@ class BatchDecoder:
         fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
                             ca_arr, bps_arr, sizes, base_arr,
                             out_shifts, S, max_bs, NPOOL, use_s16)
-        self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-        self.stats["windows"] += 1
+        self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+        self._stat_add("windows", 1)
         slots = []
         for si, (bi, off, size, rel, bs, ca, bps, chk) in \
                 enumerate(lanes):
@@ -1567,7 +1607,7 @@ class BatchDecoder:
         corrupt = set()      # lanes whose redo frame fails to parse
         for out32_dev, bad, slots in pending:
             arr = np.asarray(out32_dev)
-            self.stats["d2h_bytes"] += arr.nbytes
+            self._stat_add("d2h_bytes", arr.nbytes)
             for slot, si, bs, bi, off in slots:
                 if bad[si]:
                     # host redo of this frame (corrupt / wide / chain)
@@ -1601,12 +1641,10 @@ class BatchDecoder:
                 else:
                     slot[0] = arr[si, :, :bs].T
         if n_redo:
-            self.stats["rice_host_redo"] = \
-                self.stats.get("rice_host_redo", 0) + n_redo
-        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+            self._stat_add("rice_host_redo", n_redo)
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
         for bi in corrupt:
-            self.stats["flac_truncated_lanes"] = \
-                self.stats.get("flac_truncated_lanes", 0) + 1
+            self._stat_add("flac_truncated_lanes", 1)
             # decode stops at the unparseable frame: drop the lane's
             # slots from there on (slot lists are window-ordered)
             seen = False
@@ -1636,14 +1674,14 @@ class BatchDecoder:
         t0 = time.perf_counter()
         for out32_dev, slots in pending:
             arr = np.asarray(out32_dev)
-            self.stats["d2h_bytes"] += arr.nbytes
+            self._stat_add("d2h_bytes", arr.nbytes)
             if arr.dtype == np.int16:
                 for slot, si, bs in slots:
                     slot[0] = arr[si, :, :bs].T.astype(np.int32) << 16
             else:
                 for slot, si, bs in slots:
                     slot[0] = arr[si, :, :bs].T
-        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
 
         result = []
         for bi, d in enumerate(decs):
@@ -1680,7 +1718,7 @@ class BatchDecoder:
             counts.append((frames, d.channels))
             d._frame_pos += frames
         flat = np.concatenate(ints) if ints else np.zeros(0, np.int32)
-        self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+        self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
         CHUNK = 1 << 22
         pending = []
         for c0 in range(0, flat.shape[0], CHUNK):
@@ -1688,9 +1726,9 @@ class BatchDecoder:
             seg = flat[c0 : c0 + CHUNK]
             out = pcm_ops_int_to_float_dev(seg, kind)
             pending.append((out, seg.shape[0]))
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += seg.nbytes
-            self.stats["windows"] += 1
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("h2d_bytes", seg.nbytes)
+            self._stat_add("windows", 1)
         group = _PendingGroup(self, "wav", decs, pending,
                               self._wav_finalize, (decs, counts, pending))
         return group if to_device else group.finalize()
@@ -1700,9 +1738,9 @@ class BatchDecoder:
         parts = []
         for out_dev, n in pending:
             arr = np.asarray(out_dev)[:n]
-            self.stats["d2h_bytes"] += arr.nbytes
+            self._stat_add("d2h_bytes", arr.nbytes)
             parts.append(arr)
-        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
         flat = np.concatenate(parts) if parts else np.zeros(0, np.float32)
         result = []
         off = 0
@@ -1750,7 +1788,7 @@ class BatchDecoder:
             wts = np.concatenate(Wt).astype(np.int32)
             sf8 = np.concatenate(SF)
             cd8 = np.concatenate(CD)
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             L = hist.shape[0]
             CH = 8192  # lanes per device call (bounds upload + HBM)
             for c0 in range(0, L, CH):
@@ -1772,11 +1810,11 @@ class BatchDecoder:
                 out = lms_ops.decode_slices(hp_d, wp_d, sp_d, cp_d)
                 _prefetch(out, to_device)
                 pending.append((out, Lc))
-                self.stats["enqueue_ms"] += \
-                    (time.perf_counter() - t_enq) * 1e3
-                self.stats["h2d_bytes"] += (hp.nbytes + wp.nbytes
-                                            + sp.nbytes + cp.nbytes)
-                self.stats["windows"] += 1
+                self._stat_add("enqueue_ms",
+                               (time.perf_counter() - t_enq) * 1e3)
+                self._stat_add("h2d_bytes", hp.nbytes + wp.nbytes
+                               + sp.nbytes + cp.nbytes)
+                self._stat_add("windows", 1)
         group = _PendingGroup(self, "qoa", decs, pending,
                               self._qoa_finalize,
                               (decs, metas, pending, nch))
@@ -1787,9 +1825,9 @@ class BatchDecoder:
         chunks = []
         for out_dev, Lc in pending:
             arr = np.asarray(out_dev)[:Lc]
-            self.stats["d2h_bytes"] += arr.nbytes
+            self._stat_add("d2h_bytes", arr.nbytes)
             chunks.append(arr)
-        self.stats["fetch_ms"] += (time.perf_counter() - t0) * 1e3
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
         outputs = [[] for _ in decs]
         row = 0
         flat = np.concatenate(chunks) if chunks else \
@@ -1843,7 +1881,7 @@ class BatchDecoder:
                     if ent is None:
                         continue
                     entries.append((bi, ent[0], ent[1], pk[1]))
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not entries:
                 break
             # device IMDCT per block size over stacked lane-channels
@@ -1854,14 +1892,14 @@ class BatchDecoder:
                 X = np.concatenate([entries[i][1] for i in idxs])
                 (X_d,) = _shard_batch(self._mesh, X)
                 Y = np.asarray(mdct_ops.imdct_batch(X_d, n))
-                self.stats["h2d_bytes"] += X.nbytes
-                self.stats["d2h_bytes"] += Y.nbytes
+                self._stat_add("h2d_bytes", X.nbytes)
+                self._stat_add("d2h_bytes", Y.nbytes)
                 row = 0
                 for i in idxs:
                     y_by_entry[i] = Y[row : row + nch].copy()
                     row += nch
-                self.stats["windows"] += 1
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
+                self._stat_add("windows", 1)
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
             # host: lapped windowing + per-lane assembly (order preserved:
             # entries are in (lane, packet) order per step)
             for (bi, _spec, geom, granule), y in zip(entries, y_by_entry):
@@ -2000,8 +2038,7 @@ class BatchDecoder:
         pkts = [d._mixed_pkts for d in decs]
         sds = [d._streams[0] for d in decs]
         done = [False] * B
-        self.stats["opus_mixed_lanes"] = \
-            self.stats.get("opus_mixed_lanes", 0) + B
+        self._stat_add("opus_mixed_lanes", B)
         while not all(done):
             t_host = time.perf_counter()
             jobs = {}
@@ -2031,7 +2068,7 @@ class BatchDecoder:
                         (params["blocks"], params["blocksize"]), []
                     ).append((bi, cd, params))
                     break
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not jobs:
                 continue
             t_enq = time.perf_counter()
@@ -2045,9 +2082,9 @@ class BatchDecoder:
                         raw[row : row + k].T, newtail[row : row + k].T,
                         p["frame_size"])
                     row += k
-                self.stats["h2d_bytes"] += nb
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["windows"] += 1
+                self._stat_add("h2d_bytes", nb)
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("windows", 1)
         result = []
         for bi, d in enumerate(decs):
             sd = sds[bi]
@@ -2214,7 +2251,7 @@ class BatchDecoder:
                     rd, coded, frame48, 17, endband)
                 stash[bi] = (params, redundancy, redundancy_pos, red,
                              frame, size)
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             if not stash:
                 break
             t_enq = time.perf_counter()
@@ -2230,16 +2267,16 @@ class BatchDecoder:
                 raw, newtail, nb = self._celt_imdct_bucket(
                     [(sds[bi]._celt, stash[bi][0]) for bi in lanes_b],
                     blocks, bs)
-                self.stats["h2d_bytes"] += nb
+                self._stat_add("h2d_bytes", nb)
                 row = 0
                 for bi in lanes_b:
                     k = sds[bi]._celt.output_channels
                     raws[bi] = (raw[row : row + k].T,
                                 newtail[row : row + k].T)
                     row += k
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += X.nbytes
-            self.stats["windows"] += 1
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("h2d_bytes", X.nbytes)
+            self._stat_add("windows", 1)
             for bi, d in enumerate(decs):
                 if bi not in stash:
                     continue
@@ -2350,12 +2387,12 @@ class BatchDecoder:
                             "Opus: SILK redundancy tail in group")
                 native = np.concatenate(cols, axis=0)
                 X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
-            self.stats["host_ms"] += (time.perf_counter() - t_host) * 1e3
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
             t_enq = time.perf_counter()
             Y = rs.process(X, frame48)
-            self.stats["enqueue_ms"] += (time.perf_counter() - t_enq) * 1e3
-            self.stats["h2d_bytes"] += X.nbytes
-            self.stats["windows"] += 1
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("h2d_bytes", X.nbytes)
+            self._stat_add("windows", 1)
             for bi, d in enumerate(decs):
                 if s >= len(d._silk_lockstep):
                     continue
@@ -2438,7 +2475,7 @@ class BatchDecoder:
             for (blocks, bs), items in buckets.items():
                 raw, newtail, nb = self._celt_imdct_bucket(
                     [(cd, p) for (_, _, cd, p, _) in items], blocks, bs)
-                self.stats["h2d_bytes"] += nb
+                self._stat_add("h2d_bytes", nb)
                 row = 0
                 for (bi, d, cd, p, n) in items:
                     k = cd.output_channels

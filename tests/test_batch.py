@@ -62,6 +62,22 @@ def test_flac_batch_equals_facade(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_mixed_formats_concurrent_groups(rng, monkeypatch):
+    """Format groups decoding on concurrent threads
+    (AF_TPU_GROUP_THREADS=2, the multi-core-host default) must produce
+    exactly the sequential outputs — disjoint lane sets, locked stats."""
+    monkeypatch.setenv("AF_TPU_GROUP_THREADS", "1")
+    items = [_mp3(rng), _flac(rng, 3000), _mp3(rng), _flac(rng, 2500)]
+    ref = BatchDecoder(items).decode_all()
+    monkeypatch.setenv("AF_TPU_GROUP_THREADS", "2")
+    dec = BatchDecoder(items)
+    got = dec.decode_all()
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    assert dec.stats["decoded_seconds"] > 0
+    assert dec.stats["windows"] > 0
+
+
 def test_mixed_formats_and_error_isolation(rng):
     s16 = np.clip(
         np.round(12000 * np.sin(2 * np.pi * 440 * np.arange(3000) / 44100)),
