@@ -220,13 +220,6 @@ SHORT_PATTERNS = tuple(
 )
 
 
-def _perm_matrix(p: int) -> np.ndarray:
-    """[576 src, 576 dst] 0/1 matrix: (x @ M)[dst] = x[perm[dst]]."""
-    m = np.zeros((576, 576), np.float32)
-    m[PERM[p], np.arange(576)] = 1.0
-    return m
-
-
 def _band_matrix(p: int) -> np.ndarray:
     """[40 band, 576 pos] 0/1 matrix: scf @ E expands per-band values to
     per-position (each column one-hot ⇒ the f32 matmul is exact)."""
@@ -293,7 +286,8 @@ def _interval_sum(key, starts, d_pack):
         return jnp.sum(jnp.where(ge, d_pack[None, :], 0), axis=1)
     n_chunks = -(-R // _SUM_CHUNK)
     pad = n_chunks * _SUM_CHUNK - R
-    if pad:  # pad with +inf starts (never taken) / zero deltas
+    if pad:  # ZERO deltas make any taken pad breakpoint a no-op (the
+        # large start value alone would not: a key == INT32_MAX takes it)
         starts = jnp.concatenate(
             [starts, jnp.full(pad, 0x7FFFFFFF, starts.dtype)])
         d_pack = jnp.concatenate([d_pack, jnp.zeros(pad, d_pack.dtype)])
@@ -327,6 +321,8 @@ def breakpoints_for_window(cids):
     pad = R - starts_np.size
     starts_np = np.concatenate(
         [starts_np, np.full(pad, np.int32(0x7FFFFFFF), np.int32)])
+    # (pad entries carry ZERO deltas — that, not the large start value,
+    # is what keeps a taken pad breakpoint harmless)
     dpack_np = np.concatenate([dpack_np, np.zeros(pad, np.int32)])
     rank_of = np.zeros(len(CODE_TABLES), np.int32)
     for r, c in enumerate(key):
@@ -535,9 +531,8 @@ def reorder_short(xq, pattern, spats: tuple):
     round-2 permutation MATMUL was exact too but cost an f32-HIGHEST
     [576,576] contraction per pattern (~6 bf16 MXU passes)."""
     for p in spats:
-        perm = jnp.asarray(np.argmax(_perm_matrix(p), axis=0))
         xq = jnp.where((pattern == p)[:, None],
-                       jnp.take(xq, perm, axis=1), xq)
+                       jnp.take(xq, jnp.asarray(PERM[p]), axis=1), xq)
     return xq
 
 

@@ -871,15 +871,16 @@ class BatchDecoder:
             # compiled variant count stays tiny; the window's Huffman
             # breakpoint set rides as RUNTIME arrays padded to an R bucket
             lanew = meta[:, :, 0].reshape(-1)
-            Wb, Lb, Wext = mp3_huff.bits_plan(
-                lanew, mw_max, Bp * NL, LW)
             if pool_bits:
                 # pooled exact-wire bit plane (blob_layout PB): rows are
-                # rebuilt on device from per-lane spans, so the bit rows
-                # leave the plan and Wb becomes the window-max bucket
+                # rebuilt on device from per-lane spans, so no bit-plane
+                # plan is needed and Wb is just the window-max bucket
                 Wb = next(w for w in (16, 24, 32, 48, 64, 96, LW)
                           if mw_max <= w)
                 Lb = Wext = 0
+            else:
+                Wb, Lb, Wext = mp3_huff.bits_plan(
+                    lanew, mw_max, Bp * NL, LW)
             live = meta[:, :, 2] > 0
             # scan lengths sized to the window's actual big-values /
             # count1 region (static buckets; spec maxima only when needed)
