@@ -97,6 +97,32 @@ def main():
                 crashes.append((kind, it, repr(e)))
                 print(f"CRASH {kind} iter={it}: {e!r}", flush=True)
                 traceback.print_exc()
+    # phase 2: the BATCH lattice under the same mutations — corrupt lanes
+    # mixed with clean ones through the grouped device paths (pool-mode
+    # MP3 wire + concurrent format groups forced on), asserting decode_all
+    # never raises and clean lanes still decode to finite PCM
+    os.environ["AF_TPU_MP3_POOL_BITS"] = "1"
+    os.environ["AF_TPU_GROUP_THREADS"] = "2"
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    goods = list(fixtures.values())
+    batch_rounds = max(1, iters // 8)
+    for it in range(batch_rounds):
+        bads = [_mutate(d, rng) for d in goods]
+        tried += len(bads)
+        try:
+            dec = BatchDecoder(goods + bads)
+            out = dec.decode_all()
+            for i in range(len(goods)):
+                assert out[i] is not None, f"clean lane {i} lost"
+                assert np.isfinite(np.asarray(out[i])).all()
+            for j in range(len(goods), len(out)):
+                assert out[j] is None or \
+                    np.isfinite(np.asarray(out[j])).all()
+        except Exception as e:
+            crashes.append(("batch", it, repr(e)))
+            print(f"CRASH batch iter={it}: {e!r}", flush=True)
+            traceback.print_exc()
     print(f"fuzz_facade: {tried} mutations, {len(crashes)} crashes")
     sys.exit(1 if crashes else 0)
 
