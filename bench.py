@@ -935,7 +935,10 @@ def main():
     warm.decode_all(output="device").sync()
     del warm
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # best-of-5: the tunnel's minute-scale weather swings identical code
+    # 147-295x run to run; more reps narrow the lottery on the ONE run
+    # the driver records (chip-side rows are weather-independent)
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     best_dt, best_stats = float("inf"), None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -1018,6 +1021,12 @@ def main():
                 1),
             "link_MBps": {"up": round(up_bw / 1e6, 1),
                           "down": round(down_bw / 1e6, 1)},
+            # fraction of the wire-speed-of-light this run reached (the
+            # probe and the run see different weather minutes, so >1.0
+            # simply means the link was faster during the run)
+            "ceiling_fraction": round(
+                rtx / max(1e-9, audio / (
+                    sum(len(b) for b in mp3 + flac) / max(1.0, up_bw))), 3),
             "full_download_rtx": round(dl_rtx, 2),
             "device_dsp_only_rtx_mp3_b1024": round(dsp_rtx, 2),
             # full decode (entropy FSM + DSP) with inputs device-resident:
