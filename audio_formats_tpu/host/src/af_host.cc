@@ -420,7 +420,8 @@ int af_flac_sync_index(
     bps_arr[n] = bps;
     n++;
     expect = fixed_bs ? num + 1 : num + bs;
-    state[1] = fixed_bs ? 0 : 1;
+    if (!fixed_bs) state[1] = 1;  // latch: once variable-blocksize numbering
+                                  // is seen, it stays known
     // jump past the minimum possible frame body (subframe headers +
     // constant subframes can be tiny; be conservative)
     off += hl + 2;
@@ -916,9 +917,18 @@ static inline int hdr_valid(const uint8_t* h) {
 }
 
 static inline int hdr_compare(const uint8_t* h1, const uint8_t* h2) {
+  // channel-COUNT consistency (mono bit) is checked on top of minimp3's
+  // hdr_compare: every caller compares a candidate frame against the
+  // stream's INITIAL header to decide walk continuation, and a mid-stream
+  // mono<->stereo splice must stop the walk exactly like the facade
+  // (models/mp3.py) and minimp3_ex's MP3D_E_DECODE (minimp3_ex.d:841) —
+  // the window parse would otherwise read the frame's side info with the
+  // wrong channel layout
   return hdr_valid(h2) && (((h1[1] ^ h2[1]) & 0xFE) == 0) &&
          (((h1[2] ^ h2[2]) & 0x0C) == 0) &&
-         ((((h1[2] & 0xF0) == 0) ? 1 : 0) == (((h2[2] & 0xF0) == 0) ? 1 : 0));
+         ((((h1[2] & 0xF0) == 0) ? 1 : 0) == (((h2[2] & 0xF0) == 0) ? 1 : 0)) &&
+         ((((h1[3] & 0xC0) == 0xC0) ? 1 : 0) ==
+          (((h2[3] & 0xC0) == 0xC0) ? 1 : 0));
 }
 
 static inline int hdr_sample_rate(const uint8_t* h) {

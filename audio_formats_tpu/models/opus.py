@@ -936,9 +936,22 @@ class OpusDecoder:
                     # channel map as _decode_packet (a 5.1 SILK file
                     # drains all streams, not stream 0 repeated)
                     drained = None
-                    want = self.length_frames - self._pos
-                    if want > 0 and any(sd._silk_rs is not None
-                                        for sd in self._streams):
+                    # cap each drain chunk: the resamplers only ever owe
+                    # a sinc tail (+ hybrid FIFO), but length_frames is
+                    # the file's granule field — a corrupt stream can
+                    # declare 2^40 samples, and materializing that here
+                    # would raise MemoryError out of the public API.
+                    # The read loop re-enters until the caller's
+                    # max_frames or the declared length is reached.
+                    want = min(self.length_frames - self._pos, 48000)
+                    if want > 0 and (
+                            getattr(self, "_drain_started", False)
+                            or any(sd._silk_rs is not None
+                                   for sd in self._streams)):
+                        # once draining starts, later chunks keep
+                        # zero-filling to the declared length (the
+                        # resamplers flush on the first chunk)
+                        self._drain_started = True
                         outs = []
                         for sd in self._streams:
                             k = sd.channels

@@ -849,112 +849,117 @@ class BatchDecoder:
                 active[bi] = False
             return mw
 
-        while active.any():
-            t_host = time.perf_counter()
-            bits = np.empty((Bp, NL, LW), np.uint32)
-            meta = np.zeros((Bp, NL, 16), np.int32)
-            scfq = np.zeros((Bp, NL, 40), np.int16)
-            ists = np.zeros((Bp, G, 40), np.int16)
-            win_ist = np.zeros(Bp, bool)
-            n_act = np.zeros(Bp, np.int32)
-            live_lanes = [bi for bi in range(B) if active[bi]]
+        try:
+            while active.any():
+                t_host = time.perf_counter()
+                bits = np.empty((Bp, NL, LW), np.uint32)
+                meta = np.zeros((Bp, NL, 16), np.int32)
+                scfq = np.zeros((Bp, NL, 40), np.int16)
+                ists = np.zeros((Bp, G, 40), np.int16)
+                win_ist = np.zeros(Bp, bool)
+                n_act = np.zeros(Bp, np.int32)
+                live_lanes = [bi for bi in range(B) if active[bi]]
+                if parse_pool is not None:
+                    mws = list(parse_pool.map(_parse_lane, live_lanes))
+                else:
+                    mws = [_parse_lane(bi) for bi in live_lanes]
+                mw_max = max([16] + mws)
+                self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+                if not n_act.any():
+                    break
+                t_enq = time.perf_counter()
+                # static buckets kept coarse (row words / overflow rows) so the
+                # compiled variant count stays tiny; the window's Huffman
+                # breakpoint set rides as RUNTIME arrays padded to an R bucket
+                lanew = meta[:, :, 0].reshape(-1)
+                if pool_bits:
+                    # pooled exact-wire bit plane (blob_layout PB): rows are
+                    # rebuilt on device from per-lane spans, so no bit-plane
+                    # plan is needed and Wb is just the window-max bucket
+                    Wb = next(w for w in (16, 24, 32, 48, 64, 96, LW)
+                              if mw_max <= w)
+                    Lb = Wext = 0
+                else:
+                    Wb, Lb, Wext = mp3_huff.bits_plan(
+                        lanew, mw_max, Bp * NL, LW)
+                live = meta[:, :, 2] > 0
+                # scan lengths sized to the window's actual big-values /
+                # count1 region (static buckets; spec maxima only when needed)
+                nbig_b, nc1_b = mp3_huff.scan_buckets(
+                    meta[:, :, 3][live], mp3_huff.TOTAL_W[meta[:, :, 10][live]])
+                pats = tuple(sorted(
+                    int(p) for p in np.unique(meta[:, :, 10][live])
+                )) or (0,)
+                tabs = meta[:, :, 6:9]
+                cids = {int(mp3_huff.CODE_ID[t])
+                        for t in np.unique(tabs[live])} or {0}
+                starts, d_pack, rank_of = \
+                    mp3_huff.breakpoints_for_window(cids)
+                spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
+                L = Bp * NL
+                R = starts.size
+                # ONE u32 blob per window (bits ‖ meta ‖ scf ‖ breakpoints):
+                # the dev link charges a large fixed cost per transfer, so the
+                # whole window ships as one upload + one fused execute
+                ranks = rank_of[tabs]                      # [Bp, NL, 3]
+                lins = mp3_huff.LINBITS_TAB[tabs]
+                meta16 = np.concatenate([
+                    meta[:, :, [1, 2, 3, 4, 5]], ranks, lins,
+                    meta[:, :, [9, 10, 11, 12]],
+                    np.zeros((Bp, NL, 1), meta.dtype),     # col 15: ovf row
+                ], axis=2).astype(np.int16).reshape(L, 16)
+                ist_f = bool(win_ist.any()) and nch == 2
+                pool_w = None
+                if pool_bits:
+                    flat = bits.reshape(L, LW)
+                    sp = np.minimum(lanew, LW)
+                    meta16[:, 15] = sp.astype(np.int16)
+                    pool_w = flat[np.arange(LW)[None, :] < sp[:, None]]
+                n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, total = \
+                    mp3_huff.blob_layout(L, Wb, R, Lb, Wext, ist_f, nch,
+                                         PB=pool_bits)
+                blob = np.empty(total, np.uint32)
+                o = 0
+                if not pool_bits:
+                    blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
+                    o += n_bits
+                if Lb:
+                    # tail words of the overflowing lanes (row 0 stays zero
+                    # so non-overflowing lanes read zeros past their span)
+                    flat = bits.reshape(L, LW)
+                    over = np.flatnonzero(lanew > Wb)
+                    ovf = np.zeros((Lb, Wext), np.uint32)
+                    ovf[1 : 1 + over.size] = flat[over, Wb : Wb + Wext]
+                    meta16[over, 15] = np.arange(
+                        1, 1 + over.size, dtype=np.int16)
+                    blob[o : o + n_ovf] = ovf.reshape(-1)
+                    o += n_ovf
+                blob[o : o + n_meta] = meta16.reshape(-1).view(np.uint32)
+                o += n_meta
+                blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
+                o += n_scf
+                if ist_f:
+                    blob[o : o + n_ist] = ists.reshape(-1).view(np.uint32)
+                    o += n_ist
+                blob[o : o + n_bp] = np.ascontiguousarray(
+                    np.stack([starts, d_pack], axis=1)
+                ).reshape(-1).view(np.uint32)
+                fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
+                                  L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
+                                  pool_w)
+                self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+                self._stat_add("h2d_bytes", blob.nbytes + n_act.nbytes
+                               + (pool_w.nbytes
+                                  if pool_w is not None else 0))
+                self._stat_add("windows", 1)
+                pending.append((fut, n_act.copy()))
+        finally:
+            # a lane fault raising out of the window loop must not
+            # leak the dispatch/parse workers (bisect recovery
+            # re-invokes this function on a poisoned chunk)
+            pool.shutdown(wait=True)
             if parse_pool is not None:
-                mws = list(parse_pool.map(_parse_lane, live_lanes))
-            else:
-                mws = [_parse_lane(bi) for bi in live_lanes]
-            mw_max = max([16] + mws)
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
-            if not n_act.any():
-                break
-            t_enq = time.perf_counter()
-            # static buckets kept coarse (row words / overflow rows) so the
-            # compiled variant count stays tiny; the window's Huffman
-            # breakpoint set rides as RUNTIME arrays padded to an R bucket
-            lanew = meta[:, :, 0].reshape(-1)
-            if pool_bits:
-                # pooled exact-wire bit plane (blob_layout PB): rows are
-                # rebuilt on device from per-lane spans, so no bit-plane
-                # plan is needed and Wb is just the window-max bucket
-                Wb = next(w for w in (16, 24, 32, 48, 64, 96, LW)
-                          if mw_max <= w)
-                Lb = Wext = 0
-            else:
-                Wb, Lb, Wext = mp3_huff.bits_plan(
-                    lanew, mw_max, Bp * NL, LW)
-            live = meta[:, :, 2] > 0
-            # scan lengths sized to the window's actual big-values /
-            # count1 region (static buckets; spec maxima only when needed)
-            nbig_b, nc1_b = mp3_huff.scan_buckets(
-                meta[:, :, 3][live], mp3_huff.TOTAL_W[meta[:, :, 10][live]])
-            pats = tuple(sorted(
-                int(p) for p in np.unique(meta[:, :, 10][live])
-            )) or (0,)
-            tabs = meta[:, :, 6:9]
-            cids = {int(mp3_huff.CODE_ID[t])
-                    for t in np.unique(tabs[live])} or {0}
-            starts, d_pack, rank_of = \
-                mp3_huff.breakpoints_for_window(cids)
-            spats = tuple(p for p in pats if p in mp3_huff.SHORT_PATTERNS)
-            L = Bp * NL
-            R = starts.size
-            # ONE u32 blob per window (bits ‖ meta ‖ scf ‖ breakpoints):
-            # the dev link charges a large fixed cost per transfer, so the
-            # whole window ships as one upload + one fused execute
-            ranks = rank_of[tabs]                      # [Bp, NL, 3]
-            lins = mp3_huff.LINBITS_TAB[tabs]
-            meta16 = np.concatenate([
-                meta[:, :, [1, 2, 3, 4, 5]], ranks, lins,
-                meta[:, :, [9, 10, 11, 12]],
-                np.zeros((Bp, NL, 1), meta.dtype),     # col 15: ovf row
-            ], axis=2).astype(np.int16).reshape(L, 16)
-            ist_f = bool(win_ist.any()) and nch == 2
-            pool_w = None
-            if pool_bits:
-                flat = bits.reshape(L, LW)
-                sp = np.minimum(lanew, LW)
-                meta16[:, 15] = sp.astype(np.int16)
-                pool_w = flat[np.arange(LW)[None, :] < sp[:, None]]
-            n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, total = \
-                mp3_huff.blob_layout(L, Wb, R, Lb, Wext, ist_f, nch,
-                                     PB=pool_bits)
-            blob = np.empty(total, np.uint32)
-            o = 0
-            if not pool_bits:
-                blob[o : o + n_bits] = bits[:, :, :Wb].reshape(-1)
-                o += n_bits
-            if Lb:
-                # tail words of the overflowing lanes (row 0 stays zero
-                # so non-overflowing lanes read zeros past their span)
-                flat = bits.reshape(L, LW)
-                over = np.flatnonzero(lanew > Wb)
-                ovf = np.zeros((Lb, Wext), np.uint32)
-                ovf[1 : 1 + over.size] = flat[over, Wb : Wb + Wext]
-                meta16[over, 15] = np.arange(
-                    1, 1 + over.size, dtype=np.int16)
-                blob[o : o + n_ovf] = ovf.reshape(-1)
-                o += n_ovf
-            blob[o : o + n_meta] = meta16.reshape(-1).view(np.uint32)
-            o += n_meta
-            blob[o : o + n_scf] = scfq.reshape(-1).view(np.uint32)
-            o += n_scf
-            if ist_f:
-                blob[o : o + n_ist] = ists.reshape(-1).view(np.uint32)
-                o += n_ist
-            blob[o : o + n_bp] = np.ascontiguousarray(
-                np.stack([starts, d_pack], axis=1)
-            ).reshape(-1).view(np.uint32)
-            fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
-                              L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
-                              pool_w)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
-            self._stat_add("h2d_bytes", blob.nbytes + n_act.nbytes
-                           + (pool_w.nbytes
-                              if pool_w is not None else 0))
-            self._stat_add("windows", 1)
-            pending.append((fut, n_act.copy()))
-        pool.shutdown(wait=True)
-        if parse_pool is not None:
-            parse_pool.shutdown(wait=True)
+                parse_pool.shutdown(wait=True)
         pending = [(f.result(), n) for f, n in pending]
         return pending, demoted
 
@@ -1228,168 +1233,172 @@ class BatchDecoder:
                 mbs = max(mbs, p[0])
             return out, prog, mbs
 
-        while active.any():
-            # host entropy stage: parse up to W frames per stream
-            t_host = time.perf_counter()
-            live = [bi for bi in range(B) if active[bi]]
-            if parse_pool is not None:
-                res = list(parse_pool.map(_parse_lane, live))
-            else:
-                res = [_parse_lane(bi) for bi in live]
-            parsed = [[] for _ in range(B)]
-            max_bs = 0
-            progress = False
-            for bi, (out, prog, mbs) in zip(live, res):
-                parsed[bi] = out
-                progress = progress or prog
-                max_bs = max(max_bs, mbs)
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
-            lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
-            if not lanes:
-                if not progress:
-                    break
-                continue
-            t_enq = time.perf_counter()
-            # bucket the lane count (multiples of 128 past 128: keeps the
-            # compile cache small while cutting transfer padding vs pow2)
-            # and block length to keep compiles cached
-            n_l = len(lanes)
-            S = max(8, 1 << (n_l - 1).bit_length()) if n_l <= 128 \
-                else -(-n_l // 128) * 128
-            max_bs = -(-max_bs // 1024) * 1024
-            residual = np.zeros((S * nch, max_bs), np.int32)
-            coeffs = np.zeros((S * nch, 32), np.int32)
-            order = np.full(S * nch, max_bs, np.int32)  # pad: pass-through
-            shift = np.zeros(S * nch, np.int32)
-            exact = np.zeros(S * nch, bool)
-            assigns = np.zeros(S, np.int32)
-            wasteds = np.zeros((S, nch), np.int32)
-            out_shifts = np.zeros(S, np.int32)
-            for si, (bi, p) in enumerate(lanes):
-                bs, ca, res, cf, orr, sh, wa, bps = p
-                residual[si * nch : si * nch + nch, :bs] = res
-                coeffs[si * nch : si * nch + nch] = cf
-                order[si * nch : si * nch + nch] = orr
-                shift[si * nch : si * nch + nch] = sh
-                exact[si * nch : si * nch + nch] = np.asarray(bps) > 16
-                assigns[si] = ca
-                wasteds[si] = wa
-                out_shifts[si] = 32 - decs[bi].bits_per_sample
-            # upload diet: pack residuals at the window's uniform bit
-            # width (warm-ups ride an int32 side channel); the device
-            # unpacks with static shift arithmetic.  The pack + upload +
-            # device chain runs on the worker thread (ctypes releases the
-            # GIL, the tunnel upload is network IO) so window t+1's host
-            # frame parse overlaps window t's transfer — same pipelining
-            # as the MP3 scheduler.
-            from ..host import native as _native
-
-            lib = _native.get_lib()
-            Ln = S * nch
-            use_s16 = all(decs[bi].bits_per_sample <= 16 for bi, _ in lanes)
-
-            def _flac_dispatch(residual, coeffs, order, shift, exact,
-                               assigns, wasteds, out_shifts, max_bs, S,
-                               use_s16):
-                # NOTE: everything per-window must arrive as an argument —
-                # the enclosing loop rebinds its locals while this runs
-                Ln = residual.shape[0]
-                h2d = 0
-                packed = None
-                if lib is not None:
-                    import ctypes as _ct
-
-                    _i32p = _ct.POINTER(_ct.c_int32)
-                    _u32p = _ct.POINTER(_ct.c_uint32)
-                    w_l = np.zeros(Ln, np.int32)
-                    wmax = lib.af_flac_widths(
-                        residual.ctypes.data_as(_i32p), Ln, max_bs,
-                        order.ctypes.data_as(_i32p),
-                        w_l.ctypes.data_as(_i32p))
-                    # residual widths are heavy-tailed (verbatim blocks,
-                    # high-order partitions); pick the cheapest of "pad
-                    # all rows to the max bucket" vs "pack small + ship
-                    # the few wide rows raw" (flac_merge_overflow)
-                    wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
-                    stride = (max_bs * wb + 31) // 32 + 1
-                    packed = np.empty((Ln, stride), np.uint32)
-                    lib.af_flac_pack(
-                        residual.ctypes.data_as(_i32p), Ln, max_bs,
-                        order.ctypes.data_as(_i32p), wb,
-                        packed.ctypes.data_as(_u32p), stride)
-                    warm = np.ascontiguousarray(residual[:, :32])
-                    if Lb:
-                        # the few wide rows ship PACKED too, at the
-                        # window-max bucket (was: raw int32)
-                        over = np.flatnonzero(w_l > wb)
-                        wb2 = next((x for x in _FLAC_W_BUCKETS
-                                    if wmax <= x), 32)
-                        stride2 = (max_bs * wb2 + 31) // 32 + 1
-                        sub = np.ascontiguousarray(residual[over])
-                        order2 = np.full(Lb, max_bs, np.int32)
-                        order2[1 : 1 + over.size] = order[over]
-                        packed2 = np.zeros((Lb, stride2), np.uint32)
-                        if over.size:
-                            lib.af_flac_pack(
-                                sub.ctypes.data_as(_i32p), over.size,
-                                max_bs,
-                                np.ascontiguousarray(order[over])
-                                .ctypes.data_as(_i32p), wb2,
-                                packed2[1:].ctypes.data_as(_u32p),
-                                stride2)
-                        warm2 = np.zeros((Lb, 32), np.int32)
-                        warm2[1 : 1 + over.size] = sub[:, :32]
-                        ovf_idx = np.zeros(Ln, np.int32)
-                        ovf_idx[over] = np.arange(1, 1 + over.size)
-                if packed is not None:
-                    (packed_d, warm_d, coeffs, order, shift, exact,
-                     assigns, wasteds, out_shifts) = _shard_batch(
-                        self._mesh, packed, warm, coeffs, order, shift,
-                        exact, assigns, wasteds, out_shifts)
-                    residual_d = lpc_ops.flac_unpack_residuals(
-                        packed_d, warm_d, order, w=wb, n=max_bs)
-                    h2d += packed.nbytes + warm.nbytes
-                    if Lb:
-                        (p2_d, w2_d, o2_d, idx_d) = _shard_batch(
-                            self._mesh, packed2, warm2, order2, ovf_idx)
-                        res_o = lpc_ops.flac_unpack_residuals(
-                            p2_d, w2_d, o2_d, w=wb2, n=max_bs)
-                        residual_d = lpc_ops.flac_merge_overflow(
-                            residual_d, res_o, idx_d, Lb=Lb)
-                        h2d += (packed2.nbytes + warm2.nbytes
-                                + order2.nbytes + ovf_idx.nbytes)
+        try:
+            while active.any():
+                # host entropy stage: parse up to W frames per stream
+                t_host = time.perf_counter()
+                live = [bi for bi in range(B) if active[bi]]
+                if parse_pool is not None:
+                    res = list(parse_pool.map(_parse_lane, live))
                 else:
-                    (residual_d, coeffs, order, shift, exact, assigns,
-                     wasteds, out_shifts) = _shard_batch(
-                        self._mesh, residual, coeffs, order, shift, exact,
-                        assigns, wasteds, out_shifts)
-                    h2d += residual.nbytes
-                samples = lpc_ops.flac_lpc(
-                    residual_d, coeffs, order, shift, exact
-                ).reshape(S, nch, max_bs)
-                # <=16-bit lanes (out_shift >= 16): ship int16 losslessly
-                # to halve device->host bytes on the tunnel-limited link
-                post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
-                    else lpc_ops.flac_post_stereo_batch
-                out32 = post(samples, assigns, wasteds, out_shifts)
-                _prefetch(out32, to_device)
-                return out32, h2d
+                    res = [_parse_lane(bi) for bi in live]
+                parsed = [[] for _ in range(B)]
+                max_bs = 0
+                progress = False
+                for bi, (out, prog, mbs) in zip(live, res):
+                    parsed[bi] = out
+                    progress = progress or prog
+                    max_bs = max(max_bs, mbs)
+                self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+                lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
+                if not lanes:
+                    if not progress:
+                        break
+                    continue
+                t_enq = time.perf_counter()
+                # bucket the lane count (multiples of 128 past 128: keeps the
+                # compile cache small while cutting transfer padding vs pow2)
+                # and block length to keep compiles cached
+                n_l = len(lanes)
+                S = max(8, 1 << (n_l - 1).bit_length()) if n_l <= 128 \
+                    else -(-n_l // 128) * 128
+                max_bs = -(-max_bs // 1024) * 1024
+                residual = np.zeros((S * nch, max_bs), np.int32)
+                coeffs = np.zeros((S * nch, 32), np.int32)
+                order = np.full(S * nch, max_bs, np.int32)  # pad: pass-through
+                shift = np.zeros(S * nch, np.int32)
+                exact = np.zeros(S * nch, bool)
+                assigns = np.zeros(S, np.int32)
+                wasteds = np.zeros((S, nch), np.int32)
+                out_shifts = np.zeros(S, np.int32)
+                for si, (bi, p) in enumerate(lanes):
+                    bs, ca, res, cf, orr, sh, wa, bps = p
+                    residual[si * nch : si * nch + nch, :bs] = res
+                    coeffs[si * nch : si * nch + nch] = cf
+                    order[si * nch : si * nch + nch] = orr
+                    shift[si * nch : si * nch + nch] = sh
+                    exact[si * nch : si * nch + nch] = np.asarray(bps) > 16
+                    assigns[si] = ca
+                    wasteds[si] = wa
+                    out_shifts[si] = 32 - decs[bi].bits_per_sample
+                # upload diet: pack residuals at the window's uniform bit
+                # width (warm-ups ride an int32 side channel); the device
+                # unpacks with static shift arithmetic.  The pack + upload +
+                # device chain runs on the worker thread (ctypes releases the
+                # GIL, the tunnel upload is network IO) so window t+1's host
+                # frame parse overlaps window t's transfer — same pipelining
+                # as the MP3 scheduler.
+                from ..host import native as _native
 
-            fut = pool.submit(
-                _flac_dispatch, residual, coeffs, order, shift, exact,
-                assigns, wasteds, out_shifts, max_bs, S, use_s16)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
-            self._stat_add("windows", 1)
-            slots = []
-            for si, (bi, p) in enumerate(lanes):
-                slot = [None]
-                outputs[bi].append(slot)  # placeholder keeps stream order
-                slots.append((slot, si, p[0]))
-            pending.append((fut, slots))
+                lib = _native.get_lib()
+                Ln = S * nch
+                use_s16 = all(decs[bi].bits_per_sample <= 16 for bi, _ in lanes)
 
-        pool.shutdown(wait=True)
-        if parse_pool is not None:
-            parse_pool.shutdown(wait=True)
+                def _flac_dispatch(residual, coeffs, order, shift, exact,
+                                   assigns, wasteds, out_shifts, max_bs, S,
+                                   use_s16):
+                    # NOTE: everything per-window must arrive as an argument —
+                    # the enclosing loop rebinds its locals while this runs
+                    Ln = residual.shape[0]
+                    h2d = 0
+                    packed = None
+                    if lib is not None:
+                        import ctypes as _ct
+
+                        _i32p = _ct.POINTER(_ct.c_int32)
+                        _u32p = _ct.POINTER(_ct.c_uint32)
+                        w_l = np.zeros(Ln, np.int32)
+                        wmax = lib.af_flac_widths(
+                            residual.ctypes.data_as(_i32p), Ln, max_bs,
+                            order.ctypes.data_as(_i32p),
+                            w_l.ctypes.data_as(_i32p))
+                        # residual widths are heavy-tailed (verbatim blocks,
+                        # high-order partitions); pick the cheapest of "pad
+                        # all rows to the max bucket" vs "pack small + ship
+                        # the few wide rows raw" (flac_merge_overflow)
+                        wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
+                        stride = (max_bs * wb + 31) // 32 + 1
+                        packed = np.empty((Ln, stride), np.uint32)
+                        lib.af_flac_pack(
+                            residual.ctypes.data_as(_i32p), Ln, max_bs,
+                            order.ctypes.data_as(_i32p), wb,
+                            packed.ctypes.data_as(_u32p), stride)
+                        warm = np.ascontiguousarray(residual[:, :32])
+                        if Lb:
+                            # the few wide rows ship PACKED too, at the
+                            # window-max bucket (was: raw int32)
+                            over = np.flatnonzero(w_l > wb)
+                            wb2 = next((x for x in _FLAC_W_BUCKETS
+                                        if wmax <= x), 32)
+                            stride2 = (max_bs * wb2 + 31) // 32 + 1
+                            sub = np.ascontiguousarray(residual[over])
+                            order2 = np.full(Lb, max_bs, np.int32)
+                            order2[1 : 1 + over.size] = order[over]
+                            packed2 = np.zeros((Lb, stride2), np.uint32)
+                            if over.size:
+                                lib.af_flac_pack(
+                                    sub.ctypes.data_as(_i32p), over.size,
+                                    max_bs,
+                                    np.ascontiguousarray(order[over])
+                                    .ctypes.data_as(_i32p), wb2,
+                                    packed2[1:].ctypes.data_as(_u32p),
+                                    stride2)
+                            warm2 = np.zeros((Lb, 32), np.int32)
+                            warm2[1 : 1 + over.size] = sub[:, :32]
+                            ovf_idx = np.zeros(Ln, np.int32)
+                            ovf_idx[over] = np.arange(1, 1 + over.size)
+                    if packed is not None:
+                        (packed_d, warm_d, coeffs, order, shift, exact,
+                         assigns, wasteds, out_shifts) = _shard_batch(
+                            self._mesh, packed, warm, coeffs, order, shift,
+                            exact, assigns, wasteds, out_shifts)
+                        residual_d = lpc_ops.flac_unpack_residuals(
+                            packed_d, warm_d, order, w=wb, n=max_bs)
+                        h2d += packed.nbytes + warm.nbytes
+                        if Lb:
+                            (p2_d, w2_d, o2_d, idx_d) = _shard_batch(
+                                self._mesh, packed2, warm2, order2, ovf_idx)
+                            res_o = lpc_ops.flac_unpack_residuals(
+                                p2_d, w2_d, o2_d, w=wb2, n=max_bs)
+                            residual_d = lpc_ops.flac_merge_overflow(
+                                residual_d, res_o, idx_d, Lb=Lb)
+                            h2d += (packed2.nbytes + warm2.nbytes
+                                    + order2.nbytes + ovf_idx.nbytes)
+                    else:
+                        (residual_d, coeffs, order, shift, exact, assigns,
+                         wasteds, out_shifts) = _shard_batch(
+                            self._mesh, residual, coeffs, order, shift, exact,
+                            assigns, wasteds, out_shifts)
+                        h2d += residual.nbytes
+                    samples = lpc_ops.flac_lpc(
+                        residual_d, coeffs, order, shift, exact
+                    ).reshape(S, nch, max_bs)
+                    # <=16-bit lanes (out_shift >= 16): ship int16 losslessly
+                    # to halve device->host bytes on the tunnel-limited link
+                    post = lpc_ops.flac_post_stereo_batch_s16 if use_s16 \
+                        else lpc_ops.flac_post_stereo_batch
+                    out32 = post(samples, assigns, wasteds, out_shifts)
+                    _prefetch(out32, to_device)
+                    return out32, h2d
+
+                fut = pool.submit(
+                    _flac_dispatch, residual, coeffs, order, shift, exact,
+                    assigns, wasteds, out_shifts, max_bs, S, use_s16)
+                self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+                self._stat_add("windows", 1)
+                slots = []
+                for si, (bi, p) in enumerate(lanes):
+                    slot = [None]
+                    outputs[bi].append(slot)  # placeholder keeps stream order
+                    slots.append((slot, si, p[0]))
+                pending.append((fut, slots))
+
+        finally:
+            # see _decode_mp3_group_packed: no worker leaks on a
+            # lane fault mid-window
+            pool.shutdown(wait=True)
+            if parse_pool is not None:
+                parse_pool.shutdown(wait=True)
         resolved = []
         for fut, slots in pending:
             out32, h2d = fut.result()
@@ -1438,6 +1447,21 @@ class BatchDecoder:
             if not hasattr(d, "_rice_state"):
                 d._rice_state = np.array([-1, 0, d._cur_bit // 8],
                                          np.int64)
+
+        try:
+            return self._flac_rice_windows(
+                decs, nch, to_device, lib, B, W, outputs, active,
+                pending, pool_w, max_block)
+        finally:
+            # a lane fault raising out of the window loop must not leak
+            # the dispatch worker (the bisect recovery re-invokes this
+            # function O(log G) times on a poisoned chunk)
+            pool_w.shutdown(wait=True)
+
+    def _flac_rice_windows(self, decs, nch, to_device, lib, B, W,
+                           outputs, active, pending, pool_w, max_block):
+        from ..host import native as _native
+        from ..ops import flac_rice
 
         while active.any():
             t_host = time.perf_counter()
@@ -2021,9 +2045,6 @@ class BatchDecoder:
         per round (ops/celt_dsp.celt_imdct_ola).  The mode sequence is
         known host-side after the TOC pre-scan, so lanes advance through
         pure-SILK packets inline and re-sync at their next CELT frame."""
-        from ..models.celt import OVERLAP
-        from ..ops import celt_dsp
-
         B = len(decs)
         for d in decs:
             # re-probed lanes (bisect recovery) lost the eligibility

@@ -968,8 +968,11 @@ def main():
         mixed = {"error": str(e)}
     dsp_rtx = bench_device_dsp_only()
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3, B=1024)
-    fres_rtx, fres_bytes, fres_audio = bench_device_resident_flac(
-        flac, B=512)
+    try:
+        fres_rtx, fres_bytes, fres_audio = bench_device_resident_flac(
+            flac, B=512)
+    except Exception:  # e.g. no compiled host lib: row must not kill
+        fres_rtx, fres_bytes, fres_audio = 0.0, 0, 0.0
     try:
         qres_rtx, qres_bytes, qres_audio = bench_device_resident_qoa()
     except Exception as e:  # auxiliary row must never kill the bench
@@ -980,7 +983,8 @@ def main():
     # weighting matches the end-to-end metric, not the window sizes
     mp3_audio_total, flac_audio_total = sum(mp3_secs), sum(flac_secs)
     agg_rtx = (mp3_audio_total + flac_audio_total) / (
-        mp3_audio_total / res_rtx + flac_audio_total / fres_rtx)
+        mp3_audio_total / res_rtx
+        + flac_audio_total / max(fres_rtx, 1e-9)) if fres_rtx else 0.0
 
     by = {k: round(v, 1) for k, v in
           best_stats["decoded_seconds_by_format"].items()}

@@ -442,3 +442,62 @@ def test_mid_stream_channel_change_truncates(rng):
     ref = np.asarray(AudioStream().open_from_memory(stereo)
                      .read_samples_float(10 ** 6))
     assert out.shape[0] <= ref.shape[0]
+
+
+def test_mid_stream_channel_change_batch_matches_facade(rng):
+    """The BATCH device paths must stop at a mono-frame splice exactly
+    like the facade (hdr_compare in af_host.cc now checks the mono bit;
+    without it the C window parse read the frame's side info with the
+    wrong channel layout and desynced the reservoir for every following
+    frame)."""
+    from audio_formats_tpu.models.mp3 import _hdr_frame_bytes, _hdr_padding
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    def frames_of(n, channels):
+        frames = []
+        for _ in range(n):
+            grs = []
+            for _g in range(2):
+                q = np.zeros(576, np.int64)
+                idx = rng.choice(300, 20, replace=False)
+                q[idx] = rng.integers(-30, 31, 20)
+                grs.append([{"q": q, "global_gain": 214}
+                            for _ in range(channels)])
+            frames.append(grs)
+        return mp3_ref.build_mp3(frames, channels=channels)
+
+    stereo = frames_of(8, 2)
+    mono = frames_of(2, 1)
+
+    def frame_slices(data):
+        offs, off = [], 0
+        while off + 4 <= len(data):
+            fb = _hdr_frame_bytes(data[off : off + 4], 0) + \
+                _hdr_padding(data[off : off + 4])
+            if fb <= 4:
+                break
+            offs.append((off, off + fb))
+            off += fb
+        return offs
+
+    so, mo = frame_slices(stereo), frame_slices(mono)
+    spliced = stereo[: so[4][0]] + mono[mo[0][0] : mo[0][1]] \
+        + stereo[so[4][0] :]
+    s = AudioStream().open_from_memory(spliced)
+    facade = None if s.is_error() else \
+        np.asarray(s.read_samples_float(10 ** 6))
+    out = BatchDecoder([spliced, stereo]).decode_all()
+    # lane 1 (clean) must be unaffected by lane 0's splice
+    clean_ref = np.asarray(AudioStream().open_from_memory(stereo)
+                           .read_samples_float(10 ** 6))
+    assert out[1] is not None
+    peak = np.abs(clean_ref).max() + 1e-9
+    assert np.abs(np.asarray(out[1]) - clean_ref).max() / peak < 1e-5
+    # lane 0: same truncation decision and samples as the facade
+    if facade is None:
+        assert out[0] is None or np.isfinite(np.asarray(out[0])).all()
+    else:
+        assert out[0] is not None
+        got = np.asarray(out[0])
+        assert got.shape == facade.shape
+        assert np.abs(got - facade).max() / (peak + 1e-9) < 1e-5

@@ -748,3 +748,28 @@ def test_multistream_silk_eos_drain():
     snr = 10 * np.log10((refc[tail] ** 2).mean()
                         / max(1e-20, (e ** 2).mean()))
     assert snr > 40.0, f"tail SNR {snr:.1f} dB (per-stream drain broken?)"
+
+
+def test_corrupt_granule_drain_is_bounded():
+    """A corrupt last-page granule declaring an absurd stream length must
+    not make the EOS drain materialize the full declared remainder (the
+    fuzz contract: malformed input never raises — incl. MemoryError).
+    Reads stay caller-bounded; output stays finite."""
+    import audio_formats_tpu as af
+    from golden import opus_ref
+
+    pkts = [(bytes.fromhex(h), 960) for h in SILK_PACKETS]
+    data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0,
+                                   final_granule=1 << 40)
+    st = af.AudioStream()
+    st.open_from_memory(data)
+    assert not st.is_error(), st.error_message()
+    total = 0
+    for _ in range(8):
+        out = st.read_samples_float(65536)
+        assert np.isfinite(out).all()
+        if out.shape[0] == 0:
+            break
+        total += out.shape[0]
+    # real content decodes, the zero-padded tail keeps flowing bounded
+    assert total == 8 * 65536
