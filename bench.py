@@ -250,12 +250,14 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
                        d._ist_pos))
     n_act = np.zeros(B, np.int32)
     mw_max = 16
+    t_parse0 = time.perf_counter()
     for bi, d in enumerate(decs):
         n, off, mw, _ = _native.mp3_parse_window_packed(
             lib, d._view, d._offset, d._hdr0, W, ngr, nch, states[bi],
             bits[bi], meta[bi], scfq[bi], aa_c, wt_c, flags)
         n_act[bi] = n * ngr
         mw_max = max(mw_max, mw)
+    t_parse = time.perf_counter() - t_parse0
     Wb = next(w for w in (16, 32, 64, LW) if mw_max <= w)
     live = meta[:, :, 2] > 0
     # content-sized scan buckets — the production scheduler's plan
@@ -313,6 +315,10 @@ def bench_device_resident_mp3(mp3_streams, B=512, reps=6):
     t_hi = min(run(hi) for _ in range(2))
     dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
     audio = float(n_act.sum()) * 576 / 44100.0
+    # pure host C parse rate for this window (serial, no IO interleave):
+    # a stable per-core host-stage number, unlike the e2e host_ms wall
+    # time which inflates when uploads share the core
+    bench_device_resident_mp3.host_parse_rtx = audio / max(1e-9, t_parse)
     return audio / dt, blob.nbytes, audio
 
 
@@ -1049,9 +1055,15 @@ def main():
                 "qoa_audio_s": round(qres_audio, 1)},
             # host entropy stage rate per core (the host-side ceiling:
             # a real multi-core host scales this by its parse-pool width)
+            # per-core host stage (aggregate MP3 parse + FLAC sync
+            # index, from the e2e run's host wall — swings somewhat with
+            # IO interleave on a 1-core host); the MP3-parse-only row is
+            # timed SERIAL with no upload interleave and is stable
             "host_stage_rtx_per_core": round(
                 audio / max(1e-9, best_stats["host_ms"] / 1e3)
                 / max(1, os.cpu_count() or 1), 1),
+            "host_mp3_parse_rtx_per_core": round(getattr(
+                bench_device_resident_mp3, "host_parse_rtx", 0.0), 1),
             "accuracy_vs_golden": accuracy,
             # realistic mixed-content scheduler gauge (straggler lane
             # types present; the contract is demotions == 0)
