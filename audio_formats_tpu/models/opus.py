@@ -936,22 +936,22 @@ class OpusDecoder:
                     # channel map as _decode_packet (a 5.1 SILK file
                     # drains all streams, not stream 0 repeated)
                     drained = None
-                    # cap each drain chunk: the resamplers only ever owe
-                    # a sinc tail (+ hybrid FIFO), but length_frames is
-                    # the file's granule field — a corrupt stream can
-                    # declare 2^40 samples, and materializing that here
-                    # would raise MemoryError out of the public API.
-                    # The read loop re-enters until the caller's
-                    # max_frames or the declared length is reached.
-                    want = min(self.length_frames - self._pos, 48000)
-                    if want > 0 and (
-                            getattr(self, "_drain_started", False)
-                            or any(sd._silk_rs is not None
-                                   for sd in self._streams)):
-                        # once draining starts, later chunks keep
-                        # zero-filling to the declared length (the
-                        # resamplers flush on the first chunk)
-                        self._drain_started = True
+                    # the drain is bounded by what the resamplers
+                    # actually OWE (delayed samples + hybrid FIFO), never
+                    # by length_frames alone: that is the file's granule
+                    # field, and a corrupt stream declaring 2^40 samples
+                    # must neither allocate the remainder (MemoryError
+                    # out of the public API) nor zero-fill forever under
+                    # a read-until-empty consumer — it just ends early,
+                    # like any other truncated stream
+                    owed = max(
+                        (max(sd._delayed, sd._celt_hyb_delay.shape[0])
+                         for sd in self._streams
+                         if sd._silk_rs is not None),
+                        default=0)
+                    want = min(self.length_frames - self._pos, owed)
+                    if want > 0 and any(sd._silk_rs is not None
+                                        for sd in self._streams):
                         outs = []
                         for sd in self._streams:
                             k = sd.channels

@@ -2112,6 +2112,12 @@ class BatchDecoder:
             sd = sds[bi]
             total = sum(o.shape[0] for o in outs[bi])
             want = d.preskip + d.length_frames - total
+            # bound by the OWED tail (delayed samples + hybrid FIFO),
+            # never the raw granule field: a corrupt stream declaring
+            # 2^40 samples must not allocate the remainder (opus.py
+            # read() applies the same bound)
+            want = min(want,
+                       max(sd._delayed, sd._celt_hyb_delay.shape[0]))
             if want > 0 and sd._silk_rs is not None:
                 # EOS drain of the resampler tail + hybrid CELT FIFO +
                 # redundancy carry (opus.py drain_tail)
@@ -2330,6 +2336,11 @@ class BatchDecoder:
                 if st == len(d._silk_lockstep) - 1:
                     total = sum(o.shape[0] for o in outs[bi])
                     want = d.preskip + d.length_frames - total
+                    # owed-tail bound (see the mixed group): everything
+                    # the upsampler rows can still produce + the FIFO
+                    want = min(want,
+                               (rs.L + rs.A + rs._pending.shape[1] + 2)
+                               * rs.den + sd._celt_hyb_delay.shape[0])
                     if want > 0:
                         cols = [rs.flush_row(bi * nch + c, want)
                                 for c in range(nch)]
@@ -2423,9 +2434,13 @@ class BatchDecoder:
                 outs[bi].append(pcm * g if d._gain != 1.0 else pcm)
                 if s == len(d._silk_lockstep) - 1:
                     # EOS: drain the delayed tail NOW, before later steps
-                    # zero-feed this lane's resampler rows
+                    # zero-feed this lane's resampler rows (owed-tail
+                    # bound as in the mixed group: never the granule)
                     total = sum(o.shape[0] for o in outs[bi])
                     want = d.preskip + d.length_frames - total
+                    want = min(want,
+                               (rs.L + rs.A + rs._pending.shape[1] + 2)
+                               * rs.den)
                     if want > 0:
                         cols = [rs.flush_row(bi * nch + c, want)
                                 for c in range(nch)]

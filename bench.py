@@ -974,11 +974,13 @@ def main():
         mixed = {"error": str(e)}
     dsp_rtx = bench_device_dsp_only()
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3, B=1024)
+    flac_res_err = None
     try:
         fres_rtx, fres_bytes, fres_audio = bench_device_resident_flac(
             flac, B=512)
-    except Exception:  # e.g. no compiled host lib: row must not kill
-        fres_rtx, fres_bytes, fres_audio = 0.0, 0, 0.0
+    except Exception as e:  # e.g. no compiled host lib: row must not
+        fres_rtx, fres_bytes, fres_audio = 0.0, 0, 0.0  # kill the bench
+        flac_res_err = str(e)  # ...but a real regression must be visible
     try:
         qres_rtx, qres_bytes, qres_audio = bench_device_resident_qoa()
     except Exception as e:  # auxiliary row must never kill the bench
@@ -994,6 +996,8 @@ def main():
 
     by = {k: round(v, 1) for k, v in
           best_stats["decoded_seconds_by_format"].items()}
+    link_ceiling = audio / (
+        sum(len(b) for b in mp3 + flac) / max(1.0, up_bw))
     result = {
         "metric": "aggregate realtime decode factor "
                   "(MP3+FLAC, host bytes -> device PCM, batch "
@@ -1026,23 +1030,21 @@ def main():
             "h2d_inflation": round(
                 best_stats["h2d_bytes"]
                 / max(1, sum(len(b) for b in mp3 + flac)), 2),
-            "link_bound_ceiling_rtx": round(
-                audio / (sum(len(b) for b in mp3 + flac) / max(1.0, up_bw)),
-                1),
+            "link_bound_ceiling_rtx": round(link_ceiling, 1),
             "link_MBps": {"up": round(up_bw / 1e6, 1),
                           "down": round(down_bw / 1e6, 1)},
             # fraction of the wire-speed-of-light this run reached (the
             # probe and the run see different weather minutes, so >1.0
             # simply means the link was faster during the run)
-            "ceiling_fraction": round(
-                rtx / max(1e-9, audio / (
-                    sum(len(b) for b in mp3 + flac) / max(1.0, up_bw))), 3),
+            "ceiling_fraction": round(rtx / max(1e-9, link_ceiling), 3),
             "full_download_rtx": round(dl_rtx, 2),
             "device_dsp_only_rtx_mp3_b1024": round(dsp_rtx, 2),
             # full decode (entropy FSM + DSP) with inputs device-resident:
             # the chip's true rate, independent of the dev tunnel weather
             "device_resident_full_decode_rtx_mp3_b1024": round(res_rtx, 2),
             "device_resident_full_decode_rtx_flac_b512": round(fres_rtx, 2),
+            **({"device_resident_flac_error": flac_res_err}
+               if flac_res_err else {}),
             "device_resident_full_decode_rtx_qoa_b32": round(qres_rtx, 2),
             # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
             # corpus-audio weighted
