@@ -127,6 +127,22 @@ def _shard_batch(mesh, *arrays):
     return tuple(out)
 
 
+def _shard_batch_axis1(mesh, x, carry0):
+    """Placement for the Vorbis device window chain: the window tensor's
+    LANE axis is axis 1 ([K packets, L lanes, ...]) while the carried lap
+    is lane-leading — shard both over 'data' when they divide evenly."""
+    if mesh is None:
+        return x, carry0
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ok = x.shape[1] % mesh.shape["data"] == 0
+    sx = P(None, "data", None) if ok else P()
+    sc = P("data", None) if ok else P()
+    return (jax.device_put(x, NamedSharding(mesh, sx)),
+            jax.device_put(carry0, NamedSharding(mesh, sc)))
+
+
 class _StageTrace:
     """Chrome-trace (Perfetto) recorder for the batch scheduler's stage
     timers (SURVEY §5.1).  Spans derive from the same accumulators as
@@ -199,7 +215,7 @@ class _PendingGroup:
             sr = max(1, d.sample_rate)
             if self.kind == "mp3":
                 tot += d._cur_sample / max(1, d.channels) / sr
-            elif self.kind == "qoa":
+            elif self.kind in ("qoa", "vorbis"):
                 tot += d._pos / sr
             else:
                 tot += d._frame_pos / sr
@@ -473,7 +489,10 @@ class BatchDecoder:
                         4: "s32"}[d._byte_per_sample]
                 wav_groups.setdefault(kind, []).append(i)
             elif isinstance(d, VorbisDecoder):
-                vorbis_groups.setdefault(d.channels, []).append(i)
+                # block sizes join the key: the device window chain bakes
+                # (bs0, bs1) into its static IMDCT/slope constants
+                vorbis_groups.setdefault(
+                    (d.channels, d._bs0, d._bs1), []).append(i)
 
         GROUP = self._group_size or (1024 if to_device else 256)
 
@@ -508,7 +527,7 @@ class BatchDecoder:
         for kind, lanes in wav_groups.items():
             for c in range(0, len(lanes), GROUP):
                 plan(lanes[c : c + GROUP], self._decode_wav_group, kind)
-        for nch, lanes in vorbis_groups.items():
+        for (nch, _bs0, _bs1), lanes in vorbis_groups.items():
             for c in range(0, len(lanes), GROUP):
                 plan(lanes[c : c + GROUP], self._decode_vorbis_group, nch)
         # format groups run CONCURRENTLY on multi-core hosts (lane sets
@@ -1880,9 +1899,16 @@ class BatchDecoder:
         lane packet, then ONE device IMDCT matmul per (window-step, block
         size) bucket over all lanes' stacked channel spectra; the lapped
         windowing finishes on the host (per-lane carried half-window).
-        K packets per lane per step amortize the device round trip."""
+        K packets per lane per step amortize the device round trip.
+
+        With ``output="device"`` the whole post-entropy chain — IMDCT,
+        lapped overlap-add, finished-region extraction — runs as ONE jitted
+        scan per window (ops/vorbis_win.py) with the lap state carried in
+        device arrays, and PCM stays device-resident until finalize()."""
         from ..ops import mdct as mdct_ops
 
+        if to_device:
+            return self._decode_vorbis_group_device(decs, key)
         B = len(decs)
         nch = decs[0].channels
         outputs = [[] for _ in range(B)]
@@ -1941,6 +1967,92 @@ class BatchDecoder:
             else np.zeros((0, nch), np.float32)
             for bi in range(B)
         ]
+
+    def _decode_vorbis_group_device(self, decs, nch: int):
+        """Device-resident Vorbis lockstep (output="device"): the host does
+        entropy only; IMDCT + lapped windowing run on device with the lap
+        carried as device arrays (ops/vorbis_win.vorbis_window_chain), and
+        PCM windows accumulate on the accelerator.  Per-packet output
+        lengths are known host-side from the geometry alone, so nothing
+        downloads until finalize()."""
+        from ..ops import vorbis_win
+
+        B = len(decs)
+        bs0, bs1 = decs[0]._bs0, decs[0]._bs1
+        h = bs1 // 2
+        L = B * nch
+        K = 8  # packets per lane per window
+        state = (
+            np.zeros((L, h), np.float32),   # lap
+            np.zeros(B, np.int32),          # lap_len
+            np.zeros(B, np.int32),          # had_prev
+        )
+        host_hp = np.zeros(B, bool)  # host mirror of had_prev
+        active = np.ones(B, bool)
+        pending = []
+        while active.any():
+            t_host = time.perf_counter()
+            X = np.zeros((K, L, h), np.float32)
+            geom = np.zeros((4, K, B), np.int32)  # ls, rs, re, valid
+            lens = np.zeros((K, B), np.int32)     # emitted (clamped) lengths
+            for bi, d in enumerate(decs):
+                k = 0
+                while k < K and active[bi]:
+                    if d.length_frames and d._pos >= d.length_frames:
+                        active[bi] = False
+                        break
+                    pk = d._reader.next_packet()
+                    if pk is None:
+                        active[bi] = False
+                        break
+                    ent = d._packet_entropy(pk[0])
+                    if ent is None:
+                        continue
+                    spec, (n, l0, r0, r1) = ent
+                    X[k, bi * nch : (bi + 1) * nch, : n // 2] = spec
+                    geom[:, k, bi] = (l0, r0, r1, 1)
+                    ol = (r0 - l0) if host_hp[bi] else 0
+                    host_hp[bi] = True
+                    if d.length_frames:
+                        ol = min(ol, max(0, d.length_frames - d._pos))
+                    lens[k, bi] = ol
+                    d._pos += ol
+                    k += 1
+            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            if not geom[3].any():
+                break
+            t_enq = time.perf_counter()
+            X_d, st0 = _shard_batch_axis1(self._mesh, X, state[0])
+            pcm, *st = vorbis_win.vorbis_window_chain(
+                X_d, geom[0], geom[1], geom[2], geom[3],
+                st0, state[1], state[2], bs0=bs0, bs1=bs1, ch=nch)
+            state = tuple(st)
+            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._stat_add("h2d_bytes", X.nbytes + geom.nbytes)
+            self._stat_add("windows", 1)
+            pending.append((pcm, lens))
+        return _PendingGroup(self, "vorbis", decs, pending,
+                             self._vorbis_finalize, (decs, pending, nch))
+
+    def _vorbis_finalize(self, decs, pending, nch):
+        t0 = time.perf_counter()
+        outs = [[] for _ in decs]
+        for pcm_dev, lens in pending:
+            arr = np.asarray(pcm_dev)  # [K, L, bs1]
+            self._stat_add("d2h_bytes", arr.nbytes)
+            for bi in range(len(decs)):
+                for k in range(arr.shape[0]):
+                    n = int(lens[k, bi])
+                    if n:
+                        outs[bi].append(
+                            arr[k, bi * nch : (bi + 1) * nch, :n].T)
+        res = [
+            np.ascontiguousarray(np.concatenate(o), dtype=np.float32)
+            if o else np.zeros((0, nch), np.float32)
+            for o in outs
+        ]
+        self._stat_add("fetch_ms", (time.perf_counter() - t0) * 1e3)
+        return res
 
     # ------------------------------------------------- batched Opus lockstep
     @staticmethod

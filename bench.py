@@ -508,6 +508,103 @@ def bench_device_resident_qoa(B=32, secs=10, reps=6):
     return audio / dt, hp.nbytes + wp.nbytes + sp.nbytes + cp.nbytes, audio
 
 
+def bench_device_resident_vorbis(B=256, K=8, reps=6):
+    """Vorbis post-entropy synthesis with spectra RESIDENT on device: the
+    IMDCT + lapped overlap-add chain (ops/vorbis_win.vorbis_window_chain,
+    the device half of output="device" Vorbis decode) on real packet
+    spectra/geometry from the entropy stage — stereo coupled lanes, mixed
+    long/short windows.  Entropy (codebooks/floors/residues) stays on the
+    host by design (stb_vorbis2.d:1211's codebook walk is data-dependently
+    book-switched, which defeats the lockstep interval-sum FSM), so this
+    row is the chip's rate for everything after it."""
+    import jax
+
+    from audio_formats_tpu import models
+    from audio_formats_tpu.io.source import MemorySource
+    from audio_formats_tpu.ops import vorbis_win
+    from golden import vorbis_ref
+
+    rng = np.random.default_rng(5)
+    ch, bs0, bs1 = 2, 512, 2048
+    h = bs1 // 2
+    masters = []
+    for mi in range(4):  # 4 distinct stereo masters, lanes repeat them
+        fix = vorbis_ref.Fixture(channels=ch, bs0=bs0, bs1=bs1,
+                                 coupling=True)
+        # music-shaped block pattern: mostly long, occasional short pair
+        pattern = [1] * (K + 1)
+        if K >= 6:  # occasional short-block pair (transients)
+            pattern[3 + mi % 2] = 0
+            pattern[4 + mi % 2] = 0
+        frames = []
+        for j in range(K + 1):
+            lb = bool(pattern[j])
+            n2 = (bs1 if lb else bs0) // 2
+            posts = [[int(rng.integers(40, 100)) for _ in range(4)]
+                     for _ in range(ch)]
+            rs = []
+            for _c in range(ch):
+                r = np.zeros(n2)
+                idx = rng.choice(n2, size=n2 // 3, replace=False)
+                r[idx] = rng.integers(-5, 6, size=idx.size) * fix.vq_delta
+                rs.append(r)
+            prev_long = bool(pattern[j - 1]) if j > 0 else True
+            next_long = bool(pattern[j + 1]) if j + 1 <= K else True
+            frames.append(fix.audio_packet(
+                posts, rs, long_block=lb,
+                prev_flag=1 if prev_long else 0,
+                next_flag=1 if next_long else 0))
+        masters.append((fix.build(frames), fix.rate))
+    L = B * ch
+    X = np.zeros((K, L, h), np.float32)
+    geom = np.zeros((4, K, B), np.int32)
+    audio = 0.0
+    for bi in range(B):
+        data, sr = masters[bi % len(masters)]
+        d = models.probe_all(MemorySource(data))
+        k = 0
+        while k < K:
+            pk = d._reader.next_packet()
+            if pk is None:
+                break
+            ent = d._packet_entropy(pk[0])
+            if ent is None:
+                continue
+            spec, (n, l0, r0, r1) = ent
+            X[k, bi * ch : (bi + 1) * ch, : n // 2] = spec
+            geom[:, k, bi] = (l0, r0, r1, 1)
+            if k > 0:  # first packet primes the lap (no output)
+                audio += (r0 - l0) / sr
+            k += 1
+    state = (np.zeros((L, h), np.float32), np.zeros(B, np.int32),
+             np.zeros(B, np.int32))
+    args = [jax.device_put(a)
+            for a in (X, geom[0], geom[1], geom[2], geom[3])]
+    state = [jax.device_put(a) for a in state]
+
+    def step(st):
+        pcm, *st2 = vorbis_win.vorbis_window_chain(
+            *args, *st, bs0=bs0, bs1=bs1, ch=ch)
+        return pcm, st2
+
+    pcm, state = step(state)
+    _ = np.asarray(pcm[0, 0, 0])
+
+    def run(k):
+        st = state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            pcm, st = step(st)
+        _ = np.asarray(pcm[0, 0, 0])
+        return time.perf_counter() - t0
+
+    lo, hi = reps, reps * 3
+    t_lo = min(run(lo) for _ in range(2))
+    t_hi = min(run(hi) for _ in range(2))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
+    return audio / dt, X.nbytes + geom.nbytes, audio
+
+
 def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
     """Device ceiling: the MP3 window DSP alone (inputs device-resident),
     timed with chained state and a forced element fetch (block_until_ready
@@ -985,6 +1082,10 @@ def main():
         qres_rtx, qres_bytes, qres_audio = bench_device_resident_qoa()
     except Exception as e:  # auxiliary row must never kill the bench
         qres_rtx, qres_bytes, qres_audio = 0.0, 0, 0.0
+    try:
+        vres_rtx, vres_bytes, vres_audio = bench_device_resident_vorbis()
+    except Exception as e:  # auxiliary row must never kill the bench
+        vres_rtx, vres_bytes, vres_audio = 0.0, 0, 0.0
     # aggregate device-resident MP3+FLAC: the BASELINE.md metric shape,
     # measured at the chip — per-format window rates extrapolated to the
     # CORPUS audio proportions (512 MP3 + 512 FLAC streams), so the mix
@@ -1046,6 +1147,10 @@ def main():
             **({"device_resident_flac_error": flac_res_err}
                if flac_res_err else {}),
             "device_resident_full_decode_rtx_qoa_b32": round(qres_rtx, 2),
+            # Vorbis device half (IMDCT + lapped OLA, the output="device"
+            # window chain); entropy stays host by design — see
+            # bench_device_resident_vorbis docstring
+            "device_resident_vorbis_synth_rtx_b256": round(vres_rtx, 2),
             # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
             # corpus-audio weighted
             "device_resident_full_decode_rtx_agg_b1024": round(agg_rtx, 2),
@@ -1054,7 +1159,9 @@ def main():
                 "flac_bytes": fres_bytes,
                 "flac_audio_s": round(fres_audio, 1),
                 "qoa_bytes": qres_bytes,
-                "qoa_audio_s": round(qres_audio, 1)},
+                "qoa_audio_s": round(qres_audio, 1),
+                "vorbis_bytes": vres_bytes,
+                "vorbis_audio_s": round(vres_audio, 1)},
             # host entropy stage rate per core (the host-side ceiling:
             # a real multi-core host scales this by its parse-pool width)
             # per-core host stage (aggregate MP3 parse + FLAC sync

@@ -266,6 +266,51 @@ def test_vorbis_batched_group_equals_facade(rng):
     assert dec.stats["decoded_seconds_by_format"].get("vorbis", 0) > 0
 
 
+def test_vorbis_device_resident_group_equals_facade(rng):
+    """output="device": Vorbis windowing (IMDCT + lapped OLA) runs entirely
+    on device with carried lap state (ops/vorbis_win) and PCM stays
+    device-resident; to_numpy() must match the facade, including mixed
+    long/short windows, stereo coupling, and ragged lane lengths."""
+    from golden import vorbis_ref
+
+    streams = []
+    for i in range(3):
+        ch = 2 if i == 2 else 1
+        fix = vorbis_ref.Fixture(channels=ch, bs0=512, bs1=2048,
+                                 coupling=(ch == 2))
+        count = 6 + 2 * i
+        pattern = [(j // 2) % 2 for j in range(count)]
+        frames = []
+        for j in range(count):
+            lb = bool(pattern[j])
+            n2 = (fix.bs1 if lb else fix.bs0) // 2
+            posts = [[int(rng.integers(40, 100)) for _ in range(4)]
+                     for _ in range(ch)]
+            rs = []
+            for _c in range(ch):
+                r = np.zeros(n2)
+                idx = rng.choice(n2, size=n2 // 4, replace=False)
+                r[idx] = rng.integers(-5, 6, size=idx.size) * fix.vq_delta
+                rs.append(r)
+            prev_long = bool(pattern[j - 1]) if j > 0 else True
+            next_long = bool(pattern[j + 1]) if j + 1 < count else True
+            frames.append(fix.audio_packet(
+                posts, rs, long_block=lb,
+                prev_flag=1 if prev_long else 0,
+                next_flag=1 if next_long else 0))
+        streams.append(fix.build(frames))
+    dec = BatchDecoder(streams)
+    res = dec.decode_all(output="device")
+    assert dec.stats["d2h_bytes"] == 0, "device mode must not download"
+    out = res.to_numpy()
+    for data, got in zip(streams, out):
+        ref = _facade(data)
+        assert got.shape == ref.shape
+        peak = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / peak < 4e-6
+    assert dec.stats["decoded_seconds_by_format"].get("vorbis", 0) > 0
+
+
 def test_mixed_batch_no_per_stream_fallback(rng, monkeypatch):
     """A mixed MP3/FLAC/QOA/WAV/Vorbis batch must decode entirely through
     the device groups: the per-stream fallback (decoder.read) must never

@@ -51,6 +51,36 @@ def test_mesh_sharded_flac_matches_unsharded(rng):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mesh_sharded_vorbis_device_matches_unsharded(rng):
+    """The device-resident Vorbis window chain shards its lane-channel
+    axis over 'data' (ops/vorbis_win via _shard_batch_axis1); the sharded
+    device-mode decode must match the unsharded one."""
+    from golden import vorbis_ref
+
+    fix = vorbis_ref.Fixture(channels=1, bs0=512, bs1=2048)
+    frames = []
+    for j in range(6):
+        lb = bool((j // 2) % 2)
+        n2 = (fix.bs1 if lb else fix.bs0) // 2
+        r = np.zeros(n2)
+        idx = rng.choice(n2, size=n2 // 4, replace=False)
+        r[idx] = rng.integers(-5, 6, size=idx.size) * fix.vq_delta
+        prev_long = bool(((j - 1) // 2) % 2) if j > 0 else True
+        next_long = bool(((j + 1) // 2) % 2) if j + 1 < 6 else True
+        frames.append(fix.audio_packet(
+            [[60, 70, 80, 90]], [r], long_block=lb,
+            prev_flag=1 if prev_long else 0,
+            next_flag=1 if next_long else 0))
+    streams = [fix.build(frames)] * 8
+    base = BatchDecoder(streams).decode_all(output="device").to_numpy()
+    mesh = make_mesh(8, data=8, model=1, devices=jax.devices("cpu"))
+    sharded = BatchDecoder(streams, mesh=mesh) \
+        .decode_all(output="device").to_numpy()
+    for a, b in zip(base, sharded):
+        peak = np.abs(a).max() + 1e-30
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / peak < 1e-5
+
+
 def test_opus_celt_lockstep_matches_facade():
     """CELT-only Opus lanes decode through the batched device synthesis
     (ops/celt_dsp.celt_imdct_ola) and must match the per-stream facade."""
