@@ -605,6 +605,46 @@ def bench_device_resident_vorbis(B=256, K=8, reps=6):
     return audio / dt, X.nbytes + geom.nbytes, audio
 
 
+def bench_batch_encode(B=64, secs=4):
+    """Batched encode throughput (the write half of the framework): N
+    distinct stereo masters through the lockstep QOA encoder (device
+    16-scalefactor LMS search, ops/lms.py) and the batched WAV s24 encoder
+    (device TPDF dither + exact quantize).  End-to-end wall including the
+    host byte assembly — realtime x of audio encoded per second."""
+    from audio_formats_tpu.config import EncodingOptions
+    from audio_formats_tpu.parallel.encode import (encode_qoa_batch,
+                                                   encode_wav_batch)
+
+    rng = np.random.default_rng(17)
+    n = secs * 44100
+    t = np.arange(n) / 44100.0
+    pcms = []
+    for i in range(B):
+        x = np.stack([
+            0.3 * np.sin(2 * np.pi * (160 + 17 * i) * t)
+            + 0.02 * rng.standard_normal(n),
+            0.25 * np.sin(2 * np.pi * (210 + 13 * i) * t)
+            + 0.02 * rng.standard_normal(n),
+        ], 1).astype(np.float32)
+        pcms.append(np.clip(x, -1, 1))
+    audio = B * secs
+    out = {}
+    encode_qoa_batch(pcms, 44100)  # compile warmup at the timed shape
+    t0 = time.perf_counter()
+    encode_qoa_batch(pcms, 44100)
+    out["batch_encode_rtx_qoa"] = round(audio / (time.perf_counter() - t0), 1)
+    from audio_formats_tpu.config import AudioSampleFormat
+
+    opt = EncodingOptions(sample_format=AudioSampleFormat.s24,
+                          enable_dither=True)
+    encode_wav_batch(pcms, 44100, options=opt)
+    t0 = time.perf_counter()
+    encode_wav_batch(pcms, 44100, options=opt)
+    out["batch_encode_rtx_wav_s24"] = round(
+        audio / (time.perf_counter() - t0), 1)
+    return out
+
+
 def bench_device_dsp_only(B=1024, G=48, nch=2, reps=8):
     """Device ceiling: the MP3 window DSP alone (inputs device-resident),
     timed with chained state and a forced element fetch (block_until_ready
@@ -1086,6 +1126,10 @@ def main():
         vres_rtx, vres_bytes, vres_audio = bench_device_resident_vorbis()
     except Exception as e:  # auxiliary row must never kill the bench
         vres_rtx, vres_bytes, vres_audio = 0.0, 0, 0.0
+    try:
+        enc_rows = bench_batch_encode()
+    except Exception as e:  # auxiliary row must never kill the bench
+        enc_rows = {"batch_encode_error": str(e)}
     # aggregate device-resident MP3+FLAC: the BASELINE.md metric shape,
     # measured at the chip — per-format window rates extrapolated to the
     # CORPUS audio proportions (512 MP3 + 512 FLAC streams), so the mix
@@ -1151,6 +1195,9 @@ def main():
             # window chain); entropy stays host by design — see
             # bench_device_resident_vorbis docstring
             "device_resident_vorbis_synth_rtx_b256": round(vres_rtx, 2),
+            # the write half: lockstep QOA (device scalefactor search) and
+            # batched WAV s24 (device TPDF dither), end-to-end wall
+            **enc_rows,
             # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
             # corpus-audio weighted
             "device_resident_full_decode_rtx_agg_b1024": round(agg_rtx, 2),
