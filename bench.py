@@ -582,25 +582,36 @@ def bench_device_resident_vorbis(B=256, K=8, reps=6):
             for a in (X, geom[0], geom[1], geom[2], geom[3])]
     state = [jax.device_put(a) for a in state]
 
-    def step(st):
-        pcm, *st2 = vorbis_win.vorbis_window_chain(
-            *args, *st, bs0=bs0, bs1=bs1, ch=ch)
-        return pcm, st2
+    # the per-window chain is sub-millisecond on chip — far below the
+    # tunnel's per-dispatch jitter — so repetition happens INSIDE one
+    # device program (fori_loop over the chain, carrying the lap state)
+    # and the two-point slope cancels the single dispatch+fetch cost
+    import functools
 
-    pcm, state = step(state)
-    _ = np.asarray(pcm[0, 0, 0])
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain_n(X, ls, rs, re, valid, lap, ll, hp, n: int):
+        def body(_, c):
+            lap, ll, hp, acc = c
+            pcm, lap, ll, hp = vorbis_win.vorbis_window_chain(
+                X, ls, rs, re, valid, lap, ll, hp,
+                bs0=bs0, bs1=bs1, ch=ch)
+            return (lap, ll, hp, acc + pcm[0, 0, 0])
 
-    def run(k):
-        st = state
-        t0 = time.perf_counter()
-        for _ in range(k):
-            pcm, st = step(st)
-        _ = np.asarray(pcm[0, 0, 0])
-        return time.perf_counter() - t0
+        lap, ll, hp, acc = jax.lax.fori_loop(
+            0, n, body, (lap, ll, hp, np.float32(0.0)))
+        return acc
 
     lo, hi = reps, reps * 3
-    t_lo = min(run(lo) for _ in range(2))
-    t_hi = min(run(hi) for _ in range(2))
+    _ = np.asarray(chain_n(*args, *state, n=lo))
+    _ = np.asarray(chain_n(*args, *state, n=hi))
+
+    def run(k):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain_n(*args, *state, n=k))
+        return time.perf_counter() - t0
+
+    t_lo = min(run(lo) for _ in range(3))
+    t_hi = min(run(hi) for _ in range(3))
     dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
     return audio / dt, X.nbytes + geom.nbytes, audio
 
@@ -642,6 +653,50 @@ def bench_batch_encode(B=64, secs=4):
     encode_wav_batch(pcms, 44100, options=opt)
     out["batch_encode_rtx_wav_s24"] = round(
         audio / (time.perf_counter() - t0), 1)
+
+    # device-only rate of the QOA encode kernel (16-scalefactor LMS
+    # search, qoa.d:345-383 as a vectorized axis): per-frame cost is small
+    # vs tunnel dispatch jitter, so repetition chains INSIDE one program
+    import functools
+
+    import jax
+
+    from audio_formats_tpu.ops import lms as lms_ops
+
+    L = 2 * B
+    rng2 = np.random.default_rng(23)
+    samples = jax.device_put(np.clip(np.round(
+        8000 * rng2.standard_normal((L, 5120))), -32768, 32767
+    ).astype(np.int32))
+    h0 = jax.device_put(np.zeros((L, 4), np.int32))
+    w0 = jax.device_put(np.tile(
+        np.array([0, 0, -(1 << 13), 1 << 14], np.int32), (L, 1)))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain_n(samples, h, w, n: int):
+        def body(_, c):
+            h, w, acc = c
+            _sf, codes, h, w = lms_ops.qoa_encode_frame_scan(
+                samples, h, w, np.int32(5120))
+            return (h, w, acc + codes[0, 0, 0])
+
+        h, w, acc = jax.lax.fori_loop(0, n, body, (h, w, np.int32(0)))
+        return acc
+
+    lo, hi = 2, 6
+    _ = np.asarray(chain_n(samples, h0, w0, n=lo))
+    _ = np.asarray(chain_n(samples, h0, w0, n=hi))
+
+    def run(k):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain_n(samples, h0, w0, n=k))
+        return time.perf_counter() - t0
+
+    t_lo = min(run(lo) for _ in range(3))
+    t_hi = min(run(hi) for _ in range(3))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo))
+    out["device_qoa_encode_search_rtx"] = round(
+        B * (5120 / 44100.0) / dt, 1)
     return out
 
 
