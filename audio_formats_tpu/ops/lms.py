@@ -189,7 +189,10 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
 
     samples:   [L, 5120] int32 (s16 values; zero-padded past frame_len)
     history:   [L, 4] int32, weights: [L, 4] int32 — carried LMS state
-    frame_len: scalar int32 (samples per channel in this frame, <= 5120)
+    frame_len: scalar int32 OR per-lane [L] int32 (samples per channel in
+               this frame, <= 5120) — per-lane lengths let the
+               frame-parallel encoder batch every stream's final partial
+               frame into the same lockstep call
 
     Returns (scalefactors [L, 256] i32, codes [L, 256, 20] i32,
              history' [L,4], weights' [L,4]).  The host packs codes into
@@ -200,6 +203,7 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
     quant_tab = jnp.asarray(QUANT_TAB)
     dequant = jnp.asarray(DEQUANT_TAB)  # [16, 8]
     sf_idx = jnp.arange(16, dtype=jnp.int32)
+    frame_len = jnp.broadcast_to(jnp.asarray(frame_len, jnp.int32), (L,))
 
     samples_s = samples.reshape(L, QOA_SLICES_PER_FRAME, QOA_SLICE_LEN)
     samples_s = jnp.transpose(samples_s, (1, 0, 2))  # [S, L, 20]
@@ -207,9 +211,9 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
     def slice_step(carry, inp):
         h, w = carry  # [L, 4]
         slice_samples, slice_index = inp  # [L, 20], scalar
-        # number of active samples in this slice (qoa.d:335)
+        # number of active samples in this slice, per lane (qoa.d:335)
         slice_len = jnp.clip(frame_len - slice_index * QOA_SLICE_LEN, 0, 20)
-        slice_active = slice_len > 0
+        slice_active = (slice_len > 0)[:, None]  # [L, 1]
 
         # Trial state for all 16 scalefactors in parallel.
         h16 = jnp.broadcast_to(h[:, None, :], (L, 16, 4)).astype(jnp.int32)
@@ -218,7 +222,7 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
         err_lo = jnp.zeros((L, 16), jnp.uint32)
         codes = []
         for t in range(QOA_SLICE_LEN):  # static 20-step unroll
-            active = t < slice_len  # scalar bool
+            active = (t < slice_len)[:, None]  # [L, 1]
             sample = slice_samples[:, t][:, None]  # [L, 1]
             predicted = _lms_predict(h16, w16)  # [L, 16]
             residual = sample - predicted
@@ -236,8 +240,8 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
             nh, nw = _lms_update(h16, w16, recon, dequantized)
             err_lo = jnp.where(active, new_lo, err_lo)
             err_hi = jnp.where(active, new_hi, err_hi)
-            h16 = jnp.where(active, nh, h16)
-            w16 = jnp.where(active, nw, w16)
+            h16 = jnp.where(active[..., None], nh, h16)
+            w16 = jnp.where(active[..., None], nw, w16)
             codes.append(jnp.where(active, quantized, 0))
         codes = jnp.stack(codes, axis=-1)  # [L, 16, 20]
 

@@ -22,16 +22,28 @@ import numpy as np
 from ..config import EncodingOptions
 from ..models import qoa as qoa_mod
 from ..models.qoa import QOA_FRAME_LEN, QOA_LMS_LEN, QOA_MAGIC
+from ..ops.lms import QOA_SLICE_LEN, QOA_SLICES_PER_FRAME
 from ..ops import lms as lms_ops
 from ..ops import pcm as pcm_ops
 
 
-def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int
-                     ) -> List[bytes]:
+def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
+                     parallel_frames: bool = False) -> List[bytes]:
     """Encode N streams of float PCM [(frames, ch)] to QOA byte streams.
 
     Channel counts may differ per stream; lanes = Σ channels.  Byte-exact
-    vs models/qoa.py QoaEncoder."""
+    vs models/qoa.py QoaEncoder.
+
+    ``parallel_frames=True`` selects the TPU-native lane layout: QOA
+    stores the pre-frame LMS state IN each frame header (qoa.d:315-326),
+    so any per-frame starting state yields a valid stream — starting
+    every frame from the encoder's initial state makes all frames
+    independent lanes ([streams x frames x channels] instead of
+    [streams x channels]), trading a fraction of a dB of SNR at each
+    frame boundary (the LMS re-converges within a few slices) for a
+    lane count that actually fills the chip.  Output differs from (but
+    decodes identically in contract to) the sequential encoder; each
+    stream's FIRST frame is byte-identical to it."""
     n = len(pcms)
     chans = [p.shape[1] for p in pcms]
     lengths = [p.shape[0] for p in pcms]
@@ -44,6 +56,9 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int
             q = pcm_ops.quantize_float_to_int(
                 p.reshape(-1).astype(np.float32), "s16", dither=False)
         s16.append(q.reshape(-1, p.shape[1]).astype(np.int32))
+    if parallel_frames:
+        return _encode_qoa_frames_parallel(
+            s16, chans, lengths, sample_rate)
     L = sum(chans)
     lane_of = np.cumsum([0] + chans)
     hist = np.zeros((L, QOA_LMS_LEN), np.int32)
@@ -92,6 +107,70 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int
     for i in range(n):
         outs[i][0:8] = ((QOA_MAGIC << 32) | lengths[i]).to_bytes(8, "big")
     return [bytes(o) for o in outs]
+
+
+def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
+                                ) -> List[bytes]:
+    """Frame-parallel QOA encode: every (stream, frame, channel) is an
+    independent lane of ONE lockstep device call (chunked to bound
+    memory), each frame starting from the encoder's initial LMS state
+    {0,0,-2^13,2^14} (qoa.d:568-581) which is written into its header.
+    Per-lane frame lengths let final partial frames ride the same call."""
+    n = len(s16)
+    init_w = np.array([0, 0, -(1 << 13), 1 << 14], np.int32)
+    # lane layout: frame-major per stream, channel-minor
+    spans = []  # (stream, frame_idx, frame_samples, lane_start)
+    by_stream = [[] for _ in range(n)]
+    lane = 0
+    for i in range(n):
+        nf = -(-lengths[i] // QOA_FRAME_LEN) if lengths[i] else 0
+        for f in range(nf):
+            fs = min(QOA_FRAME_LEN, lengths[i] - f * QOA_FRAME_LEN)
+            spans.append((i, f, fs, lane))
+            by_stream[i].append((fs, lane))
+            lane += chans[i]
+    L = lane
+    CHUNK = 8192  # lanes per device call (bounds codes-plane memory);
+    # chunks cut at span boundaries so a frame's channels stay together
+    sf_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.int32)
+    cd_all = np.zeros((L, QOA_SLICES_PER_FRAME, QOA_SLICE_LEN), np.int32)
+    si = 0
+    while si < len(spans):
+        c0 = spans[si][3]
+        sj = si
+        while sj < len(spans) and \
+                spans[sj][3] + chans[spans[sj][0]] - c0 <= CHUNK:
+            sj += 1
+        sj = max(sj, si + 1)
+        last = spans[sj - 1]
+        c1 = last[3] + chans[last[0]]
+        Lc = c1 - c0
+        # pow2 lane bucket: chunk widths vary, the compiled kernel should not
+        Lp = min(CHUNK, max(256, 1 << (Lc - 1).bit_length()))
+        rows = np.zeros((Lp, QOA_FRAME_LEN), np.int32)
+        flen = np.zeros(Lp, np.int32)  # pad lanes: len 0 -> fully inactive
+        for (i, f, fs, ls) in spans[si:sj]:
+            seg = s16[i][f * QOA_FRAME_LEN : f * QOA_FRAME_LEN + fs]
+            rows[ls - c0 : ls - c0 + chans[i], :fs] = seg.T
+            flen[ls - c0 : ls - c0 + chans[i]] = fs
+        hist = np.zeros((Lp, QOA_LMS_LEN), np.int32)
+        wts = np.tile(init_w, (Lp, 1))
+        sf, codes, _h, _w = lms_ops.qoa_encode_frame_scan(
+            rows, hist, wts, flen)
+        sf_all[c0:c1] = np.asarray(sf)[:Lc]
+        cd_all[c0:c1] = np.asarray(codes)[:Lc]
+        si = sj
+    outs = []
+    hist1 = np.zeros((max(chans) if chans else 1, QOA_LMS_LEN), np.int32)
+    wts1 = np.tile(init_w, (max(chans) if chans else 1, 1))
+    for i in range(n):
+        out = bytearray(((QOA_MAGIC << 32) | lengths[i]).to_bytes(8, "big"))
+        for (fs, ls) in by_stream[i]:
+            out += qoa_mod.pack_qoa_frame(
+                sample_rate, chans[i], fs, hist1, wts1,
+                sf_all[ls : ls + chans[i]], cd_all[ls : ls + chans[i]])
+        outs.append(bytes(out))
+    return outs
 
 
 def encode_wav_batch(pcms: Sequence[np.ndarray], sample_rate: int,

@@ -47,6 +47,42 @@ def test_qoa_batch_encode_byte_exact(rng):
         assert out.shape[0] == pcm.shape[0]
 
 
+def test_qoa_frame_parallel_encode(rng):
+    """parallel_frames=True: every frame is an independent lane.  The
+    stream must still decode to the right shape with near-sequential
+    quality (each frame header carries its own LMS start state,
+    qoa.d:315-326), and the FIRST frame must be byte-identical to the
+    sequential encoder (both start from the initial LMS state)."""
+    pcms = [
+        _sig(rng, 5120 * 2, 1),
+        _sig(rng, 5120 * 2 + 1234, 2),
+        _sig(rng, 800, 1),
+        _sig(rng, 5120 * 3 + 20, 2),
+    ]
+    seq = encode_qoa_batch(pcms, 44100)
+    par = encode_qoa_batch(pcms, 44100, parallel_frames=True)
+    for pcm, s, p in zip(pcms, seq, par):
+        ch = pcm.shape[1]
+        fl = min(5120, pcm.shape[0])
+        nsl = (fl + 19) // 20
+        f_size = 8 + 16 * ch + 8 * nsl * ch
+        assert p[:8] == s[:8]                      # file header
+        assert p[8:8 + f_size] == s[8:8 + f_size]  # first frame
+        assert len(p) == len(s)                    # same framing
+        out = AudioStream().open_from_memory(p).read_samples_float(10 ** 7)
+        assert out.shape == pcm.shape
+        snr_p = _snr(pcm, out)
+        snr_s = _snr(pcm, AudioStream().open_from_memory(s)
+                     .read_samples_float(10 ** 7))
+        assert snr_p > 25.0
+        assert snr_p > snr_s - 4.0  # re-convergence cost is small
+
+
+def _snr(ref, got):
+    err = got - ref
+    return 10 * np.log10(np.mean(ref ** 2) / max(np.mean(err ** 2), 1e-12))
+
+
 def _wav_single(pcm, sr, options):
     sink = ByteSink()
     enc = WavEncoder(sink, sr, pcm.shape[1], options)
