@@ -1542,8 +1542,19 @@ class BatchDecoder:
         pool_w.shutdown(wait=True)
         resolved = []
         for fut, slots in pending:
-            out32, bad, h2d = fut.result()
+            out32, bad_parts, h2d = fut.result()
             self._stat_add("h2d_bytes", h2d)
+            # frame-chain validation, deferred from the dispatch (the
+            # downloads block; by now every window is enqueued, so the
+            # device pipeline stayed full): a mismatched end position
+            # means a mis-parse — those frames redo on the host
+            err_d, endb_d, subbps_d, base_arr, sizes = bad_parts
+            err = np.asarray(err_d)
+            endb = np.asarray(endb_d).astype(np.int64) - base_arr
+            wide = np.asarray(subbps_d).max(axis=1) > 18
+            chain = (((endb + 7) // 8) * 8 + 16 != sizes * 8) \
+                & (sizes > 0)
+            bad = err | wide | chain
             resolved.append((out32, bad, slots))
         pending[:] = resolved
         group = _PendingGroup(self, "flac", decs, pending,
@@ -1617,17 +1628,16 @@ class BatchDecoder:
             out32 = post(samples, ca_d,
                          ent["wasted"], osh_d)
             _prefetch(out32, to_device)
-            # sticky lane errors + frame-chain validation (the sync
-            # index is header-validated; a mismatched end position
-            # means a mis-parse — redo those frames on the host)
-            err = np.asarray(ent["err"])
-            endb = np.asarray(ent["end_bits"]).astype(np.int64) \
-                - base_arr
-            wide = np.asarray(ent["sub_bps"]).max(axis=1) > 18
-            chain = (((endb + 7) // 8) * 8 + 16 != sizes * 8) \
-                & (sizes > 0)
-            bad = err | wide | chain
-            return out32, bad, pool.nbytes
+            # sticky lane errors + frame-chain validation ride back as
+            # DEVICE arrays: a np.asarray here would block this (single)
+            # dispatch worker on the window's full device computation,
+            # serializing upload N+1 behind compute N (measured: 17 s of
+            # a 30 s e2e rep spent in that wait).  The resolution loop
+            # downloads them after every window has been enqueued.
+            return (out32,
+                    (ent["err"], ent["end_bits"], ent["sub_bps"],
+                     base_arr, sizes),
+                    pool.nbytes)
 
         fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
                             ca_arr, bps_arr, sizes, base_arr,
