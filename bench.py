@@ -616,6 +616,102 @@ def bench_device_resident_vorbis(B=256, K=8, reps=6):
     return audio / dt, X.nbytes + geom.nbytes, audio
 
 
+def bench_device_resident_celt(B=256, K=12, reps=6):
+    """CELT (Opus music mode) post-entropy synthesis with spectra RESIDENT
+    on device: the batched IMDCT + windowed overlap-add
+    (ops/celt_dsp.celt_imdct_ola — the device half of every lockstep Opus
+    group) chained with the deemphasis recurrence
+    (ops/celt_dsp.deemphasis_scan) on real libopus-encoded stereo packet
+    spectra.  Entropy (range decode, PVQ, energies) stays on the host by
+    design — dopus.d:2290+'s laplace/PVQ symbol walk is serially
+    data-dependent per frame and runs in the C host stage — so this row is
+    the chip's rate for everything after it.  Long-block (non-transient)
+    frames only: the dominant music shape; transient frames ride an
+    identically-structured short-block bucket kernel in the scheduler."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_formats_tpu.models.celt import OVERLAP, CeltDecoder
+    from audio_formats_tpu.models.opus import RangeDecoder, parse_packet
+    from audio_formats_tpu.ops import celt_dsp
+    from golden import opus_oracle as O
+
+    if O.get_lib() is None:
+        raise RuntimeError("libopus oracle unavailable")
+    rng = np.random.default_rng(7)
+    N, ch = 960, 2
+    masters = []  # 4 distinct stereo masters; lanes repeat them (device
+    for mi in range(4):  # rate depends on shape, not values)
+        t = np.arange(N * (K + 6)) / 48000.0
+        f0 = 200.0 + 70.0 * mi
+        sig = (7000 * np.sin(2 * np.pi * f0 * t)
+               * (0.6 + 0.4 * np.sin(2 * np.pi * 2.3 * t))
+               + 2500 * np.sin(2 * np.pi * (2000 + 400 * mi) * t)
+               + 900 * rng.standard_normal(t.size))
+        sigs = np.clip(np.stack([sig, np.roll(sig, 17)], 1),
+                       -32000, 32000).astype(np.int16)
+        enc = O.OracleEncoder(48000, 2, bitrate=128000,
+                              signal=O.OPUS_SIGNAL_MUSIC,
+                              bandwidth=O.OPUS_BANDWIDTH_FULLBAND)
+        cd = CeltDecoder(output_channels=2)
+        frames = []
+        for n in range(K + 6):
+            info = parse_packet(enc.encode(sigs[n * N : (n + 1) * N]))
+            if info["mode"] != "celt":
+                continue
+            for fr in info["frames"]:
+                p = cd.decode_frame_symbols(
+                    RangeDecoder(fr), 2 if info["stereo"] else 1,
+                    info["frame_size"], 0, 21)
+                if p["blocks"] == 1 and len(frames) < K:
+                    frames.append(p["coeffs"][:, :N]
+                                  * np.float32(p["imdct_scale"]))
+        while len(frames) < K:  # rare: encoder chose transients late
+            frames.append(frames[-1])
+        masters.append(frames)
+
+    L = B * ch
+    X = np.zeros((K, L, N), np.float32)
+    for bi in range(B):
+        for k in range(K):
+            X[k, bi * ch : (bi + 1) * ch] = masters[bi % len(masters)][k]
+    audio = B * K * N / 48000.0
+    tail0 = np.zeros((L, OVERLAP // 2), np.float32)
+    m0 = np.zeros(L, np.float32)
+
+    # per-window chip time is sub-millisecond — far below the tunnel's
+    # dispatch jitter — so repetition chains INSIDE one device program and
+    # the two-point slope cancels the single dispatch+fetch cost
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain_n(X, tail, m, n: int):
+        def body(k, c):
+            tail, m, acc = c
+            raw, tail = celt_dsp.celt_imdct_ola(X[k % K], tail, 1, N)
+            y, m = celt_dsp.deemphasis_scan(raw, m)
+            return (tail, m, acc + y[0, 0])
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n, body, (tail, m, jnp.float32(0.0)))
+        return acc
+
+    args = [jax.device_put(a) for a in (X, tail0, m0)]
+    lo, hi = reps, reps * 3
+    _ = np.asarray(chain_n(*args, n=lo))
+    _ = np.asarray(chain_n(*args, n=hi))
+
+    def run(k):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain_n(*args, n=k))
+        return time.perf_counter() - t0
+
+    t_lo = min(run(lo) for _ in range(3))
+    t_hi = min(run(hi) for _ in range(3))
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo)) / K  # per K-window pass
+    return audio / dt, X.nbytes, audio
+
+
 def bench_batch_encode(B=64, secs=4):
     """Batched encode throughput (the write half of the framework): N
     distinct stereo masters through the lockstep QOA encoder (device
@@ -1085,6 +1181,14 @@ def measure_link():
 
 
 # --------------------------------------------------------------- main
+
+_T0 = time.time()
+
+
+def _mark(msg):
+    """Phase marker on stderr (never stdout — the JSON contract)."""
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 def main():
     import jax
 
@@ -1103,6 +1207,7 @@ def main():
     # bytes and decodes ~1.4k x on chip — end-to-end it wins only when
     # the link is thinner than ~40 MB/s (always true on this tunnel,
     # never on a PCIe-attached host)
+    _mark("corpus ready; probing link")
     up_bw, down_bw = measure_link()
     from audio_formats_tpu.host import native as _native
     # crossover: device-Rice loses to the packed path on chip time
@@ -1127,6 +1232,7 @@ def main():
         "AF_TPU_MP3_POOL_BITS") not in (None, "", "0") else "split"
 
     # warmup/compile at the same batch-bucket widths with short slices
+    _mark("warmup compile pass")
     warm = BatchDecoder(
         [m[: 40 * 417] for m in mp3] + [_flac_prefix(f, 8) for f in flac]
     )
@@ -1137,8 +1243,13 @@ def main():
     # 147-295x run to run; more reps narrow the lottery on the ONE run
     # the driver records (chip-side rows are weather-independent)
     reps = int(os.environ.get("BENCH_REPS", "5"))
+    _mark("end-to-end reps")
     best_dt, best_stats = float("inf"), None
-    for _ in range(reps):
+    # soft wall budget: in bad tunnel weather one rep can take minutes;
+    # the later chip-side rows matter more than extra weather samples,
+    # so stop repeating (never skip rep 1) once the budget is spent
+    budget_s = float(os.environ.get("BENCH_REP_BUDGET_S", "360"))
+    for ri in range(reps):
         t0 = time.perf_counter()
         dec = BatchDecoder(mp3 + flac)
         res = dec.decode_all(output="device")
@@ -1146,6 +1257,9 @@ def main():
         dt = time.perf_counter() - t0
         if dt < best_dt:
             best_dt, best_stats = dt, dict(dec.stats)
+        if time.time() - _T0 > budget_s and ri + 1 < reps:
+            _mark(f"rep budget spent after rep {ri + 1}/{reps}")
+            break
 
     audio = best_stats["decoded_seconds"]
     rtx = audio / best_dt
@@ -1159,11 +1273,13 @@ def main():
     dec_np.decode_all(output="numpy")
     dl_rtx = dec_np.stats["decoded_seconds"] / (time.perf_counter() - t0)
 
+    _mark("full-download subset done; accuracy gauge")
     accuracy = measure_accuracy()
     try:
         mixed = bench_mixed_content(mp3, flac)
     except Exception as e:  # gauge must never kill the bench
         mixed = {"error": str(e)}
+    _mark("mixed-content gauge done; device-resident rows")
     dsp_rtx = bench_device_dsp_only()
     res_rtx, res_bytes, res_audio = bench_device_resident_mp3(mp3, B=1024)
     flac_res_err = None
@@ -1182,6 +1298,11 @@ def main():
     except Exception as e:  # auxiliary row must never kill the bench
         vres_rtx, vres_bytes, vres_audio = 0.0, 0, 0.0
     try:
+        cres_rtx, cres_bytes, cres_audio = bench_device_resident_celt()
+    except Exception as e:  # auxiliary row must never kill the bench
+        cres_rtx, cres_bytes, cres_audio = 0.0, 0, 0.0
+    _mark("device-resident rows done; batch encode rows")
+    try:
         enc_rows = bench_batch_encode()
     except Exception as e:  # auxiliary row must never kill the bench
         enc_rows = {"batch_encode_error": str(e)}
@@ -1194,6 +1315,7 @@ def main():
         mp3_audio_total / res_rtx
         + flac_audio_total / max(fres_rtx, 1e-9)) if fres_rtx else 0.0
 
+    _mark("assembling result")
     by = {k: round(v, 1) for k, v in
           best_stats["decoded_seconds_by_format"].items()}
     link_ceiling = audio / (
@@ -1250,6 +1372,10 @@ def main():
             # window chain); entropy stays host by design — see
             # bench_device_resident_vorbis docstring
             "device_resident_vorbis_synth_rtx_b256": round(vres_rtx, 2),
+            # CELT device half (IMDCT + OLA + deemphasis, the lockstep
+            # Opus groups' device stage); entropy stays host by design —
+            # see bench_device_resident_celt docstring
+            "device_resident_celt_synth_rtx_b256": round(cres_rtx, 2),
             # the write half: lockstep QOA (device scalefactor search) and
             # batched WAV s24 (device TPDF dither), end-to-end wall
             **enc_rows,
@@ -1263,7 +1389,9 @@ def main():
                 "qoa_bytes": qres_bytes,
                 "qoa_audio_s": round(qres_audio, 1),
                 "vorbis_bytes": vres_bytes,
-                "vorbis_audio_s": round(vres_audio, 1)},
+                "vorbis_audio_s": round(vres_audio, 1),
+                "celt_bytes": cres_bytes,
+                "celt_audio_s": round(cres_audio, 1)},
             # host entropy stage rate per core (the host-side ceiling:
             # a real multi-core host scales this by its parse-pool width)
             # per-core host stage (aggregate MP3 parse + FLAC sync
