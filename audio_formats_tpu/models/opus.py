@@ -32,6 +32,7 @@ clear error — the same behavior as the reference (dopus.d:5313).
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import List, Optional
 
@@ -753,10 +754,10 @@ def probe(src: ByteSource):
     body = view[page.body_offset : page.body_offset + page.body_size]
     if len(body) < 19 or bytes(body[:8]) != b"OpusHead":
         return None
-    try:
-        return OpusDecoder(src)
-    except AudioFormatError:
-        return None
+    # the OpusHead magic commits this stream to Opus: a malformed header
+    # is a corrupt Opus stream, not "some other format" — surface the
+    # specific error instead of falling through the cascade
+    return OpusDecoder(src)
 
 
 def float_to_s16_ref(x: np.ndarray) -> np.ndarray:
@@ -824,6 +825,13 @@ class OpusDecoder:
                 raise AudioFormatError("Opus: truncated channel mapping")
             if self.channel_mapping == 1 and self.channels > 8:
                 raise AudioFormatError("Opus: mapping 1 supports <=8 ch")
+            if self.channel_mapping == 2:
+                # ambisonics: channel count must be (n+1)^2 for integer
+                # n >= 0 (dopus.d:1348-1352)
+                order = int(math.isqrt(self.channels)) - 1
+                if self.channels != (order + 1) * (order + 1):
+                    raise AudioFormatError(
+                        "Opus: mapping 2 requires (n+1)^2 channels")
             self.n_streams = head[19]
             self.n_coupled = head[20]
             if (not self.n_streams or self.n_coupled > self.n_streams or

@@ -708,7 +708,10 @@ def bench_device_resident_celt(B=256, K=12, reps=6):
 
     t_lo = min(run(lo) for _ in range(3))
     t_hi = min(run(hi) for _ in range(3))
-    dt = max(1e-9, (t_hi - t_lo) / (hi - lo)) / K  # per K-window pass
+    # each fori_loop iteration synthesizes exactly ONE window (X[k % K]),
+    # so the two-point slope is per-window time; `audio` covers K windows,
+    # hence a K-window pass costs slope * K
+    dt = max(1e-9, (t_hi - t_lo) / (hi - lo)) * K
     return audio / dt, X.nbytes, audio
 
 

@@ -181,6 +181,44 @@ def test_coded_silk_reports_clear_error():
     assert "not yet supported" in s.error_message()
 
 
+def test_mapping_family2_channel_count_guard():
+    """Ambisonic (mapping family 2) streams must have (n+1)^2 channels;
+    the reference rejects anything else (dopus.d:1348-1352)."""
+    import struct
+
+    from audio_formats_tpu.io import ogg as aogg
+
+    def _stream(channels, streams=1, coupled=0, cmap=None):
+        cmap = cmap if cmap is not None else list(range(channels))
+        head = (b"OpusHead" + bytes([1, channels]) +
+                struct.pack("<H", 0) + struct.pack("<I", 48000) +
+                struct.pack("<h", 0) + bytes([2]) +
+                bytes([streams, coupled]) + bytes(cmap))
+        vendor = b"af-tpu"
+        tags = (b"OpusTags" + struct.pack("<I", len(vendor)) + vendor +
+                struct.pack("<I", 0))
+        pkt, n = opus_ref.silence_packet()
+        return b"".join([
+            aogg.build_page([head], 7, 0, 0, bos=True),
+            aogg.build_page([tags], 7, 1, 0),
+            aogg.build_page([pkt], 7, 2, n, eos=True),
+        ])
+
+    # 3 channels is not (n+1)^2: the reference's clear error
+    s = AudioStream()
+    s.open_from_memory(_stream(3, cmap=[0, 0, 0]))
+    assert s.is_error()
+    assert "(n+1)^2" in s.error_message()
+
+    # 1 channel == (0+1)^2: opens and decodes
+    ok = AudioStream()
+    ok.open_from_memory(_stream(1))
+    assert not ok.is_error(), ok.error_message()
+    out = ok.read_samples_float(ok.get_length_in_frames())
+    assert not ok.is_error()
+    assert out.shape[1] == 1
+
+
 def test_bad_page_crc_skipped():
     """A page whose CRC fails is rejected and skipped, matching the
     reference's Opus page validation (dopus.d:7080-7084); the rest of the
