@@ -200,9 +200,6 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
     """
     L = samples.shape[0]
     recip = jnp.asarray(RECIPROCAL_TAB)  # [16]
-    quant_tab = jnp.asarray(QUANT_TAB)
-    dequant = jnp.asarray(DEQUANT_TAB)  # [16, 8]
-    sf_idx = jnp.arange(16, dtype=jnp.int32)
     frame_len = jnp.broadcast_to(jnp.asarray(frame_len, jnp.int32), (L,))
 
     samples_s = samples.reshape(L, QOA_SLICES_PER_FRAME, QOA_SLICE_LEN)
@@ -230,8 +227,25 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
             n = (residual * recip[None, :] + (1 << 15)) >> 16
             n = n + _sign(residual) - _sign(n)
             clamped = jnp.clip(n, -8, 8)
-            quantized = quant_tab[clamped + 8]  # [L, 16]
-            dequantized = dequant[sf_idx[None, :], quantized]
+            # QUANT_TAB[v+8] without a gather (element gathers cost ~44
+            # ns/element on TPU and sit on the 5120-step critical path;
+            # compare+select rides the VPU): the table is symmetric —
+            # code = 2*min(|v|+1, 7)//2 ... expressed exactly as
+            # magnitude bucket m = min((|v|+1)>>1, 3) roughly; instead
+            # derive from the spec table's structure:
+            #   |v|: 0->0, 1->{0 if v>0 else 1}... non-uniform, so use a
+            # 17-way constant select (16 compares, all vectorized).
+            quantized = jnp.zeros_like(clamped)
+            for k in range(17):
+                quantized = jnp.where(clamped == k - 8,
+                                      np.int32(QUANT_TAB[k]), quantized)
+            # DEQUANT_TAB[sf, code]: sf is the (static) candidate column,
+            # so each code value selects a [16] column constant — an
+            # 8-way select instead of a gather.
+            dequantized = jnp.zeros_like(quantized)
+            for k in range(8):
+                dequantized = jnp.where(
+                    quantized == k, DEQUANT_TAB[None, :, k], dequantized)
             recon = _clamp_s16(predicted + dequantized)
             e = (sample - recon).astype(jnp.int32)
             e2 = (e * e).astype(jnp.uint32)  # exact: |e| <= 65535
@@ -252,11 +266,13 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
         mlo = jnp.min(lo_masked, axis=1, keepdims=True)
         best = jnp.argmax((err_hi == mhi) & (lo_masked == mlo), axis=1)  # [L]
 
-        best_codes = jnp.take_along_axis(
-            codes, best[:, None, None], axis=1
-        )[:, 0, :]  # [L, 20]
-        best_h = jnp.take_along_axis(h16, best[:, None, None], axis=1)[:, 0]
-        best_w = jnp.take_along_axis(w16, best[:, None, None], axis=1)[:, 0]
+        # select the winning candidate via one-hot mask + sum (again: no
+        # gathers — take_along_axis lowers to element gathers on TPU)
+        onehot = (jnp.arange(16, dtype=jnp.int32)[None, :]
+                  == best[:, None])[..., None]  # [L, 16, 1]
+        best_codes = jnp.sum(jnp.where(onehot, codes, 0), axis=1)  # [L, 20]
+        best_h = jnp.sum(jnp.where(onehot, h16, 0), axis=1)
+        best_w = jnp.sum(jnp.where(onehot, w16, 0), axis=1)
 
         # Only commit state for active slices (past-end slices are dropped
         # by the host anyway, but the carried LMS state must stop advancing).
