@@ -93,6 +93,12 @@ def get_lib():
             i32p, i32p, i32p, i32p, i32p, i32p, i64p,
         ]
         lib.af_flac_parse_frame.restype = ctypes.c_int
+        lib.af_flac_parse_window.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p, i64p,
+        ]
+        lib.af_flac_parse_window.restype = ctypes.c_int
         lib.af_mp3_set_l3_tables.argtypes = [i8p] * 7
         lib.af_mp3_set_l3_tables.restype = ctypes.c_int
         lib.af_mp3_granules_scf_huff.argtypes = [
@@ -338,6 +344,29 @@ def flac_parse_frame(lib, data, start_bits: int, streaminfo_bps: int,
         "bps": bps,
         "end_bits": int(meta[3]),
     }
+
+
+def flac_parse_window(lib, data, start_bits: int, streaminfo_bps: int,
+                      channels: int, max_block: int, W: int):
+    """Parse up to W consecutive frames in one C call (the scheduler's
+    window unit — one FFI crossing + one allocation set per lane-window
+    instead of per frame).  Returns (n_frames, residual [W*ch, max_block],
+    coeffs [W*ch, 32], order/shift/wasted/bps [W*ch], meta [W, 4] int64
+    rows: blocksize, chan_assignment, nch, end_bits) — n_frames may be 0."""
+    ch = channels
+    residual = np.zeros((W * ch, max_block), dtype=np.int32)
+    coeffs = np.zeros((W * ch, 32), dtype=np.int32)
+    osw = np.zeros((4, W * ch), dtype=np.int32)  # order/shift/wasted/bps
+    meta = np.zeros((W, 4), dtype=np.int64)
+    ptr, nbytes, _keep = _buf_ptr(data)
+    n = lib.af_flac_parse_window(
+        ptr, nbytes, start_bits, streaminfo_bps, ch, max_block, W,
+        residual.ctypes.data_as(_I32P), coeffs.ctypes.data_as(_I32P),
+        osw[0].ctypes.data_as(_I32P), osw[1].ctypes.data_as(_I32P),
+        osw[2].ctypes.data_as(_I32P), osw[3].ctypes.data_as(_I32P),
+        meta.ctypes.data_as(_I64P),
+    )
+    return n, residual, coeffs, osw[0], osw[1], osw[2], osw[3], meta
 
 
 def mp3_granules_scf_huff(lib, hdr4: bytes, maindata: bytes,

@@ -590,6 +590,40 @@ int af_flac_parse_frame(
   return 0;
 }
 
+// Parse up to W consecutive frames in ONE call (the batch scheduler's
+// window unit).  Per-frame outputs land at strided offsets of the caller's
+// window arrays, so the Python side pays one FFI crossing + one set of
+// array allocations per lane-window instead of per frame (measured: the
+// per-frame wrapper burned ~350 us/frame in numpy/ctypes overhead alone —
+// more than the Rice decode itself).  Returns the number of frames parsed
+// (>= 0); a parse error or EOF simply ends the window early.
+int af_flac_parse_window(
+    const uint8_t* data, int64_t nbytes, int64_t start_bits,
+    int32_t streaminfo_bps, int32_t expect_channels,
+    int32_t max_block, int32_t W,
+    int32_t* residual,   // [W*ch, max_block]
+    int32_t* coeffs,     // [W*ch, 32]
+    int32_t* order_out, int32_t* shift_out,   // [W*ch]
+    int32_t* wasted_out, int32_t* bps_out,    // [W*ch]
+    int64_t* meta) {     // [W, 4]
+  int64_t bits = start_bits;
+  int32_t ch = expect_channels;
+  int f = 0;
+  for (; f < W; f++) {
+    if (bits >= nbytes * 8 - 15) break;
+    int rc = af_flac_parse_frame(
+        data, nbytes, bits, streaminfo_bps, expect_channels, max_block,
+        residual + (int64_t)f * ch * max_block,
+        coeffs + (int64_t)f * ch * 32,
+        order_out + (int64_t)f * ch, shift_out + (int64_t)f * ch,
+        wasted_out + (int64_t)f * ch, bps_out + (int64_t)f * ch,
+        meta + (int64_t)f * 4);
+    if (rc != 0) break;
+    bits = meta[(int64_t)f * 4 + 3];
+  }
+  return f;
+}
+
 // ---------------------------------------------------------------------------
 // MP3 Layer III: full side-info + scalefactor + Huffman frame parse
 // ---------------------------------------------------------------------------

@@ -323,6 +323,8 @@ class BatchDecoder:
             "host_ms": 0.0,
             "enqueue_ms": 0.0,
             "fetch_ms": 0.0,
+            "host_ms_by_format": {},
+            "enqueue_ms_by_format": {},
             "h2d_bytes": 0,
             "d2h_bytes": 0,
             "windows": 0,
@@ -343,6 +345,15 @@ class BatchDecoder:
     def _note_seconds(self, fmt: str, seconds: float):
         self._stat_add("decoded_seconds", seconds)
         self._stat_add("decoded_seconds_by_format", seconds, fmt=fmt)
+
+    def _note_stage(self, key: str, fmt: str, t0: float):
+        """Close a stage timer opened at ``t0``: accumulate both the
+        aggregate stage counter (host_ms / enqueue_ms) and its per-format
+        split (SURVEY §5.5 observability — the bench needs to say WHERE
+        host time goes, not just how much there is)."""
+        dt = (time.perf_counter() - t0) * 1e3
+        self._stat_add(key, dt)
+        self._stat_add(key + "_by_format", dt, fmt=fmt)
 
     def _reprobe(self, i):
         """Fresh decoder for lane i (a failed grouped run leaves decoder
@@ -652,7 +663,7 @@ class BatchDecoder:
                 n_slots[bi] = got * spf_slots
                 d._cur_sample += got * d._spf * nch
                 d._offset = offs[bi]
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "mp3_l12", t_host)
             if not n_slots.any():
                 break
             t_enq = time.perf_counter()
@@ -661,7 +672,7 @@ class BatchDecoder:
             pcm, sh2 = mp3_dsp.mp3_synth_slots(S_d, sh_d, nch=nch)
             dev_state["shist"] = sh2
             _prefetch(pcm, to_device)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "mp3_l12", t_enq)
             self._stat_add("h2d_bytes", Sarr.nbytes)
             self._stat_add("windows", 1)
             pending.append((pcm, n_slots.copy()))
@@ -883,7 +894,7 @@ class BatchDecoder:
                 else:
                     mws = [_parse_lane(bi) for bi in live_lanes]
                 mw_max = max([16] + mws)
-                self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+                self._note_stage("host_ms", "mp3", t_host)
                 if not n_act.any():
                     break
                 t_enq = time.perf_counter()
@@ -966,7 +977,7 @@ class BatchDecoder:
                 fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
                                   L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
                                   pool_w)
-                self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+                self._note_stage("enqueue_ms", "mp3", t_enq)
                 self._stat_add("h2d_bytes", blob.nbytes + n_act.nbytes
                                + (pool_w.nbytes
                                   if pool_w is not None else 0))
@@ -1054,7 +1065,7 @@ class BatchDecoder:
                 d._cur_sample += n_fr * ngr * 576 * nch
                 if n < W:
                     active[bi] = False
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "mp3", t_host)
             if not n_act.any():
                 break
             t_enq = time.perf_counter()
@@ -1068,7 +1079,7 @@ class BatchDecoder:
                 dequant=False, use_mix=False,
             )
             _prefetch(pcm, to_device)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "mp3", t_enq)
             self._stat_add(
                 "h2d_bytes",
                 xq.nbytes + aa.nbytes + wt.nbytes + n_act.nbytes,
@@ -1219,37 +1230,77 @@ class BatchDecoder:
         parse_pool = ThreadPoolExecutor(max_workers=n_workers) \
             if n_workers > 1 else None
 
+        parse_lib = _native.get_lib()
+
+        def _host_frame(d, bi, bs, ca, residual, coeffs, order, shift,
+                        wasted):
+            # beyond the device limb range: exact int64 on host
+            samples = lpc_ops.flac_lpc_np(
+                residual, coeffs, order, shift
+            ).astype(np.int32)
+            out32 = np.asarray(lpc_ops.flac_post_stereo(
+                samples, np.int32(ca), wasted.astype(np.int32),
+                np.int32(32 - d.bits_per_sample)))
+            outputs[bi].append(out32.T)
+
         def _parse_lane(bi):
-            # per-lane frame parse (C entropy, releases the GIL): runs
-            # concurrently across lanes on multi-core hosts
+            # per-lane WINDOW parse — ONE C call decodes up to W frames
+            # (entropy stage releases the GIL; runs concurrently across
+            # lanes on multi-core hosts).  The per-frame wrapper this
+            # replaces spent more wall in numpy/ctypes marshalling than
+            # in the Rice decode itself (profiled: ~350 us/frame).
             d = decs[bi]
             out, prog, mbs = [], False, 0
-            for _ in range(W):
-                if not active[bi]:
-                    break
+            if not active[bi]:
+                return out, prog, mbs
+            if d._frame_pos >= d.length_frames > 0:
+                active[bi] = False
+                return out, prog, mbs
+            if parse_lib is None:
+                # pure-Python fallback (AF_TPU_NO_NATIVE): per-frame parse
+                for _ in range(W):
+                    if d._frame_pos >= d.length_frames > 0:
+                        active[bi] = False
+                        break
+                    p = d._parse_frame_tensors()
+                    if p is None:
+                        active[bi] = False
+                        break
+                    prog = True
+                    if int(np.max(p[7])) > 18:
+                        _host_frame(d, bi, p[0], p[1], p[2], p[3], p[4],
+                                    p[5], p[6])
+                        d._frame_pos += p[0]
+                        continue
+                    out.append(p)
+                    d._frame_pos += p[0]
+                    mbs = max(mbs, p[0])
+                return out, prog, mbs
+            max_block = d._max_block if 0 < d._max_block <= 65535 else 65535
+            dch = d.channels
+            n, res, cf, orr, sh, wa, bps, meta = _native.flac_parse_window(
+                parse_lib, d._view, d._cur_bit, d.bits_per_sample, dch,
+                max_block, W)
+            capped = False
+            for f in range(n):
                 if d._frame_pos >= d.length_frames > 0:
-                    active[bi] = False
+                    capped = True
                     break
-                p = d._parse_frame_tensors()
-                if p is None:
-                    active[bi] = False
-                    break
+                bs, ca = int(meta[f, 0]), int(meta[f, 1])
+                d._cur_bit = int(meta[f, 3])
+                rows = slice(f * dch, f * dch + dch)
                 prog = True
-                if int(np.max(p[7])) > 18:  # beyond device limb range
-                    (bs, ca, residual, coeffs, order, shift, wasted,
-                     _b) = p
-                    samples = lpc_ops.flac_lpc_np(
-                        residual, coeffs, order, shift
-                    ).astype(np.int32)
-                    out32 = np.asarray(lpc_ops.flac_post_stereo(
-                        samples, np.int32(ca), wasted.astype(np.int32),
-                        np.int32(32 - d.bits_per_sample)))
-                    outputs[bi].append(out32.T)
+                if int(bps[rows].max()) > 18:
+                    _host_frame(d, bi, bs, ca, res[rows, :bs], cf[rows],
+                                orr[rows], sh[rows], wa[rows])
                     d._frame_pos += bs
                     continue
-                out.append(p)
-                d._frame_pos += p[0]
-                mbs = max(mbs, p[0])
+                out.append((bs, ca, res[rows, :bs], cf[rows], orr[rows],
+                            sh[rows], wa[rows], bps[rows]))
+                d._frame_pos += bs
+                mbs = max(mbs, bs)
+            if capped or n < W:
+                active[bi] = False
             return out, prog, mbs
 
         try:
@@ -1268,7 +1319,7 @@ class BatchDecoder:
                     parsed[bi] = out
                     progress = progress or prog
                     max_bs = max(max_bs, mbs)
-                self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+                self._note_stage("host_ms", "flac", t_host)
                 lanes = [(bi, p) for bi in range(B) for p in parsed[bi]]
                 if not lanes:
                     if not progress:
@@ -1403,7 +1454,7 @@ class BatchDecoder:
                 fut = pool.submit(
                     _flac_dispatch, residual, coeffs, order, shift, exact,
                     assigns, wasteds, out_shifts, max_bs, S, use_s16)
-                self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+                self._note_stage("enqueue_ms", "flac", t_enq)
                 self._stat_add("windows", 1)
                 slots = []
                 for si, (bi, p) in enumerate(lanes):
@@ -1517,7 +1568,7 @@ class BatchDecoder:
                     d._frame_pos += int(bsA[i])
                 if n < W:
                     active[bi] = False
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "flac_rice", t_host)
             if not lanes:
                 break
             # the kernel's bit cursors are int32, so one dispatch's pool
@@ -1642,7 +1693,7 @@ class BatchDecoder:
         fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
                             ca_arr, bps_arr, sizes, base_arr,
                             out_shifts, S, max_bs, NPOOL, use_s16)
-        self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+        self._note_stage("enqueue_ms", "flac_rice", t_enq)
         self._stat_add("windows", 1)
         slots = []
         for si, (bi, off, size, rel, bs, ca, bps, chk) in \
@@ -1772,7 +1823,7 @@ class BatchDecoder:
             counts.append((frames, d.channels))
             d._frame_pos += frames
         flat = np.concatenate(ints) if ints else np.zeros(0, np.int32)
-        self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+        self._note_stage("host_ms", "wav", t_host)
         CHUNK = 1 << 22
         pending = []
         for c0 in range(0, flat.shape[0], CHUNK):
@@ -1780,7 +1831,7 @@ class BatchDecoder:
             seg = flat[c0 : c0 + CHUNK]
             out = pcm_ops_int_to_float_dev(seg, kind)
             pending.append((out, seg.shape[0]))
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "wav", t_enq)
             self._stat_add("h2d_bytes", seg.nbytes)
             self._stat_add("windows", 1)
         group = _PendingGroup(self, "wav", decs, pending,
@@ -1842,7 +1893,7 @@ class BatchDecoder:
             wts = np.concatenate(Wt).astype(np.int32)
             sf8 = np.concatenate(SF)
             cd8 = np.concatenate(CD)
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "qoa", t_host)
             L = hist.shape[0]
             CH = 8192  # lanes per device call (bounds upload + HBM)
             for c0 in range(0, L, CH):
@@ -1864,8 +1915,7 @@ class BatchDecoder:
                 out = lms_ops.decode_slices(hp_d, wp_d, sp_d, cp_d)
                 _prefetch(out, to_device)
                 pending.append((out, Lc))
-                self._stat_add("enqueue_ms",
-                               (time.perf_counter() - t_enq) * 1e3)
+                self._note_stage("enqueue_ms", "qoa", t_enq)
                 self._stat_add("h2d_bytes", hp.nbytes + wp.nbytes
                                + sp.nbytes + cp.nbytes)
                 self._stat_add("windows", 1)
@@ -1942,7 +1992,7 @@ class BatchDecoder:
                     if ent is None:
                         continue
                     entries.append((bi, ent[0], ent[1], pk[1]))
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "vorbis", t_host)
             if not entries:
                 break
             # device IMDCT per block size over stacked lane-channels
@@ -1960,7 +2010,7 @@ class BatchDecoder:
                     y_by_entry[i] = Y[row : row + nch].copy()
                     row += nch
                 self._stat_add("windows", 1)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "vorbis", t_enq)
             # host: lapped windowing + per-lane assembly (order preserved:
             # entries are in (lane, packet) order per step)
             for (bi, _spec, geom, granule), y in zip(entries, y_by_entry):
@@ -2028,7 +2078,7 @@ class BatchDecoder:
                     lens[k, bi] = ol
                     d._pos += ol
                     k += 1
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "vorbis", t_host)
             if not geom[3].any():
                 break
             t_enq = time.perf_counter()
@@ -2037,7 +2087,7 @@ class BatchDecoder:
                 X_d, geom[0], geom[1], geom[2], geom[3],
                 st0, state[1], state[2], bs0=bs0, bs1=bs1, ch=nch)
             state = tuple(st)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "vorbis", t_enq)
             self._stat_add("h2d_bytes", X.nbytes + geom.nbytes)
             self._stat_add("windows", 1)
             pending.append((pcm, lens))
@@ -2212,7 +2262,7 @@ class BatchDecoder:
                         (params["blocks"], params["blocksize"]), []
                     ).append((bi, cd, params))
                     break
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "opus", t_host)
             if not jobs:
                 continue
             t_enq = time.perf_counter()
@@ -2227,7 +2277,7 @@ class BatchDecoder:
                         p["frame_size"])
                     row += k
                 self._stat_add("h2d_bytes", nb)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "opus", t_enq)
             self._stat_add("windows", 1)
         result = []
         for bi, d in enumerate(decs):
@@ -2401,7 +2451,7 @@ class BatchDecoder:
                     rd, coded, frame48, 17, endband)
                 stash[bi] = (params, redundancy, redundancy_pos, red,
                              frame, size)
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "opus", t_host)
             if not stash:
                 break
             t_enq = time.perf_counter()
@@ -2424,7 +2474,7 @@ class BatchDecoder:
                     raws[bi] = (raw[row : row + k].T,
                                 newtail[row : row + k].T)
                     row += k
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "opus", t_enq)
             self._stat_add("h2d_bytes", X.nbytes)
             self._stat_add("windows", 1)
             for bi, d in enumerate(decs):
@@ -2542,10 +2592,10 @@ class BatchDecoder:
                             "Opus: SILK redundancy tail in group")
                 native = np.concatenate(cols, axis=0)
                 X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
-            self._stat_add("host_ms", (time.perf_counter() - t_host) * 1e3)
+            self._note_stage("host_ms", "opus", t_host)
             t_enq = time.perf_counter()
             Y = rs.process(X, frame48)
-            self._stat_add("enqueue_ms", (time.perf_counter() - t_enq) * 1e3)
+            self._note_stage("enqueue_ms", "opus", t_enq)
             self._stat_add("h2d_bytes", X.nbytes)
             self._stat_add("windows", 1)
             for bi, d in enumerate(decs):
@@ -2614,6 +2664,7 @@ class BatchDecoder:
         outputs = [[] for _ in range(B)]
         for step in range(n_steps):
             buckets = {}
+            t_host = time.perf_counter()
             for bi, d in enumerate(decs):
                 if step >= len(lane_frames[bi]):
                     continue
@@ -2631,6 +2682,8 @@ class BatchDecoder:
                 buckets.setdefault(
                     (params["blocks"], params["blocksize"]), []
                 ).append((bi, d, cd, params, n))
+            self._note_stage("host_ms", "opus", t_host)
+            t_enq = time.perf_counter()
             for (blocks, bs), items in buckets.items():
                 raw, newtail, nb = self._celt_imdct_bucket(
                     [(cd, p) for (_, _, cd, p, _) in items], blocks, bs)
@@ -2645,6 +2698,8 @@ class BatchDecoder:
                     outputs[bi].append(
                         (pcm * g if d._gain != 1.0 else pcm
                          ).astype(np.float32))
+            if buckets:
+                self._note_stage("enqueue_ms", "opus", t_enq)
         result = []
         for bi, d in enumerate(decs):
             pcm = np.concatenate(outputs[bi]) if outputs[bi] else \

@@ -28,13 +28,14 @@ from ..ops import pcm as pcm_ops
 
 
 def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
-                     parallel_frames: bool = False) -> List[bytes]:
+                     parallel_frames: bool = True) -> List[bytes]:
     """Encode N streams of float PCM [(frames, ch)] to QOA byte streams.
 
     Channel counts may differ per stream; lanes = Σ channels.  Byte-exact
     vs models/qoa.py QoaEncoder.
 
-    ``parallel_frames=True`` selects the TPU-native lane layout: QOA
+    ``parallel_frames=True`` (the default) selects the TPU-native lane
+    layout: QOA
     stores the pre-frame LMS state IN each frame header (qoa.d:315-326),
     so any per-frame starting state yields a valid stream — starting
     every frame from the encoder's initial state makes all frames
@@ -43,7 +44,9 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
     frame boundary (the LMS re-converges within a few slices) for a
     lane count that actually fills the chip.  Output differs from (but
     decodes identically in contract to) the sequential encoder; each
-    stream's FIRST frame is byte-identical to it."""
+    stream's FIRST frame is byte-identical to it.  Pass
+    ``parallel_frames=False`` for byte-exact parity with the streaming
+    single-stream QoaEncoder."""
     n = len(pcms)
     chans = [p.shape[1] for p in pcms]
     lengths = [p.shape[0] for p in pcms]

@@ -36,7 +36,7 @@ def test_qoa_batch_encode_byte_exact(rng):
         _sig(rng, 800, 1),                 # shorter than one frame
         _sig(rng, 5120 * 3 + 20, 2),       # ragged long
     ]
-    batch = encode_qoa_batch(pcms, 44100)
+    batch = encode_qoa_batch(pcms, 44100, parallel_frames=False)
     for pcm, got in zip(pcms, batch):
         ref = _qoa_single(pcm, 44100)
         assert got == ref
@@ -59,7 +59,7 @@ def test_qoa_frame_parallel_encode(rng):
         _sig(rng, 800, 1),
         _sig(rng, 5120 * 3 + 20, 2),
     ]
-    seq = encode_qoa_batch(pcms, 44100)
+    seq = encode_qoa_batch(pcms, 44100, parallel_frames=False)
     par = encode_qoa_batch(pcms, 44100, parallel_frames=True)
     for pcm, s, p in zip(pcms, seq, par):
         ch = pcm.shape[1]

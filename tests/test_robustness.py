@@ -154,6 +154,10 @@ def test_per_lane_demotion_keeps_group(rng, monkeypatch):
             modes=["lpc8", "fixed3"]))
     bad_len = len(streams[13])
     assert sum(len(s) == bad_len for s in streams) == 1
+    # inject at both parse seams: the grouped scheduler's window call and
+    # the per-stream fallback's frame call
+    from audio_formats_tpu.host import native as af_native
+
     orig = FlacDecoder._parse_frame_tensors
 
     def patched(self):
@@ -162,6 +166,14 @@ def test_per_lane_demotion_keeps_group(rng, monkeypatch):
         return orig(self)
 
     monkeypatch.setattr(FlacDecoder, "_parse_frame_tensors", patched)
+    orig_win = af_native.flac_parse_window
+
+    def patched_win(lib, data, *a, **kw):
+        if len(data) == bad_len:
+            raise AudioFormatError("injected lane fault")
+        return orig_win(lib, data, *a, **kw)
+
+    monkeypatch.setattr(af_native, "flac_parse_window", patched_win)
     dec = BatchDecoder(streams)
     out = dec.decode_all()
     assert dec.stats["lanes_demoted"] == 1
