@@ -34,11 +34,18 @@ static inline uint32_t br_peek(const BitReader* br, int n) {
   // n <= 32; reads beyond the end return zero bits (callers bound reads)
   int64_t p = br->pos;
   int64_t byte = p >> 3;
-  uint64_t w = 0;
-  // assemble 8 bytes big-endian, tolerating EOF
+  uint64_t w;
   int64_t size = (br->nbits + 7) >> 3;
-  for (int i = 0; i < 8; i++) {
-    w = (w << 8) | (byte + i < size ? br->buf[byte + i] : 0);
+  if (byte + 8 <= size) {
+    // hot path: one unaligned 64-bit load + byteswap
+    memcpy(&w, br->buf + byte, 8);
+    w = __builtin_bswap64(w);
+  } else {
+    // EOF tail: assemble byte-wise, zero-padded
+    w = 0;
+    for (int i = 0; i < 8; i++) {
+      w = (w << 8) | (byte + i < size ? (uint64_t)br->buf[byte + i] : 0);
+    }
   }
   return (uint32_t)((w << (p & 7)) >> (64 - n));
 }
@@ -55,6 +62,28 @@ static inline int br_unary(BitReader* br) {
   for (;;) {
     if (br->pos >= br->nbits) return -1;
     int64_t byte = br->pos >> 3;
+    int64_t size = (br->nbits + 7) >> 3;
+    if (byte + 8 <= size) {
+      // hot path: scan up to 56+ bits at once with clz
+      uint64_t w;
+      memcpy(&w, br->buf + byte, 8);
+      w = __builtin_bswap64(w) << (br->pos & 7);
+      if (w) {
+        int lead = __builtin_clzll(w);
+        int avail = 64 - (int)(br->pos & 7);
+        if (lead < avail) {
+          br->pos += lead + 1;
+          return count + lead;
+        }
+        count += avail;
+        br->pos += avail;
+      } else {
+        int avail = 64 - (int)(br->pos & 7);
+        count += avail;
+        br->pos += avail;
+      }
+      continue;
+    }
     int rem = 8 - (int)(br->pos & 7);
     uint8_t chunk = br->buf[byte] & ((1 << rem) - 1);
     if (chunk == 0) {
