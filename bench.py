@@ -171,7 +171,8 @@ def build_corpus(n_mp3, n_flac, rng_seed=7):
     if os.path.exists(CORPUS_PATH):
         with open(CORPUS_PATH, "rb") as f:
             c = pickle.load(f)
-        if c["n_mp3"] >= n_mp3 and c["n_flac"] >= n_flac:
+        if c["n_mp3"] >= n_mp3 and c["n_flac"] >= n_flac \
+                and "flac_1w" in c:
             return (c["mp3"][:n_mp3], c["mp3_secs"][:n_mp3],
                     c["flac"][:n_flac], c["flac_secs"][:n_flac],
                     c["flac_1w"][:n_flac])
@@ -955,10 +956,20 @@ def measure_accuracy():
     return out
 
 
-def _opus_mode_gauge():
+class _SkipRow(Exception):
+    pass
+
+
+def _opus_mode_gauge(only=None):
+    """All-mode Opus accuracy gauge.  ``only`` (a set of row-name
+    substrings) restricts which rows run — used by the sensitivity test
+    to re-run a single row cheaply."""
     import audio_formats_tpu as af
     from golden import opus_oracle as O
     from golden import opus_ref
+
+    def _want(key):
+        return only is None or any(s in key for s in only)
 
     res = {}
     if O.get_lib() is None:
@@ -976,8 +987,14 @@ def _opus_mode_gauge():
                                    else 2),
                     "bound": bound, "ok": bool(ok)}
 
-    # --- CELT-only (music): <= 1e-4 relative max-abs
+    # --- CELT-only (music): float-for-float the reference's pipeline.
+    # Bound tightened to 1e-5 (measured 0.0 in r01-r03; the old 1e-4
+    # contract bound could hide a 10x regression).  Sensitivity of this
+    # row is PROVEN by tests/test_gauge_sensitivity.py, which perturbs a
+    # CELT table by one ulp-scale step and shows the row fail.
     try:
+        if not _want("celt"):
+            raise _SkipRow()
         sig = np.clip(7000 * np.sin(2 * np.pi * 440 * t)
                       + 1500 * rng.standard_normal(t.size),
                       -32000, 32000).astype(np.int16)[:, None]
@@ -998,34 +1015,63 @@ def _opus_mode_gauge():
                 for fr in info["frames"]])
             worst = max(worst, float(np.abs(o_ - ref).max())
                         / max(1e-5, float(np.abs(ref).max())))
-        row("opus_celt_rel_vs_libopus", worst, 1e-4)
+        row("opus_celt_rel_vs_libopus", worst, 1e-5)
+    except _SkipRow:
+        pass
     except Exception as e:
         res["opus_celt_rel_vs_libopus"] = f"error: {e}"
 
-    def _snr_stream(bitrate, bandwidth, want_cfgs, key, bound):
+    def _snr_stream(bitrate, bandwidth, want_cfgs, key, bound,
+                    channels=1, s16=False, force_mode=None):
+        if not _want(key):
+            return
         try:
             sig = (6000 * np.sin(2 * np.pi * 220 * t)
                    * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
                    + 2000 * np.sin(2 * np.pi * 5000 * t)
                    + 700 * rng.standard_normal(t.size))
-            sig = np.clip(sig, -32000, 32000).astype(np.int16)[:, None]
-            enc = O.OracleEncoder(48000, 1, bitrate=bitrate,
+            if channels == 2:
+                # coupled content: same voice in both channels with a
+                # small delay + level offset (mid/side-friendly, the
+                # coupled-SILK worst corner of DESIGN.md)
+                sig = np.stack([sig, 0.8 * np.roll(sig, 23)], 1)
+            else:
+                sig = sig[:, None]
+            sig = np.clip(sig, -32000, 32000).astype(np.int16)
+            enc = O.OracleEncoder(48000, channels, bitrate=bitrate,
                                   application=O.OPUS_APPLICATION_VOIP,
                                   signal=O.OPUS_SIGNAL_VOICE,
                                   bandwidth=bandwidth)
+            if force_mode is not None:
+                import ctypes as _ct
+
+                O.get_lib().opus_encoder_ctl(
+                    _ct.c_void_p(enc._enc), 11002, force_mode)
             pkts = [(enc.encode(sig[n * N : (n + 1) * N]), N)
                     for n in range(6)]
             cfgs = {parse_packet(p)["config"] for p, _ in pkts}
             if not cfgs <= want_cfgs:
                 res[key] = f"skipped: encoder chose configs {sorted(cfgs)}"
                 return
-            dec48 = O.OracleDecoder(48000, 1)
+            dec48 = O.OracleDecoder(48000, channels)
             g = 10.0 ** (-1024 / 5120.0)
             ref = np.concatenate([dec48.decode(p) for p, _ in pkts]) * g
-            data = opus_ref.build_ogg_opus(pkts, channels=1, preskip=0)
-            st = af.AudioStream()
-            st.open_from_memory(data)
-            got = st.read_samples_float(st.get_length_in_frames())
+            if channels == 1:
+                ref = ref.reshape(-1, 1)
+            data = opus_ref.build_ogg_opus(pkts, channels=channels,
+                                           preskip=0)
+            if s16:
+                from audio_formats_tpu.io.source import MemorySource
+                from audio_formats_tpu.models.opus import OpusDecoder
+
+                d = OpusDecoder(MemorySource(data))
+                d.s16_parity = True
+                got = d.read(10 ** 6)
+            else:
+                st = af.AudioStream()
+                st.open_from_memory(data)
+                got = st.read_samples_float(st.get_length_in_frames())
+            got = got.reshape(-1, channels)
             m = min(len(got), len(ref))
             err = got[300 : m - 300] - ref[300 : m - 300]
             snr = 10 * np.log10((ref[300 : m - 300] ** 2).mean()
@@ -1034,12 +1080,28 @@ def _opus_mode_gauge():
         except Exception as e:
             res[key] = f"error: {e}"
 
-    # --- SILK wideband through the full 48 kHz facade path: >= 45 dB
+    # Bounds are envelope-minus-margin (~3 dB under the weakest measured
+    # value), not loose contracts: a regression bigger than the margin
+    # fails the bench row.  Measured r04 dev box: silk48 51.8, hybrid
+    # 41.5 — see BENCH history.
+    # --- SILK wideband through the full 48 kHz facade path
     _snr_stream(13000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
-                "opus_silk48_snr_db_vs_libopus", 45.0)
-    # --- hybrid (SILK WB + CELT bands 17+): >= 25 dB
+                "opus_silk48_snr_db_vs_libopus", 49.0)
+    # --- hybrid (SILK WB + CELT bands 17+)
     _snr_stream(36000, O.OPUS_BANDWIDTH_FULLBAND, set(range(12, 16)),
-                "opus_hybrid_snr_db_vs_libopus", 25.0)
+                "opus_hybrid_snr_db_vs_libopus", 38.0)
+    # --- the documented worst corner (DESIGN.md: coupled-stereo SILK at
+    # low bitrate): force SILK mode so the encoder cannot escape to CELT.
+    # Measured 13.3 dB on the real chip (coupled mid/side prediction is
+    # where fixed- vs float-point decoders diverge most) — bound 3 dB under
+    _snr_stream(16000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
+                "opus_silk_coupled_snr_db_vs_libopus", 10.0,
+                channels=2, force_mode=1000)
+    # --- s16-parity mode (the reference's exact output grid,
+    # dopus.d:8098-8105): same stream as silk48, quantized output
+    # (measured 48.5 dB — the s16 grid shaves ~3 dB off the float row)
+    _snr_stream(13000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
+                "opus_silk48_s16_snr_db", 45.5, s16=True)
     return res
 
 
@@ -1222,30 +1284,11 @@ def main():
 
     n_mp3 = int(os.environ.get("BENCH_MP3_STREAMS", "512"))
     n_flac = int(os.environ.get("BENCH_FLAC_STREAMS", "512"))
-    mp3, mp3_secs, flac, flac_secs = build_corpus(n_mp3, n_flac)
+    mp3, mp3_secs, flac, flac_secs, flac_1w = build_corpus(n_mp3, n_flac)
 
-    # pick the FLAC wire mode from the measured uplink: the packed
-    # residual path decodes ~37k x device-resident but inflates the
-    # wire ~1.3x; the device-Rice path ships exactly the compressed
-    # bytes and decodes ~1.4k x on chip — end-to-end it wins only when
-    # the link is thinner than ~40 MB/s (always true on this tunnel,
-    # never on a PCIe-attached host)
     _mark("corpus ready; probing link")
     up_bw, down_bw = measure_link()
     from audio_formats_tpu.host import native as _native
-    # crossover: device-Rice loses to the packed path on chip time
-    # (1.4k x vs 37k x device-resident), so it pays only when something
-    # OTHER than the chip binds — a thin link (saves ~22% FLAC wire at
-    # inflation 1.00) or a core-starved host (deletes the host Rice+pack
-    # stage entirely; on this 1-core box the host stage otherwise binds
-    # the moment the link is fat)
-    host_starved = (os.cpu_count() or 1) <= 2
-    if os.environ.get("AF_TPU_FLAC_DEVICE_RICE") is None \
-            and (up_bw < 40e6 or host_starved) \
-            and _native.get_lib() is not None:
-        os.environ["AF_TPU_FLAC_DEVICE_RICE"] = "1"
-    flac_mode = "device_rice" if os.environ.get(
-        "AF_TPU_FLAC_DEVICE_RICE") not in (None, "", "0") else "packed"
     # MP3 pooled bit plane: bitwise-identical output, ships exactly the
     # copied maindata words (bit-plane inflation ~1.0) for ~1 ms/window
     # of on-device row rebuild — cheap enough to run whenever single-chip
@@ -1254,38 +1297,95 @@ def main():
     mp3_mode = "pool" if os.environ.get(
         "AF_TPU_MP3_POOL_BITS") not in (None, "", "0") else "split"
 
-    # warmup/compile at the same batch-bucket widths with short slices
-    _mark("warmup compile pass")
-    warm = BatchDecoder(
-        [m[: 40 * 417] for m in mp3] + [_flac_prefix(f, 8) for f in flac]
-    )
-    warm.decode_all(output="device").sync()
-    del warm
+    # ---- FLAC wire-mode pick: EMPIRICAL, not modeled.  Round 3's static
+    # "cpu_count<=2 => device-Rice" guess recorded its own counterexample
+    # (4.5x end-to-end regression on a fat link).  Here each mode decodes
+    # the same one-window-per-lane subset twice (first pass compiles) and
+    # the faster wall wins; both probe rates are recorded.
+    probe_rates = {}
+    if os.environ.get("AF_TPU_FLAC_DEVICE_RICE") is None \
+            and _native.get_lib() is not None:
+        sub = flac_1w[: min(128, n_flac)]
+        for mode, envval in (("packed", "0"), ("device_rice", "1")):
+            os.environ["AF_TPU_FLAC_DEVICE_RICE"] = envval
+            try:
+                BatchDecoder(sub).decode_all(output="device").sync()
+                t0 = time.perf_counter()
+                d = BatchDecoder(sub)
+                d.decode_all(output="device").sync()
+                probe_rates[mode] = round(
+                    d.stats["decoded_seconds"]
+                    / (time.perf_counter() - t0), 1)
+            except Exception as e:
+                probe_rates[mode] = f"error: {e}"
+            _mark(f"wire probe {mode}: {probe_rates[mode]}")
+        pr = {k: v for k, v in probe_rates.items()
+              if isinstance(v, (int, float))}
+        winner = max(pr, key=pr.get) if pr else "packed"
+        os.environ["AF_TPU_FLAC_DEVICE_RICE"] = \
+            "1" if winner == "device_rice" else "0"
+    flac_mode = "device_rice" if os.environ.get(
+        "AF_TPU_FLAC_DEVICE_RICE") not in (None, "", "0") else "packed"
+    _mark(f"wire mode: flac={flac_mode} mp3={mp3_mode}")
 
-    # best-of-5: the tunnel's minute-scale weather swings identical code
-    # 147-295x run to run; more reps narrow the lottery on the ONE run
-    # the driver records (chip-side rows are weather-independent)
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # ---- cold full pass: compiles every shape the timed reps will see
+    # (the REAL corpus, not lookalike slices — round 3's warmup used
+    # different slice shapes, so its "warm" reps recompiled and 77% of
+    # the recorded wall was unaccounted compile tails).  Also the honest
+    # cold-start number for a fresh service process.
+    _mark("cold full pass (compile + cold-start measurement)")
+    t0 = time.perf_counter()
+    dec = BatchDecoder(mp3 + flac)
+    dec.decode_all(output="device").sync()
+    cold_s = time.perf_counter() - t0
+    cold_rtx = dec.stats["decoded_seconds"] / cold_s
+
+    # best-of-N warm reps: the tunnel's minute-scale weather swings
+    # identical code 2x run to run.  The rep budget counts from the
+    # FIRST REP (round 3 counted from process start, which silently
+    # turned best-of-5 into best-of-one-with-compile-tails).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     _mark("end-to-end reps")
-    best_dt, best_stats = float("inf"), None
-    # soft wall budget: in bad tunnel weather one rep can take minutes;
-    # the later chip-side rows matter more than extra weather samples,
-    # so stop repeating (never skip rep 1) once the budget is spent
-    budget_s = float(os.environ.get("BENCH_REP_BUDGET_S", "360"))
+    best_dt, best_stats, best_split = float("inf"), None, None
+    rep_walls = []
+    budget_s = float(os.environ.get("BENCH_REP_BUDGET_S", "300"))
+    t_reps0 = time.time()
     for ri in range(reps):
         t0 = time.perf_counter()
         dec = BatchDecoder(mp3 + flac)
+        t_probe = time.perf_counter() - t0
         res = dec.decode_all(output="device")
+        t_call = time.perf_counter() - t0 - t_probe
         res.sync()
+        t_sync = time.perf_counter() - t0 - t_probe - t_call
         dt = time.perf_counter() - t0
+        rep_walls.append(round(dt, 2))
         if dt < best_dt:
             best_dt, best_stats = dt, dict(dec.stats)
-        if time.time() - _T0 > budget_s and ri + 1 < reps:
+            best_split = (t_probe, t_call, t_sync)
+        if time.time() - t_reps0 > budget_s and ri + 1 < reps:
             _mark(f"rep budget spent after rep {ri + 1}/{reps}")
             break
 
     audio = best_stats["decoded_seconds"]
     rtx = audio / best_dt
+    # wall decomposition that closes (VERDICT r3 #1c): probe (stream
+    # open/index), host entropy, device enqueue (payload assembly +
+    # upload dispatch), device wait (sync), other (Python glue).  host
+    # and enqueue timers run in the decode_call section, possibly on
+    # concurrent threads, so `other` is derived from the decode_call
+    # wall minus their sum (clamped: thread overlap can over-count).
+    probe_s, call_s, sync_s = best_split
+    host_s = best_stats["host_ms"] / 1e3
+    enq_s = best_stats["enqueue_ms"] / 1e3
+    other_s = max(0.0, call_s - host_s - enq_s)
+    accounted = probe_s + host_s + enq_s + sync_s
+    split = {
+        "probe": round(probe_s, 2), "host": round(host_s, 2),
+        "enqueue": round(enq_s, 2), "device_wait": round(sync_s, 2),
+        "other": round(other_s, 2),
+        "closes_frac": round(min(1.0, accounted / best_dt), 3),
+    }
 
     # full-download variant (every PCM sample crosses the ~13 MB/s
     # downlink) — measured on a subset: at batch-1024 scale the download
@@ -1341,9 +1441,108 @@ def main():
     _mark("assembling result")
     by = {k: round(v, 1) for k, v in
           best_stats["decoded_seconds_by_format"].items()}
-    link_ceiling = audio / (
-        sum(len(b) for b in mp3 + flac) / max(1.0, up_bw))
-    result = {
+    compressed = sum(len(b) for b in mp3 + flac)
+    link_ceiling = audio / (compressed / max(1.0, up_bw))
+    host_by = {k: round(v / 1e3, 2) for k, v in
+               best_stats.get("host_ms_by_format", {}).items()}
+    enq_by = {k: round(v / 1e3, 2) for k, v in
+              best_stats.get("enqueue_ms_by_format", {}).items()}
+    host_rtx_core = round(
+        audio / max(1e-9, best_stats["host_ms"] / 1e3)
+        / max(1, os.cpu_count() or 1), 1)
+    detail = {
+        "streams": {"mp3": n_mp3, "flac": n_flac,
+                    "distinct": True, "stereo": True},
+        "decoded_audio_seconds": round(audio, 1),
+        "decoded_seconds_by_format": by,
+        "wall_s": round(best_dt, 3),
+        # best-of-N protocol artifacts (VERDICT r3 #1b): compile excluded
+        # by the untimed cold pass on the SAME streams; budget counted
+        # from rep 1; every rep's wall recorded
+        "reps_run": len(rep_walls),
+        "rep_walls_s": rep_walls,
+        "cold_start_s": round(cold_s, 1),
+        "cold_rtx": round(cold_rtx, 1),
+        # wall decomposition of the best rep (sums to closes_frac of wall)
+        "wall_split_s": split,
+        "windows": best_stats["windows"],
+        "h2d_bytes": best_stats["h2d_bytes"],
+        # honest speed-of-light: even uploading NOTHING but the
+        # compressed bytes, the measured uplink caps end-to-end at
+        # audio_s / (compressed_bytes / up_MBps)
+        "compressed_bytes": compressed,
+        "flac_wire_mode": flac_mode,
+        "mp3_wire_mode": mp3_mode,
+        # one-window-per-lane probe rates behind the empirical pick
+        "wire_probe_rtx": probe_rates,
+        "h2d_inflation": round(
+            best_stats["h2d_bytes"] / max(1, compressed), 2),
+        "link_bound_ceiling_rtx": round(link_ceiling, 1),
+        "link_MBps": {"up": round(up_bw / 1e6, 1),
+                      "down": round(down_bw / 1e6, 1)},
+        # fraction of the wire-speed-of-light this run reached (probe and
+        # run see different weather minutes, so >1.0 simply means the
+        # link was faster during the run)
+        "ceiling_fraction": round(rtx / max(1e-9, link_ceiling), 3),
+        "full_download_rtx": round(dl_rtx, 2),
+        "device_dsp_only_rtx_mp3_b1024": round(dsp_rtx, 2),
+        # full decode (entropy FSM + DSP) with inputs device-resident:
+        # the chip's true rate, independent of the dev tunnel weather
+        "device_resident_full_decode_rtx_mp3_b1024": round(res_rtx, 2),
+        "device_resident_full_decode_rtx_flac_b512": round(fres_rtx, 2),
+        **({"device_resident_flac_error": flac_res_err}
+           if flac_res_err else {}),
+        "device_resident_full_decode_rtx_qoa_b32": round(qres_rtx, 2),
+        "device_resident_vorbis_synth_rtx_b256": round(vres_rtx, 2),
+        "device_resident_celt_synth_rtx_b256": round(cres_rtx, 2),
+        **enc_rows,
+        # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
+        # corpus-audio weighted
+        "device_resident_full_decode_rtx_agg_b1024": round(agg_rtx, 2),
+        "device_resident_window": {
+            "bytes": res_bytes, "audio_s": round(res_audio, 1),
+            "flac_bytes": fres_bytes,
+            "flac_audio_s": round(fres_audio, 1),
+            "qoa_bytes": qres_bytes,
+            "qoa_audio_s": round(qres_audio, 1),
+            "vorbis_bytes": vres_bytes,
+            "vorbis_audio_s": round(vres_audio, 1),
+            "celt_bytes": cres_bytes,
+            "celt_audio_s": round(cres_audio, 1)},
+        # host entropy stage rate per core (the host-side ceiling: a
+        # real multi-core host scales this by its parse-pool width) with
+        # the per-format split (VERDICT r3 #2)
+        "host_stage_rtx_per_core": host_rtx_core,
+        "host_s_by_format": host_by,
+        "enqueue_s_by_format": enq_by,
+        "host_mp3_parse_rtx_per_core": round(getattr(
+            bench_device_resident_mp3, "host_parse_rtx", 0.0), 1),
+        "accuracy_vs_golden": accuracy,
+        "mixed_content": mixed,
+        "backend": jax.default_backend(),
+    }
+    # full detail: file + stderr (the driver caps stdout capture at ~2000
+    # bytes — round 3's stdout outgrew it and the recorded artifact lost
+    # its machine-readable metrics)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+
+    def _num(x, default=0.0):
+        return x if isinstance(x, (int, float)) else default
+
+    acc = accuracy if isinstance(accuracy, dict) else {}
+
+    def _gauge(key):
+        v = acc.get(key)
+        if isinstance(v, dict):
+            return {"v": v.get("value"), "ok": v.get("ok")}
+        return v if isinstance(v, (int, float)) else -1
+
+    mx = mixed if isinstance(mixed, dict) else {}
+    compact = {
         "metric": "aggregate realtime decode factor "
                   "(MP3+FLAC, host bytes -> device PCM, batch "
                   f"{n_mp3 + n_flac})",
@@ -1351,89 +1550,54 @@ def main():
         "unit": "x realtime/chip",
         "vs_baseline": round(rtx / 5000.0, 5),
         "detail": {
-            "streams": {"mp3": n_mp3, "flac": n_flac,
-                        "distinct": True, "stereo": True},
-            "decoded_audio_seconds": round(audio, 1),
-            "decoded_seconds_by_format": by,
-            "wall_s": round(best_dt, 3),
-            "stage_split_ms": {
-                "host_entropy": round(best_stats["host_ms"], 1),
-                "device_enqueue": round(best_stats["enqueue_ms"], 1),
-                "windows": best_stats["windows"],
+            "audio_s": round(audio, 1),
+            "wall_s": round(best_dt, 2),
+            "reps_run": len(rep_walls),
+            "rep_walls_s": rep_walls,
+            "cold_start_s": round(cold_s, 1),
+            "wall_split_s": split,
+            "wire": {"flac": flac_mode, "mp3": mp3_mode,
+                     "probe_rtx": {k: _num(v) for k, v in
+                                   probe_rates.items()},
+                     "h2d_inflation": detail["h2d_inflation"]},
+            "link_up_MBps": round(up_bw / 1e6, 1),
+            "ceiling_fraction": detail["ceiling_fraction"],
+            "chip_rtx": {
+                "agg_b1024": round(agg_rtx, 1),
+                "mp3": round(res_rtx, 1), "flac": round(fres_rtx, 1),
+                "qoa": round(qres_rtx, 1),
+                "vorbis_synth": round(vres_rtx, 1),
+                "celt_synth": round(cres_rtx, 1)},
+            "encode_rtx": {
+                k.replace("batch_encode_rtx_", "").replace(
+                    "device_", "dev_"): v
+                for k, v in enc_rows.items() if isinstance(v, (int, float))},
+            "host_rtx_per_core": host_rtx_core,
+            "host_s_by_format": host_by,
+            "gauges": {
+                "mp3_rel": _gauge("mp3_rel_vs_golden"),
+                "flac_abs": _gauge("flac_max_abs_vs_golden"),
+                "qoa_abs": _gauge("qoa_max_abs_vs_golden"),
+                "vorbis_rel": _gauge("vorbis_rel_vs_golden"),
+                "celt_rel": _gauge("opus_celt_rel_vs_libopus"),
+                "silk48_snr": _gauge("opus_silk48_snr_db_vs_libopus"),
+                "hybrid_snr": _gauge("opus_hybrid_snr_db_vs_libopus"),
+                "silk_coupled_snr": _gauge(
+                    "opus_silk_coupled_snr_db_vs_libopus"),
+                "silk_s16_snr": _gauge("opus_silk48_s16_snr_db"),
             },
-            "h2d_bytes": best_stats["h2d_bytes"],
-            # honest speed-of-light: even uploading NOTHING but the
-            # compressed bytes, the measured uplink caps end-to-end at
-            # audio_s / (compressed_bytes / up_MBps); the inflation factor
-            # says how close the wire format gets to that bound
-            "compressed_bytes": sum(len(b) for b in mp3 + flac),
-            # which grouped FLAC path the end-to-end run rode (picked
-            # from the uplink probe; device_rice => FLAC wire bytes ==
-            # compressed bytes + <=255 B/frame alignment)
-            "flac_wire_mode": flac_mode,
-            "mp3_wire_mode": mp3_mode,
-            "h2d_inflation": round(
-                best_stats["h2d_bytes"]
-                / max(1, sum(len(b) for b in mp3 + flac)), 2),
-            "link_bound_ceiling_rtx": round(link_ceiling, 1),
-            "link_MBps": {"up": round(up_bw / 1e6, 1),
-                          "down": round(down_bw / 1e6, 1)},
-            # fraction of the wire-speed-of-light this run reached (the
-            # probe and the run see different weather minutes, so >1.0
-            # simply means the link was faster during the run)
-            "ceiling_fraction": round(rtx / max(1e-9, link_ceiling), 3),
-            "full_download_rtx": round(dl_rtx, 2),
-            "device_dsp_only_rtx_mp3_b1024": round(dsp_rtx, 2),
-            # full decode (entropy FSM + DSP) with inputs device-resident:
-            # the chip's true rate, independent of the dev tunnel weather
-            "device_resident_full_decode_rtx_mp3_b1024": round(res_rtx, 2),
-            "device_resident_full_decode_rtx_flac_b512": round(fres_rtx, 2),
-            **({"device_resident_flac_error": flac_res_err}
-               if flac_res_err else {}),
-            "device_resident_full_decode_rtx_qoa_b32": round(qres_rtx, 2),
-            # Vorbis device half (IMDCT + lapped OLA, the output="device"
-            # window chain); entropy stays host by design — see
-            # bench_device_resident_vorbis docstring
-            "device_resident_vorbis_synth_rtx_b256": round(vres_rtx, 2),
-            # CELT device half (IMDCT + OLA + deemphasis, the lockstep
-            # Opus groups' device stage); entropy stays host by design —
-            # see bench_device_resident_celt docstring
-            "device_resident_celt_synth_rtx_b256": round(cres_rtx, 2),
-            # the write half: lockstep QOA (device scalefactor search) and
-            # batched WAV s24 (device TPDF dither), end-to-end wall
-            **enc_rows,
-            # BASELINE.md metric shape at the chip: aggregate MP3+FLAC,
-            # corpus-audio weighted
-            "device_resident_full_decode_rtx_agg_b1024": round(agg_rtx, 2),
-            "device_resident_window": {
-                "bytes": res_bytes, "audio_s": round(res_audio, 1),
-                "flac_bytes": fres_bytes,
-                "flac_audio_s": round(fres_audio, 1),
-                "qoa_bytes": qres_bytes,
-                "qoa_audio_s": round(qres_audio, 1),
-                "vorbis_bytes": vres_bytes,
-                "vorbis_audio_s": round(vres_audio, 1),
-                "celt_bytes": cres_bytes,
-                "celt_audio_s": round(cres_audio, 1)},
-            # host entropy stage rate per core (the host-side ceiling:
-            # a real multi-core host scales this by its parse-pool width)
-            # per-core host stage (aggregate MP3 parse + FLAC sync
-            # index, from the e2e run's host wall — swings somewhat with
-            # IO interleave on a 1-core host); the MP3-parse-only row is
-            # timed SERIAL with no upload interleave and is stable
-            "host_stage_rtx_per_core": round(
-                audio / max(1e-9, best_stats["host_ms"] / 1e3)
-                / max(1, os.cpu_count() or 1), 1),
-            "host_mp3_parse_rtx_per_core": round(getattr(
-                bench_device_resident_mp3, "host_parse_rtx", 0.0), 1),
-            "accuracy_vs_golden": accuracy,
-            # realistic mixed-content scheduler gauge (straggler lane
-            # types present; the contract is demotions == 0)
-            "mixed_content": mixed,
+            "mixed": {k: mx.get(k) for k in (
+                "lanes", "rtx", "rtx_cold", "group_demotions",
+                "lanes_demoted", "straggler_rel_vs_facade")},
             "backend": jax.default_backend(),
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(compact)
+    if len(line) > 1950:  # stdout contract: ONE parseable line < 2000 B
+        compact["detail"].pop("gauges", None)
+        compact["detail"].pop("host_s_by_format", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
