@@ -354,10 +354,14 @@ def flac_parse_window(lib, data, start_bits: int, streaminfo_bps: int,
     coeffs [W*ch, 32], order/shift/wasted/bps [W*ch], meta [W, 4] int64
     rows: blocksize, chan_assignment, nch, end_bits) — n_frames may be 0."""
     ch = channels
-    residual = np.zeros((W * ch, max_block), dtype=np.int32)
-    coeffs = np.zeros((W * ch, 32), dtype=np.int32)
-    osw = np.zeros((4, W * ch), dtype=np.int32)  # order/shift/wasted/bps
-    meta = np.zeros((W, 4), dtype=np.int64)
+    # np.empty, not zeros: the C parser fully writes residual[0:bs] for
+    # every subframe type (constant/verbatim fill too), zeroes all 32
+    # coeffs itself, and consumers only read rows/meta for f < n — zeroing
+    # ~400 KB per lane-window here was ~20% of the whole host stage
+    residual = np.empty((W * ch, max_block), dtype=np.int32)
+    coeffs = np.empty((W * ch, 32), dtype=np.int32)
+    osw = np.empty((4, W * ch), dtype=np.int32)  # order/shift/wasted/bps
+    meta = np.empty((W, 4), dtype=np.int64)
     ptr, nbytes, _keep = _buf_ptr(data)
     n = lib.af_flac_parse_window(
         ptr, nbytes, start_bits, streaminfo_bps, ch, max_block, W,

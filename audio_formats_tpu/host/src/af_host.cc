@@ -589,12 +589,53 @@ int af_flac_parse_frame(
             for (int i = 0; i < count; i++) res[idx + i] = br_signed(&br, nbits);
           }
         } else {
+          // fused Rice inner loop: ONE 64-bit load per sample covers the
+          // unary quotient AND the param-bit remainder whenever they fit
+          // in the loaded window (always, except pathological quotients
+          // near EOF) — vs three per-field loads through br_unary/br_get
+          const uint8_t* buf = br.buf;
+          int64_t size = (br.nbits + 7) >> 3;
+          int64_t pos = br.pos;
+          // persistent 64-bit window: bits [pos, pos+avail) sit left-
+          // aligned in w (shifted-in low bits are zero, so a clz that
+          // runs past avail just triggers a refill).  Typical Rice codes
+          // are ~param+2 bits, so one load serves several samples.
+          uint64_t w = 0;
+          int avail = 0;
           for (int i = 0; i < count; i++) {
-            int qv = br_unary(&br);
-            if (qv < 0) return -14;
-            uint32_t u = ((uint32_t)qv << param) | br_get(&br, param);
+            int lead = w ? __builtin_clzll(w) : 64;
+            if (lead + 1 + param > avail) {
+              int64_t byte = pos >> 3;
+              if (byte + 8 <= size) {
+                uint64_t raw;
+                memcpy(&raw, buf + byte, 8);
+                w = __builtin_bswap64(raw) << (pos & 7);
+                avail = 64 - (int)(pos & 7);
+                lead = w ? __builtin_clzll(w) : 64;
+              }
+              if (lead + 1 + param > avail) {
+                // long quotient / EOF tail: per-field slow path
+                br.pos = pos;
+                int qv = br_unary(&br);
+                if (qv < 0) return -14;
+                uint32_t u = ((uint32_t)qv << param) | br_get(&br, param);
+                res[idx + i] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+                pos = br.pos;
+                w = 0;
+                avail = 0;
+                continue;
+              }
+            }
+            int need = lead + 1 + param;
+            uint32_t u = ((uint32_t)lead << param) |
+                         (param ? (uint32_t)((w << (lead + 1)) >>
+                                             (64 - param)) : 0u);
             res[idx + i] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+            pos += need;
+            w = need >= 64 ? 0 : w << need;  // need==64: shift-by-64 is UB
+            avail -= need;
           }
+          br.pos = pos;
         }
         idx += count;
       }

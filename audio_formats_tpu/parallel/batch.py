@@ -325,6 +325,12 @@ class BatchDecoder:
             "fetch_ms": 0.0,
             "host_ms_by_format": {},
             "enqueue_ms_by_format": {},
+            # host-stage THREAD CPU (time.thread_time, summed across parse
+            # workers): the per-core cost a real multi-core host pays.  The
+            # wall counters above over-count on a core-starved box, where
+            # the OS timeshares the parse thread with the dispatch worker.
+            "host_cpu_ms": 0.0,
+            "host_cpu_ms_by_format": {},
             "h2d_bytes": 0,
             "d2h_bytes": 0,
             "windows": 0,
@@ -346,14 +352,29 @@ class BatchDecoder:
         self._stat_add("decoded_seconds", seconds)
         self._stat_add("decoded_seconds_by_format", seconds, fmt=fmt)
 
-    def _note_stage(self, key: str, fmt: str, t0: float):
+    def _note_stage(self, key: str, fmt: str, t0: float,
+                    cpu_t0: float = None):
         """Close a stage timer opened at ``t0``: accumulate both the
         aggregate stage counter (host_ms / enqueue_ms) and its per-format
         split (SURVEY §5.5 observability — the bench needs to say WHERE
-        host time goes, not just how much there is)."""
+        host time goes, not just how much there is).  ``cpu_t0`` (a
+        time.thread_time anchor) additionally closes the thread-CPU
+        counter — valid only when the stage ran on the calling thread;
+        pooled stages call _note_host_cpu per lane instead."""
         dt = (time.perf_counter() - t0) * 1e3
         self._stat_add(key, dt)
         self._stat_add(key + "_by_format", dt, fmt=fmt)
+        if cpu_t0 is not None and key == "host_ms":
+            cdt = (time.thread_time() - cpu_t0) * 1e3
+            self._stat_add("host_cpu_ms", cdt)
+            self._stat_add("host_cpu_ms_by_format", cdt, fmt=fmt)
+
+    def _note_host_cpu(self, fmt: str, cpu_t0: float):
+        """Per-lane thread-CPU accumulation for host stages that run on a
+        parse pool (each worker measures its own thread)."""
+        cdt = (time.thread_time() - cpu_t0) * 1e3
+        self._stat_add("host_cpu_ms", cdt)
+        self._stat_add("host_cpu_ms_by_format", cdt, fmt=fmt)
 
     def _reprobe(self, i):
         """Fresh decoder for lane i (a failed grouped run leaves decoder
@@ -639,6 +660,7 @@ class BatchDecoder:
         pending = []
         while active.any():
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             Sarr = np.zeros((Bp, nch, TS, 32), np.float32)
             n_slots = np.zeros(Bp, np.int32)
             for bi, d in enumerate(decs):
@@ -663,7 +685,7 @@ class BatchDecoder:
                 n_slots[bi] = got * spf_slots
                 d._cur_sample += got * d._spf * nch
                 d._offset = offs[bi]
-            self._note_stage("host_ms", "mp3_l12", t_host)
+            self._note_stage("host_ms", "mp3_l12", t_host, ct_host)
             if not n_slots.any():
                 break
             t_enq = time.perf_counter()
@@ -839,6 +861,13 @@ class BatchDecoder:
         )
 
         def _parse_lane(bi):
+            _ct0 = time.thread_time()
+            try:
+                return _parse_lane_inner(bi)
+            finally:
+                self._note_host_cpu("mp3", _ct0)
+
+        def _parse_lane_inner(bi):
             d = decs[bi]
             if d._offset >= len(d._view) - 4 or (
                 d._total_samples
@@ -1023,6 +1052,7 @@ class BatchDecoder:
         pending = []
         while active.any():
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             xq = np.zeros((Bp, G, nch, 576), np.float32)
             aa = np.full((Bp, G, nch), 31, np.int32)
             wt = np.zeros((Bp, G, nch, 32), np.int32)
@@ -1065,7 +1095,7 @@ class BatchDecoder:
                 d._cur_sample += n_fr * ngr * 576 * nch
                 if n < W:
                     active[bi] = False
-            self._note_stage("host_ms", "mp3", t_host)
+            self._note_stage("host_ms", "mp3", t_host, ct_host)
             if not n_act.any():
                 break
             t_enq = time.perf_counter()
@@ -1244,6 +1274,13 @@ class BatchDecoder:
             outputs[bi].append(out32.T)
 
         def _parse_lane(bi):
+            _ct0 = time.thread_time()
+            try:
+                return _parse_lane_inner(bi)
+            finally:
+                self._note_host_cpu("flac", _ct0)
+
+        def _parse_lane_inner(bi):
             # per-lane WINDOW parse — ONE C call decodes up to W frames
             # (entropy stage releases the GIL; runs concurrently across
             # lanes on multi-core hosts).  The per-frame wrapper this
@@ -1282,15 +1319,20 @@ class BatchDecoder:
                 parse_lib, d._view, d._cur_bit, d.bits_per_sample, dch,
                 max_block, W)
             capped = False
+            # one vectorized pass instead of per-frame numpy reductions
+            # (2,707 ndarray.max calls cost more than the C Rice decode)
+            maxbps = bps[: n * dch].reshape(n, dch).max(axis=1).tolist() \
+                if n else []
+            meta_l = meta[:n].tolist()
             for f in range(n):
                 if d._frame_pos >= d.length_frames > 0:
                     capped = True
                     break
-                bs, ca = int(meta[f, 0]), int(meta[f, 1])
-                d._cur_bit = int(meta[f, 3])
+                bs, ca = meta_l[f][0], meta_l[f][1]
+                d._cur_bit = meta_l[f][3]
                 rows = slice(f * dch, f * dch + dch)
                 prog = True
-                if int(bps[rows].max()) > 18:
+                if maxbps[f] > 18:
                     _host_frame(d, bi, bs, ca, res[rows, :bs], cf[rows],
                                 orr[rows], sh[rows], wa[rows])
                     d._frame_pos += bs
@@ -1535,6 +1577,7 @@ class BatchDecoder:
 
         while active.any():
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             lanes = []   # (bi, off, size, rel_bit, bs, ca, bps)
             for bi in range(B):
                 if not active[bi]:
@@ -1568,7 +1611,7 @@ class BatchDecoder:
                     d._frame_pos += int(bsA[i])
                 if n < W:
                     active[bi] = False
-            self._note_stage("host_ms", "flac_rice", t_host)
+            self._note_stage("host_ms", "flac_rice", t_host, ct_host)
             if not lanes:
                 break
             # the kernel's bit cursors are int32, so one dispatch's pool
@@ -1813,6 +1856,7 @@ class BatchDecoder:
 
         bps = {"u8": 1, "s16": 2, "s24": 3, "s32": 4}[kind]
         t_host = time.perf_counter()
+        ct_host = time.thread_time()
         ints = []
         counts = []
         for d in decs:
@@ -1823,7 +1867,7 @@ class BatchDecoder:
             counts.append((frames, d.channels))
             d._frame_pos += frames
         flat = np.concatenate(ints) if ints else np.zeros(0, np.int32)
-        self._note_stage("host_ms", "wav", t_host)
+        self._note_stage("host_ms", "wav", t_host, ct_host)
         CHUNK = 1 << 22
         pending = []
         for c0 in range(0, flat.shape[0], CHUNK):
@@ -1863,6 +1907,7 @@ class BatchDecoder:
         payloads ship as int8 (3-bit codes, 4-bit scalefactors)."""
         FULL_S = 256
         t_host = time.perf_counter()
+        ct_host = time.thread_time()
         metas = []   # (stream index, f_samples)
         H, Wt, SF, CD = [], [], [], []
         for bi, d in enumerate(decs):
@@ -1893,7 +1938,7 @@ class BatchDecoder:
             wts = np.concatenate(Wt).astype(np.int32)
             sf8 = np.concatenate(SF)
             cd8 = np.concatenate(CD)
-            self._note_stage("host_ms", "qoa", t_host)
+            self._note_stage("host_ms", "qoa", t_host, ct_host)
             L = hist.shape[0]
             CH = 8192  # lanes per device call (bounds upload + HBM)
             for c0 in range(0, L, CH):
@@ -1976,6 +2021,7 @@ class BatchDecoder:
         K = 8  # packets per lane per step
         while active.any():
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             entries = []  # (bi, spec, geom, granule)
             for bi, d in enumerate(decs):
                 for _ in range(K):
@@ -1992,7 +2038,7 @@ class BatchDecoder:
                     if ent is None:
                         continue
                     entries.append((bi, ent[0], ent[1], pk[1]))
-            self._note_stage("host_ms", "vorbis", t_host)
+            self._note_stage("host_ms", "vorbis", t_host, ct_host)
             if not entries:
                 break
             # device IMDCT per block size over stacked lane-channels
@@ -2052,6 +2098,7 @@ class BatchDecoder:
         pending = []
         while active.any():
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             X = np.zeros((K, L, h), np.float32)
             geom = np.zeros((4, K, B), np.int32)  # ls, rs, re, valid
             lens = np.zeros((K, B), np.int32)     # emitted (clamped) lengths
@@ -2078,7 +2125,7 @@ class BatchDecoder:
                     lens[k, bi] = ol
                     d._pos += ol
                     k += 1
-            self._note_stage("host_ms", "vorbis", t_host)
+            self._note_stage("host_ms", "vorbis", t_host, ct_host)
             if not geom[3].any():
                 break
             t_enq = time.perf_counter()
@@ -2235,6 +2282,7 @@ class BatchDecoder:
         self._stat_add("opus_mixed_lanes", B)
         while not all(done):
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             jobs = {}
             for bi, d in enumerate(decs):
                 if done[bi]:
@@ -2262,7 +2310,7 @@ class BatchDecoder:
                         (params["blocks"], params["blocksize"]), []
                     ).append((bi, cd, params))
                     break
-            self._note_stage("host_ms", "opus", t_host)
+            self._note_stage("host_ms", "opus", t_host, ct_host)
             if not jobs:
                 continue
             t_enq = time.perf_counter()
@@ -2419,6 +2467,7 @@ class BatchDecoder:
         steps = max(len(d._silk_lockstep) for d in decs)
         for st in range(steps):
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             X = np.zeros((rows, T), np.float32)
             stash = {}
             for bi, d in enumerate(decs):
@@ -2451,7 +2500,7 @@ class BatchDecoder:
                     rd, coded, frame48, 17, endband)
                 stash[bi] = (params, redundancy, redundancy_pos, red,
                              frame, size)
-            self._note_stage("host_ms", "opus", t_host)
+            self._note_stage("host_ms", "opus", t_host, ct_host)
             if not stash:
                 break
             t_enq = time.perf_counter()
@@ -2572,6 +2621,7 @@ class BatchDecoder:
         steps = max(len(d._silk_lockstep) for d in decs)
         for s in range(steps):
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             X = np.zeros((rows, T), np.float32)
             for bi, d in enumerate(decs):
                 if s >= len(d._silk_lockstep):
@@ -2592,7 +2642,7 @@ class BatchDecoder:
                             "Opus: SILK redundancy tail in group")
                 native = np.concatenate(cols, axis=0)
                 X[bi * nch : (bi + 1) * nch] = native.T[:, :T]
-            self._note_stage("host_ms", "opus", t_host)
+            self._note_stage("host_ms", "opus", t_host, ct_host)
             t_enq = time.perf_counter()
             Y = rs.process(X, frame48)
             self._note_stage("enqueue_ms", "opus", t_enq)
@@ -2665,6 +2715,7 @@ class BatchDecoder:
         for step in range(n_steps):
             buckets = {}
             t_host = time.perf_counter()
+            ct_host = time.thread_time()
             for bi, d in enumerate(decs):
                 if step >= len(lane_frames[bi]):
                     continue
@@ -2682,7 +2733,7 @@ class BatchDecoder:
                 buckets.setdefault(
                     (params["blocks"], params["blocksize"]), []
                 ).append((bi, d, cd, params, n))
-            self._note_stage("host_ms", "opus", t_host)
+            self._note_stage("host_ms", "opus", t_host, ct_host)
             t_enq = time.perf_counter()
             for (blocks, bs), items in buckets.items():
                 raw, newtail, nb = self._celt_imdct_bucket(

@@ -1447,9 +1447,17 @@ def main():
                best_stats.get("host_ms_by_format", {}).items()}
     enq_by = {k: round(v / 1e3, 2) for k, v in
               best_stats.get("enqueue_ms_by_format", {}).items()}
+    host_cpu_by = {k: round(v / 1e3, 2) for k, v in
+                   best_stats.get("host_cpu_ms_by_format", {}).items()}
+    # per-core host rate from THREAD CPU: on this core-starved box the
+    # wall-based host timer also counts the dispatch worker's timeslices
+    # (the OS shares one core between the parse thread and the jax
+    # dispatch thread), so wall understates what each core of a real
+    # multi-core host delivers.  CPU time is the scalable quantity.
+    host_cpu_s = best_stats.get("host_cpu_ms", 0.0) / 1e3
+    host_wall_s = best_stats["host_ms"] / 1e3
     host_rtx_core = round(
-        audio / max(1e-9, best_stats["host_ms"] / 1e3)
-        / max(1, os.cpu_count() or 1), 1)
+        audio / max(1e-9, host_cpu_s or host_wall_s), 1)
     detail = {
         "streams": {"mp3": n_mp3, "flac": n_flac,
                     "distinct": True, "stereo": True},
@@ -1511,8 +1519,12 @@ def main():
             "celt_audio_s": round(cres_audio, 1)},
         # host entropy stage rate per core (the host-side ceiling: a
         # real multi-core host scales this by its parse-pool width) with
-        # the per-format split (VERDICT r3 #2)
+        # the per-format split (VERDICT r3 #2).  Computed from summed
+        # parse-thread CPU (host_cpu_s_*); the wall split rows keep the
+        # decomposition honest on this 1-core box
         "host_stage_rtx_per_core": host_rtx_core,
+        "host_cpu_s": round(host_cpu_s, 2),
+        "host_cpu_s_by_format": host_cpu_by,
         "host_s_by_format": host_by,
         "enqueue_s_by_format": enq_by,
         "host_mp3_parse_rtx_per_core": round(getattr(
@@ -1573,6 +1585,7 @@ def main():
                     "device_", "dev_"): v
                 for k, v in enc_rows.items() if isinstance(v, (int, float))},
             "host_rtx_per_core": host_rtx_core,
+            "host_cpu_s_by_format": host_cpu_by,
             "host_s_by_format": host_by,
             "gauges": {
                 "mp3_rel": _gauge("mp3_rel_vs_golden"),
