@@ -284,12 +284,11 @@ class QoaEncoder:
 
     def write(self, samples: np.ndarray) -> int:
         """samples: (frames, channels) float32/float64 in [-1, 1]."""
-        if samples.dtype == np.float64:
-            s16 = pcm.quantize_float_to_int_np(samples.reshape(-1), "s16")
-        else:
-            s16 = pcm.quantize_float_to_int(
-                samples.reshape(-1).astype(np.float32), "s16", dither=False
-            )
+        # host quantize: bit-identical to the device path (both compute
+        # the exact round-half-up; A/B-tested incl. midpoint neighbors)
+        # without an upload+download roundtrip of the whole PCM
+        s16 = pcm.quantize_float_to_int_np(
+            np.ascontiguousarray(samples).reshape(-1), "s16")
         s16 = s16.reshape(-1, self.channels)
         done = 0
         frames = s16.shape[0]

@@ -291,3 +291,36 @@ def qoa_encode_frame_scan(samples, history, weights, frame_len):
         h_f,
         w_f,
     )
+
+
+@jax.jit
+def qoa_encode_frame_words(samples, frame_len):
+    """Fused frame-parallel QOA encode: scalefactor search + DEVICE-side
+    slice-word packing.  Every lane starts from the encoder's initial LMS
+    state {h=0, w=0,0,-2^13,2^14} (qoa.d:568-581) — the frame-parallel
+    layout's contract, where each frame header carries that constant state
+    — so no LMS state crosses the wire in either direction, and the only
+    download is the packed words: 8 B/slice instead of the 84 B/slice of
+    (codes [20]i32 + sf i32).
+
+    samples: [L, 5120] int16/int32 (s16 values; int16 upload halves the
+    wire).  frame_len: scalar or per-lane [L] int32.
+
+    Returns (word_hi, word_lo) [L, 256] uint32: the big-endian u64 slice
+    word (qoa.d:330-339: sf<<60 | codes at bits 57-3t) split at bit 32 —
+    code t=9 straddles the boundary (bits 30..32), hence the >>2 / &3.
+    """
+    samples = samples.astype(jnp.int32)
+    L = samples.shape[0]
+    h0 = jnp.zeros((L, QOA_LMS_LEN), jnp.int32)
+    w0 = jnp.tile(jnp.array([0, 0, -(1 << 13), 1 << 14], jnp.int32), (L, 1))
+    sf, codes, _h, _w = qoa_encode_frame_scan(samples, h0, w0, frame_len)
+    c = codes.astype(jnp.uint32)  # [L, 256, 20]
+    hi = sf.astype(jnp.uint32) << 28
+    for t in range(9):  # codes 0..8 live fully above bit 32
+        hi = hi | (c[..., t] << (25 - 3 * t))
+    hi = hi | (c[..., 9] >> 2)
+    lo = (c[..., 9] & 3) << 30
+    for t in range(10, 20):  # codes 10..19 live fully below bit 32
+        lo = lo | (c[..., t] << (57 - 3 * t))
+    return hi, lo

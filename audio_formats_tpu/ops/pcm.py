@@ -132,8 +132,14 @@ def _exact_scale_round(x, kind: str):
     s, err = _two_sum(hi, -x)  # s + err == x * (2^m - 1), exactly
     f = jnp.round(s)  # candidate integer (any tie rule; corrected below)
     d = s - f  # exact (Sterbenz), |d| <= 0.5
-    t = d + err
-    k = f + (t >= 0.5).astype(jnp.float32) - (t < -0.5).astype(jnp.float32)
+    # compare d + err against ±0.5 EXACTLY: a rounded f32 sum loses err
+    # when d sits on the boundary (e.g. true product 0.5 - 5e-10 with
+    # d == 0.5: fl(d + err) == 0.5 would wrongly round up).  TwoSum keeps
+    # the residual, making the comparison lexicographic and exact.
+    u, v = _two_sum(d, err)  # u + v == d + err, exactly
+    up = (u > 0.5) | ((u == 0.5) & (v >= 0))
+    dn = (u < -0.5) | ((u == -0.5) & (v < 0))
+    k = f + up.astype(jnp.float32) - dn.astype(jnp.float32)
     return k
 
 
@@ -211,3 +217,59 @@ def quantize_float_to_int_batch(rows, lens, kinds_seed, kind: str, *,
     out = np.asarray(_quantize_rows(
         xp, np.asarray(kinds_seed, np.uint32), kind, dither))
     return [out[i, : lens[i]] for i in range(L)]
+
+
+def _pad_len_rows(n: int) -> int:
+    """Width bucket for batched encode rows: pow2 up to 64 Ki, then
+    multiples of 64 Ki.  The 1-D pow2 buckets double the wire past the
+    stream length (352,800 samples pads to 524,288 — +49% on a link-bound
+    path); 64 Ki granularity caps padding at ~12% while keeping the
+    compile-cache variant count small.  Always a multiple of 4 (the s24
+    byte packer groups 4 samples into 3 words)."""
+    if n <= (1 << 16):
+        return max(_LANE, 1 << (n - 1).bit_length())
+    return -(-n // (1 << 16)) * (1 << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "dither"))
+def _quantize_pack_rows(x, seeds, kind: str, dither: bool):
+    """Quantize float rows and pack the WAV byte stream ON DEVICE as u32
+    words (little-endian byte order), so the download is exactly the
+    payload bytes — 3 B/sample for s24 instead of a 4 B int32 plane that
+    the host then re-packs (wav.d:487-525 semantics, _pack_int_pcm
+    byte-identical)."""
+    if dither and kind != "s32":
+        k = jax.vmap(lambda r, s: _quantize_dither(r, s, kind))(x, seeds)
+    else:
+        k = jax.vmap(lambda r: _quantize_nodither(r, kind))(x)
+    L, n = k.shape
+    ku = k.astype(jnp.uint32)
+    if kind == "u8":
+        g = ((ku + 128) & 0xFF).reshape(L, n // 4, 4)  # u8 bias (wav.d:489)
+        return (g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16)
+                | (g[..., 3] << 24))
+    if kind == "s16":
+        g = (ku & 0xFFFF).reshape(L, n // 2, 2)
+        return g[..., 0] | (g[..., 1] << 16)
+    if kind == "s24":
+        g = ku.reshape(L, n // 4, 4)
+        a, b, c, d = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+        w0 = (a & 0xFFFFFF) | ((b & 0xFF) << 24)
+        w1 = ((b >> 8) & 0xFFFF) | ((c & 0xFFFF) << 16)
+        w2 = ((c >> 16) & 0xFF) | ((d & 0xFFFFFF) << 8)
+        return jnp.stack([w0, w1, w2], axis=-1).reshape(L, -1)
+    return ku  # s32: the int32 plane IS the byte stream
+
+
+def quantize_pack_rows(rows, lens, seeds, kind: str, sample_size: int, *,
+                       dither: bool):
+    """Batched encode quantize+pack: rows [L, n] float32 (zero-padded to a
+    _pad_len_rows bucket here), lens [L] valid sample counts.  Returns a
+    list of L byte strings — each lane's exact WAV data payload."""
+    L, n = rows.shape
+    npad = _pad_len_rows(n)
+    xp = np.zeros((L, npad), np.float32)
+    xp[:, :n] = rows
+    w = np.asarray(_quantize_pack_rows(
+        xp, np.asarray(seeds, np.uint32), kind, dither))
+    return [w[i].tobytes()[: sample_size * lens[i]] for i in range(L)]

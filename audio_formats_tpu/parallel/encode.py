@@ -21,7 +21,8 @@ import numpy as np
 
 from ..config import EncodingOptions
 from ..models import qoa as qoa_mod
-from ..models.qoa import QOA_FRAME_LEN, QOA_LMS_LEN, QOA_MAGIC
+from ..models.qoa import (QOA_FRAME_LEN, QOA_LMS_LEN, QOA_MAGIC,
+                          _frame_size as _qoa_frame_size)
 from ..ops.lms import QOA_SLICE_LEN, QOA_SLICES_PER_FRAME
 from ..ops import lms as lms_ops
 from ..ops import pcm as pcm_ops
@@ -50,14 +51,14 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
     n = len(pcms)
     chans = [p.shape[1] for p in pcms]
     lengths = [p.shape[0] for p in pcms]
-    # quantize float input exactly like QoaEncoder.write
+    # quantize float input exactly like QoaEncoder.write — on HOST: the
+    # device quantize is bit-identical (TwoSum exact round-half-up ==
+    # the f64 golden, A/B-tested) but costs an upload+download roundtrip
+    # of the whole PCM per stream, which dominated the old encode wall
     s16 = []
     for p in pcms:
-        if p.dtype == np.float64:
-            q = pcm_ops.quantize_float_to_int_np(p.reshape(-1), "s16")
-        else:
-            q = pcm_ops.quantize_float_to_int(
-                p.reshape(-1).astype(np.float32), "s16", dither=False)
+        q = pcm_ops.quantize_float_to_int_np(
+            np.ascontiguousarray(p).reshape(-1), "s16")
         s16.append(q.reshape(-1, p.shape[1]).astype(np.int32))
     if parallel_frames:
         return _encode_qoa_frames_parallel(
@@ -120,7 +121,6 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
     {0,0,-2^13,2^14} (qoa.d:568-581) which is written into its header.
     Per-lane frame lengths let final partial frames ride the same call."""
     n = len(s16)
-    init_w = np.array([0, 0, -(1 << 13), 1 << 14], np.int32)
     # lane layout: frame-major per stream, channel-minor
     spans = []  # (stream, frame_idx, frame_samples, lane_start)
     by_stream = [[] for _ in range(n)]
@@ -133,10 +133,10 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
             by_stream[i].append((fs, lane))
             lane += chans[i]
     L = lane
-    CHUNK = 8192  # lanes per device call (bounds codes-plane memory);
+    CHUNK = 8192  # lanes per device call (bounds plane memory);
     # chunks cut at span boundaries so a frame's channels stay together
-    sf_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.int32)
-    cd_all = np.zeros((L, QOA_SLICES_PER_FRAME, QOA_SLICE_LEN), np.int32)
+    hi_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.uint32)
+    lo_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.uint32)
     si = 0
     while si < len(spans):
         c0 = spans[si][3]
@@ -150,29 +150,40 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
         Lc = c1 - c0
         # pow2 lane bucket: chunk widths vary, the compiled kernel should not
         Lp = min(CHUNK, max(256, 1 << (Lc - 1).bit_length()))
-        rows = np.zeros((Lp, QOA_FRAME_LEN), np.int32)
+        # int16 rows: halves the upload (values are s16 by construction;
+        # the kernel casts to int32 on device)
+        rows = np.zeros((Lp, QOA_FRAME_LEN), np.int16)
         flen = np.zeros(Lp, np.int32)  # pad lanes: len 0 -> fully inactive
         for (i, f, fs, ls) in spans[si:sj]:
             seg = s16[i][f * QOA_FRAME_LEN : f * QOA_FRAME_LEN + fs]
             rows[ls - c0 : ls - c0 + chans[i], :fs] = seg.T
             flen[ls - c0 : ls - c0 + chans[i]] = fs
-        hist = np.zeros((Lp, QOA_LMS_LEN), np.int32)
-        wts = np.tile(init_w, (Lp, 1))
-        sf, codes, _h, _w = lms_ops.qoa_encode_frame_scan(
-            rows, hist, wts, flen)
-        sf_all[c0:c1] = np.asarray(sf)[:Lc]
-        cd_all[c0:c1] = np.asarray(codes)[:Lc]
+        # fused search + DEVICE word pack: the only download is the
+        # [L, 256] x 2 u32 word planes (8 B/slice), not codes+sf (84 B)
+        hi, lo = lms_ops.qoa_encode_frame_words(rows, flen)
+        hi_all[c0:c1] = np.asarray(hi)[:Lc]
+        lo_all[c0:c1] = np.asarray(lo)[:Lc]
         si = sj
+    # constant pre-frame LMS state words (history 0, weights
+    # {0,0,-2^13,2^14}) — the frame-parallel contract writes the initial
+    # state into every frame header (qoa.d:315-326)
+    state_words = (b"\x00" * 8
+                   + b"\x00\x00\x00\x00\xe0\x00\x40\x00")
     outs = []
-    hist1 = np.zeros((max(chans) if chans else 1, QOA_LMS_LEN), np.int32)
-    wts1 = np.tile(init_w, (max(chans) if chans else 1, 1))
     for i in range(n):
-        out = bytearray(((QOA_MAGIC << 32) | lengths[i]).to_bytes(8, "big"))
+        ch = chans[i]
+        parts = [((QOA_MAGIC << 32) | lengths[i]).to_bytes(8, "big")]
+        st = state_words * ch
         for (fs, ls) in by_stream[i]:
-            out += qoa_mod.pack_qoa_frame(
-                sample_rate, chans[i], fs, hist1, wts1,
-                sf_all[ls : ls + chans[i]], cd_all[ls : ls + chans[i]])
-        outs.append(bytes(out))
+            ns = (fs + QOA_SLICE_LEN - 1) // QOA_SLICE_LEN
+            f_size = _qoa_frame_size(ch, ns)
+            hdr = ((ch << 56) | (sample_rate << 32) | (fs << 16) | f_size)
+            # interleave (slice-major, channel-minor) hi/lo into BE u64s
+            w = np.empty((ns, ch, 2), dtype=">u4")
+            w[:, :, 0] = hi_all[ls : ls + ch, :ns].T
+            w[:, :, 1] = lo_all[ls : ls + ch, :ns].T
+            parts.append(hdr.to_bytes(8, "big") + st + w.tobytes())
+        outs.append(b"".join(parts))
     return outs
 
 
@@ -185,7 +196,7 @@ def encode_wav_batch(pcms: Sequence[np.ndarray], sample_rate: int,
     import struct
 
     from ..config import AudioSampleFormat
-    from ..models.wav import _FMT_INFO, _pack_int_pcm
+    from ..models.wav import _FMT_INFO
 
     options = options or EncodingOptions()
     fmt = options.sample_format
@@ -204,10 +215,11 @@ def encode_wav_batch(pcms: Sequence[np.ndarray], sample_rate: int,
         for i, f in enumerate(flats):
             rows[i, : lens[i]] = f
         seeds = [(options.dither_seed + 0) & 0xFFFFFFFF] * n
-        ints = pcm_ops.quantize_float_to_int_batch(
-            rows, lens, seeds, qkind,
+        # fused device quantize + byte pack: the download is exactly the
+        # payload bytes (3 B/sample for s24), not a 4 B int32 plane
+        bodies = pcm_ops.quantize_pack_rows(
+            rows, lens, seeds, qkind, sample_size,
             dither=options.enable_dither and qkind != "s32")
-        bodies = [_pack_int_pcm(k, sample_size) for k in ints]
     outs = []
     for i, p in enumerate(pcms):
         ch = p.shape[1]

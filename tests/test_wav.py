@@ -62,9 +62,19 @@ def test_quantize_nodither_exact(rng, bits, kind):
     x = (rng.random(1 << 18, dtype=np.float32) * 2.2 - 1.1).astype(np.float32)
     # include exact representable boundary/tie-prone values
     ints = rng.integers(-(2**bits // 2), 2**bits // 2, size=4096)
+    scale = 2.0 ** bits // 2 - 1
+    k = rng.integers(0, int(scale), 4096).astype(np.float64)
+    # f32 neighbors of the rounding midpoints (k + 0.5) / scale: the exact
+    # TwoSum comparison must round these by the TRUE product — a rounded
+    # f32 compare flips the 1.5259254723787308e-05-style cases (regression:
+    # the pre-fix kernel returned 1 where the real product is 0.4999999995)
+    mids = ((k + 0.5) / scale).astype(np.float32)
     x = np.concatenate(
         [x, (ints / (2.0 ** (bits - 1))).astype(np.float32),
-         np.array([-1.0, 1.0, 0.0, 0.5, -0.5, 1 - 2**-24], np.float32)]
+         mids, np.nextafter(mids, np.inf), np.nextafter(mids, -np.inf),
+         -mids,
+         np.array([-1.0, 1.0, 0.0, 0.5, -0.5, 1 - 2**-24,
+                   1.5259254723787308e-05], np.float32)]
     )
     ref = wav_ref.quantize_f64(x, bits)
     got = pcm.quantize_float_to_int(x, kind, dither=False)
