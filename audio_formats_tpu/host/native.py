@@ -230,6 +230,14 @@ def _install_celt(lib) -> None:
         f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     lib.af_vorbis_residue.restype = ctypes.c_int
+    lib.af_vorbis_floor1.argtypes = [
+        i8p, ctypes.c_int64, i64p,
+        i32p, i32p, i8p, i32p,
+        i32p, i64p,
+        i32p, ctypes.c_int32, ctypes.c_int64,
+        f32p, f32p, i8p,
+    ]
+    lib.af_vorbis_floor1.restype = ctypes.c_int
 
     from ..utils.tables import celt_tables as CT
 
@@ -615,6 +623,77 @@ def vorbis_residue(lib, bank: VorbisCodebookBank, buf, nbits: int,
         do_not_decode.ctypes.data_as(_I8P),
         target.ctypes.data_as(_F32P), row_stride,
         classifs.ctypes.data_as(_I64P), classifs.shape[1],
+    )
+    return pos.value
+
+
+class VorbisFloorBank:
+    """Per-stream floor1 config pack for af_vorbis_floor1: every floor's
+    class tables, xlist, sort order, and neighbor pairs concatenated into
+    one int32 blob (layout documented at af_host.cc:af_vorbis_floor1).
+    Entries for floor0 configs (None in models/vorbis.py) stay -1 — a
+    packet referencing one errors out before the native call."""
+
+    def __init__(self, floors):
+        blobs = []
+        self.off = np.full(max(len(floors), 1), -1, np.int64)
+        pos = 0
+        for fi, fl in enumerate(floors):
+            if fl is None:
+                continue
+            npts = len(fl.xlist)
+            # header + class tables + xlist + sorted_idx + (lo,hi) pairs
+            blob = np.zeros(3 + 31 + 16 * 3 + 128 + 4 * npts, np.int32)
+            blob[0] = fl.partitions
+            blob[1] = fl.multiplier
+            blob[2] = npts
+            blob[3 : 3 + len(fl.partition_class)] = fl.partition_class
+            o = 3 + 31
+            blob[o : o + len(fl.class_dims)] = fl.class_dims
+            o += 16
+            blob[o : o + len(fl.class_subclasses)] = fl.class_subclasses
+            o += 16
+            blob[o : o + len(fl.class_masterbooks)] = fl.class_masterbooks
+            o += 16
+            for ci, row in enumerate(fl.subclass_books):
+                blob[o + 8 * ci : o + 8 * ci + len(row)] = row
+            o += 128
+            blob[o : o + npts] = fl.xlist
+            o += npts
+            blob[o : o + npts] = np.asarray(fl.sorted_idx, np.int32)
+            o += npts
+            for i in range(2, npts):
+                lo, hi = fl.neighbors[i - 2]
+                blob[o + 2 * i] = lo
+                blob[o + 2 * i + 1] = hi
+            self.off[fi] = pos
+            blobs.append(blob)
+            pos += blob.size
+        self.blob = (np.concatenate(blobs) if blobs
+                     else np.zeros(1, np.int32))
+
+
+def vorbis_floor1(lib, cbank: VorbisCodebookBank, fbank: VorbisFloorBank,
+                  buf, nbits: int, bitpos: int, ch_floor: np.ndarray,
+                  n2: int, inv_db: np.ndarray, curves: np.ndarray,
+                  used: np.ndarray) -> int:
+    """Decode one packet's floor1 curves (all channels) natively; returns
+    the new bit position.  curves [ch, n2] f32 and used [ch] u8 are filled
+    in place; a channel hit by end-of-packet stays unused (Python
+    parity)."""
+    ptr, _, _keep = _buf_ptr(buf)
+    pos = ctypes.c_int64(bitpos)
+    lib.af_vorbis_floor1(
+        ptr, nbits, ctypes.byref(pos),
+        cbank.lut1.ctypes.data_as(_I32P),
+        cbank.subs_off.ctypes.data_as(_I32P),
+        cbank.subs_ext.ctypes.data_as(_I8P),
+        cbank.subs_flat.ctypes.data_as(_I32P),
+        fbank.blob.ctypes.data_as(_I32P),
+        fbank.off.ctypes.data_as(_I64P),
+        ch_floor.ctypes.data_as(_I32P), ch_floor.size, n2,
+        inv_db.ctypes.data_as(_F32P),
+        curves.ctypes.data_as(_F32P), used.ctypes.data_as(_I8P),
     )
     return pos.value
 

@@ -3587,4 +3587,163 @@ done:
   return rc;
 }
 
+// LSB-first read of n <= 24 bits; fails (returns 0, position unchanged)
+// past the end — matching BitReaderLSB.read's check-before-advance.
+static inline int lsb_read(BitLSB* b, int n, uint32_t* out) {
+  if (b->pos + n > b->nbits) return 0;
+  *out = lsb_peek24(b) & ((n >= 24) ? 0xFFFFFFu : ((1u << n) - 1));
+  b->pos += n;
+  return 1;
+}
+
+static inline int32_t floor1_render_point(int32_t x0, int32_t y0, int32_t x1,
+                                          int32_t y1, int32_t X) {
+  int32_t dy = y1 - y0;
+  int32_t adx = x1 - x0;
+  int32_t ady = dy < 0 ? -dy : dy;
+  int32_t off = (int32_t)(((int64_t)ady * (X - x0)) / adx);
+  return dy < 0 ? y0 - off : y0 + off;
+}
+
+// Closed-form Bresenham segment (models/vorbis.py _render_line parity:
+// y(x0+k) = y0 + base*k +/- floor(k*ady'/adx), clipped to [0, 255]).
+static void floor1_render_line(int32_t x0, int32_t y0, int32_t x1, int32_t y1,
+                               float* curve, const float* inv_db) {
+  int32_t dy = y1 - y0;
+  int32_t adx = x1 - x0;
+  if (adx <= 0) return;
+  int32_t base = dy / adx;  // C division truncates toward zero, as py does
+  int32_t abase = base < 0 ? -base : base;
+  int32_t ady = (dy < 0 ? -dy : dy) - abase * adx;
+  for (int32_t k = 0; k < adx; k++) {
+    int32_t step = (int32_t)(((int64_t)k * ady) / adx);
+    int32_t y = y0 + base * k + (dy >= 0 ? step : -step);
+    if (y < 0) y = 0;
+    if (y > 255) y = 255;
+    curve[x0 + k] = inv_db[y];
+  }
+}
+
+// Decode the floor1 curves of ONE audio packet's channels (the per-channel
+// loop in VorbisModel._packet_entropy) against the packed codebook bank.
+// fblob/foff: VorbisFloorBank (native.py) — per-floor config blob of
+//   [partitions, multiplier, n_pts,
+//    partition_class[31], class_dims[16], class_subclasses[16],
+//    class_masterbooks[16], subclass_books[16*8],
+//    xlist[n_pts], sorted_idx[n_pts], neighbors[2*n_pts] (lo,hi at 2*i)].
+// ch_floor[c]: floor config index per channel; curves: [ch, n2] f32 out;
+// used[c]: 1 iff the channel's curve decoded fully (Python parity: the
+// channel where end-of-packet / an invalid codeword hits stays unused and
+// the remaining channels are not attempted).
+int af_vorbis_floor1(
+    const uint8_t* buf, int64_t nbits, int64_t* bitpos_io,
+    const int32_t* lut1, const int32_t* subs_off, const uint8_t* subs_ext,
+    const int32_t* subs_flat,
+    const int32_t* fblob, const int64_t* foff,
+    const int32_t* ch_floor, int32_t ch, int64_t n2,
+    const float* inv_db /*[256]*/, float* curves, uint8_t* used) {
+  static const int32_t kRanges[4] = {256, 128, 86, 64};
+  BitLSB b = {buf, nbits, *bitpos_io};
+  for (int c = 0; c < ch; c++) used[c] = 0;
+  for (int c = 0; c < ch; c++) {
+    uint32_t present;
+    if (!lsb_read(&b, 1, &present)) goto abort;
+    if (!present) continue;  // curve unused for this channel
+    {
+      const int32_t* blob = fblob + foff[ch_floor[c]];
+      int32_t P = blob[0], mult = blob[1], npts = blob[2];
+      const int32_t* pclass = blob + 3;
+      const int32_t* cdims = pclass + 31;
+      const int32_t* csubs = cdims + 16;
+      const int32_t* cmast = csubs + 16;
+      const int32_t* sbooks = cmast + 16;  // [16 * 8]
+      const int32_t* xlist = sbooks + 128;
+      const int32_t* sorted_idx = xlist + npts;
+      const int32_t* neigh = sorted_idx + npts;  // (lo, hi) at 2*i, i >= 2
+      int32_t ranges = kRanges[mult - 1];
+      int ybits = 0;
+      for (int32_t v = ranges - 1; v > 0; v >>= 1) ybits++;
+      int32_t y[290];
+      uint32_t y0, y1;
+      if (!lsb_read(&b, ybits, &y0) || !lsb_read(&b, ybits, &y1)) goto abort;
+      y[0] = (int32_t)y0;
+      y[1] = (int32_t)y1;
+      int yc = 2;
+      for (int p = 0; p < P; p++) {
+        int32_t cls = pclass[p];
+        int32_t cdim = cdims[cls], cbits = csubs[cls];
+        int32_t cs = (1 << cbits) - 1;
+        int32_t cval = 0;
+        if (cbits) {
+          cval = cb_decode(&b, lut1 + ((int64_t)cmast[cls] << 10), subs_off,
+                           subs_ext, subs_flat);
+          if (cval < 0) goto abort;
+        }
+        for (int d = 0; d < cdim; d++) {
+          int32_t book = sbooks[cls * 8 + (cval & cs)];
+          cval >>= cbits;
+          if (book >= 0) {
+            int32_t v = cb_decode(&b, lut1 + ((int64_t)book << 10), subs_off,
+                                  subs_ext, subs_flat);
+            if (v < 0) goto abort;
+            y[yc++] = v;
+          } else {
+            y[yc++] = 0;
+          }
+        }
+      }
+      // amplitude synthesis (spec section 7.2.4)
+      int32_t fy[290];
+      uint8_t st[290];
+      fy[0] = y[0];
+      fy[1] = y[1];
+      st[0] = st[1] = 1;
+      for (int i = 2; i < npts; i++) {
+        int32_t lo = neigh[2 * i], hi = neigh[2 * i + 1];
+        int32_t pred = floor1_render_point(xlist[lo], fy[lo], xlist[hi],
+                                           fy[hi], xlist[i]);
+        int32_t val = y[i];
+        int32_t hroom = ranges - pred, lroom = pred;
+        int32_t room = 2 * (hroom < lroom ? hroom : lroom);
+        if (val) {
+          st[lo] = st[hi] = st[i] = 1;
+          if (val >= room) {
+            fy[i] = hroom > lroom ? val - lroom + pred
+                                  : pred - val + hroom - 1;
+          } else {
+            fy[i] = (val & 1) ? pred - ((val + 1) >> 1) : pred + (val >> 1);
+          }
+        } else {
+          st[i] = 0;
+          fy[i] = pred;
+        }
+      }
+      // curve synthesis: lines between step2 posts in sorted-x order
+      float* curve = curves + (int64_t)c * n2;
+      for (int64_t k = 0; k < n2; k++) curve[k] = 0.0f;
+      int32_t lx = 0, ly = fy[sorted_idx[0]] * mult;
+      for (int k = 1; k < npts; k++) {
+        int32_t idx = sorted_idx[k];
+        if (!st[idx]) continue;
+        int32_t hx = xlist[idx], hy = fy[idx] * mult;
+        if (lx < n2)
+          floor1_render_line(lx, ly, hx < n2 ? hx : (int32_t)n2, hy, curve,
+                             inv_db);
+        lx = hx;
+        ly = hy;
+      }
+      if (lx < n2) {
+        int32_t idx = ly < 255 ? ly : 255;
+        if (idx < 0) idx += 256;  // Python table[min(ly,255)] wraparound
+        float v = inv_db[idx];
+        for (int64_t x = lx; x < n2; x++) curve[x] = v;
+      }
+      used[c] = 1;
+    }
+  }
+abort:
+  *bitpos_io = b.pos;
+  return 0;
+}
+
 }  // extern "C"

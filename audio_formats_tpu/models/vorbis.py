@@ -329,6 +329,7 @@ class VorbisDecoder:
         n_books = br.read(8) + 1
         self._codebooks = [Codebook(br) for _ in range(n_books)]
         self._cbank = None  # lazy native codebook pack (host/native.py)
+        self._fbank = None  # lazy native floor1 config pack
 
         # time transforms (placeholder in Vorbis I)
         for _ in range(br.read(6) + 1):
@@ -725,14 +726,38 @@ class VorbisDecoder:
                 # a packet actually using a floor0 config is an error —
                 # but only now, not at setup (stb_vorbis2.d:2260)
                 raise AudioFormatError("Vorbis: floor type 0 unsupported")
-        try:
+        lib = native.get_lib()
+        if lib is not None:
+            # C mirror (af_host.cc:af_vorbis_floor1) over the packed
+            # codebook + floor banks; one call decodes every channel's
+            # curve (A/B bit-identical vs the Python loop below)
+            if self._cbank is None:
+                self._cbank = native.VorbisCodebookBank(self._codebooks)
+            if self._fbank is None:
+                self._fbank = native.VorbisFloorBank(self._floors)
+            chf = getattr(m, "ch_floor_np", None)
+            if chf is None:
+                chf = np.array([m.submap_floor[m.mux[c]]
+                                for c in range(ch)], np.int32)
+                m.ch_floor_np = chf
+            curves_arr = np.empty((ch, n2), np.float32)
+            used = np.zeros(ch, np.uint8)
+            br._bitpos = native.vorbis_floor1(
+                lib, self._cbank, self._fbank, br._buf, br._nbits,
+                br._bitpos, chf, n2, INVERSE_DB_TABLE, curves_arr, used)
             for c in range(ch):
-                fl = self._floors[m.submap_floor[m.mux[c]]]
-                curve = self._decode_floor1(br, fl, n2)
-                curves[c] = curve
-                zero_channel[c] = curve is None
-        except AudioFormatError:
-            pass
+                if used[c]:
+                    curves[c] = curves_arr[c]
+                    zero_channel[c] = False
+        else:
+            try:
+                for c in range(ch):
+                    fl = self._floors[m.submap_floor[m.mux[c]]]
+                    curve = self._decode_floor1(br, fl, n2)
+                    curves[c] = curve
+                    zero_channel[c] = curve is None
+            except AudioFormatError:
+                pass
         # coupling magic: if one of a coupled pair is nonzero, decode both
         really_zero = list(zero_channel)
         for i in range(len(m.coupling_mag)):

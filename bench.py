@@ -1105,20 +1105,16 @@ def _opus_mode_gauge(only=None):
     return res
 
 
-def bench_mixed_content(mp3, flac):
-    """Scheduler behavior on REALISTIC mixed content: one batch holding
-    normal MP3 + FLAC lanes alongside the real-world straggler types —
-    MPEG-2 intensity-stereo MP3 (minimp3.d:963-1000) and mode-switching
-    Opus (dopus.d:6400) — plus QOA, WAV and Vorbis lanes.  The contract:
-    every lane decodes through a device group (demotions == 0, the
-    mode-switching lanes ride the mixed-mode lockstep group), and the
-    straggler lanes match their per-stream facade decode."""
-    import audio_formats_tpu as af
-    from audio_formats_tpu.parallel import BatchDecoder
+def build_mixed_streams(mp3, flac):
+    """The mixed-content lane list: normal MP3 + FLAC lanes alongside the
+    real-world straggler types — MPEG-2 intensity-stereo MP3
+    (minimp3.d:963-1000) and mode-switching Opus (dopus.d:6400) — plus
+    QOA, WAV and Vorbis lanes.  Returns (streams, check_idx, n_opus,
+    err)."""
     from golden import mp3_ref, qoa_ref, vorbis_ref, wav_ref
 
     rng = np.random.default_rng(5)
-    out = {}
+    err = None
     streams = list(mp3[:12]) + list(flac[:12])
     check_idx = []  # (index, facade-vs-batch cross-check)
 
@@ -1208,7 +1204,23 @@ def bench_mixed_content(mp3, flac):
                         pkts, channels=1, preskip=pre))
                     n_opus += 1
     except Exception as e:
-        out["opus_mixed"] = f"error: {e}"
+        err = f"error: {e}"
+    return streams, check_idx, n_opus, err
+
+
+def bench_mixed_content(mp3, flac):
+    """Scheduler behavior on REALISTIC mixed content (build_mixed_streams
+    lanes).  The contract: every lane decodes through a device group
+    (demotions == 0, the mode-switching lanes ride the mixed-mode lockstep
+    group), and the straggler lanes match their per-stream facade
+    decode."""
+    import audio_formats_tpu as af
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    out = {}
+    streams, check_idx, n_opus, err = build_mixed_streams(mp3, flac)
+    if err:
+        out["opus_mixed"] = err
 
     # first pass compiles the small-batch bucket variants and carries
     # the correctness checks; the second, warm pass is the honest

@@ -221,3 +221,46 @@ def test_non_audio_packet_mid_stream_skipped(rng):
     bad2 = packets[:3] + [(bytes([0xFE]), 0)] + packets[3:]
     out2 = _open(fix.build(bad2)).read_samples_float(10 ** 6)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_native_floor1_matches_python(rng):
+    """The C floor1 decode (af_host.cc:af_vorbis_floor1) must be
+    bit-identical to the Python _decode_floor1 loop on full streams —
+    coupled stereo, block transitions, AND truncated packets (the
+    end-of-packet abort leaves trailing channels unused in both paths)."""
+    import os
+
+    from audio_formats_tpu.host import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    for kw, pat in [
+        (dict(channels=2, coupling=True), None),
+        (dict(channels=1, bs0=256, bs1=1024),
+         [0, 0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0]),
+    ]:
+        fix = vorbis_ref.Fixture(**kw)
+        frames = _mk_frames(fix, rng, 12 if pat else 8, long_pattern=pat)
+        packets = [fix.audio_packet(fr["posts"], fr["residues"],
+                                    long_block=fr.get("long", False))
+                   if "long" in fr else
+                   fix.audio_packet(fr["posts"], fr["residues"])
+                   for fr in frames]
+        # cut mid-stream packets short at several depths so end-of-packet
+        # hits mid-floor AND mid-residue (page CRC stays valid: the cut
+        # happens before the page is built)
+        for k, frac in [(3, 0.25), (5, 0.6), (7, 0.9)]:
+            pb, gr = packets[k]
+            packets[k] = (pb[: max(2, int(len(pb) * frac))], gr)
+        data = fix.build(packets)
+        got_nat = _open(bytes(data)).read_samples_float(10 ** 6)
+        os.environ["AF_TPU_NO_NATIVE"] = "1"
+        try:
+            got_py = _open(bytes(data)).read_samples_float(10 ** 6)
+        finally:
+            os.environ.pop("AF_TPU_NO_NATIVE", None)
+        assert got_nat.shape == got_py.shape
+        assert np.array_equal(np.asarray(got_nat), np.asarray(got_py))
