@@ -637,6 +637,97 @@ def bench_device_resident_vorbis(B=256, K=8, reps=6):
     return audio / dt, X.nbytes + geom.nbytes, audio
 
 
+def _calibrated_chain_rate(run, n0, audio_per_iter, min_t=0.25):
+    """Robust rate of a device-resident fori_loop chain whose per-iteration
+    cost is far below the tunnel's dispatch jitter: grow the DYNAMIC trip
+    count until one chained call costs >= min_t of wall (the single
+    dispatch+fetch it pays is then <2% of the measurement), take the best
+    of 3 calls at that count.  run(k) must execute the chain with traced
+    trip count k (one compile serves every k) and return its wall seconds.
+    Replaces the two-point slope, which differenced ~1 ms of signal
+    against multi-ms dispatch jitter and swung 50x run to run."""
+    n = n0
+    t = run(n)
+    while t < min_t and n < (1 << 16):
+        n = min(1 << 16,
+                n * max(2, min(32, int(min_t * 1.2 / max(t, 1e-3)) + 1)))
+        t = run(n)
+    t = min(t, *(run(n) for _ in range(2)))
+    return audio_per_iter * n / max(t, 1e-9)
+
+
+def bench_device_resident_encode(Lq=4096, Lw=256, nw=1 << 18):
+    """Device-resident encode rates — the write-half mirror of the decode
+    rows.  QOA: the fused 16-scalefactor LMS search + slice-word pack
+    (ops/lms.qoa_encode_frame_words — qoa.d:345-383's brute-force search
+    as a lane axis, qoa.d:330-339's word layout packed on device) over
+    Lq lanes of one frame.  WAV s24: the fused TPDF-dither + exact
+    round-half-up quantize + byte pack (ops/pcm._quantize_pack_rows,
+    wav.d:679-701 + 487-525 semantics) over [Lw, nw] float rows.  Inputs
+    stay resident; each fori_loop iteration perturbs them (+(k&1)) so the
+    loop body cannot be hoisted, and the carried accumulator sums a full
+    output reduction so no lane is dead code."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_formats_tpu.ops import lms as lms_ops
+    from audio_formats_tpu.ops import pcm as pcm_ops
+
+    rng = np.random.default_rng(31)
+    out = {}
+
+    samples = jax.device_put(np.clip(np.round(
+        8000 * rng.standard_normal((Lq, 5120))), -32768, 32767
+    ).astype(np.int16))
+
+    @jax.jit
+    def chain_qoa(s, n):
+        def body(k, acc):
+            hi, lo = lms_ops.qoa_encode_frame_words(
+                s + (k & 1).astype(jnp.int16), np.int32(5120))
+            return acc + jnp.sum(hi, dtype=jnp.uint32) \
+                + jnp.sum(lo, dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+    _ = np.asarray(chain_qoa(samples, jnp.int32(2)))
+
+    def run_q(k):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain_qoa(samples, jnp.int32(k)))
+        return time.perf_counter() - t0
+
+    # Lq lanes = Lq/2 stereo streams x 5120 samples per frame
+    out["device_resident_encode_rtx_qoa"] = round(_calibrated_chain_rate(
+        run_q, 2, (Lq / 2) * 5120 / 44100.0), 1)
+
+    rows = jax.device_put(np.clip(
+        rng.standard_normal((Lw, nw)) * 0.3, -1, 1).astype(np.float32))
+    seeds = jax.device_put(np.arange(Lw, dtype=np.uint32))
+
+    @jax.jit
+    def chain_wav(x, seeds, n):
+        def body(k, acc):
+            w = pcm_ops._quantize_pack_rows(
+                x + (k & 1).astype(jnp.float32) * np.float32(1e-8),
+                seeds, "s24", True)
+            return acc + jnp.sum(w, dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+    _ = np.asarray(chain_wav(rows, seeds, jnp.int32(2)))
+
+    def run_w(k):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain_wav(rows, seeds, jnp.int32(k)))
+        return time.perf_counter() - t0
+
+    # Lw rows = Lw stereo streams of nw interleaved samples
+    out["device_resident_encode_rtx_wav_s24"] = round(
+        _calibrated_chain_rate(run_w, 2, Lw * nw / 2 / 44100.0), 1)
+    return out
+
+
 def bench_device_resident_celt(B=256, K=12, reps=6):
     """CELT (Opus music mode) post-entropy synthesis with spectra RESIDENT
     on device: the batched IMDCT + windowed overlap-add
@@ -703,10 +794,14 @@ def bench_device_resident_celt(B=256, K=12, reps=6):
     m0 = np.zeros(L, np.float32)
 
     # per-window chip time is sub-millisecond — far below the tunnel's
-    # dispatch jitter — so repetition chains INSIDE one device program and
-    # the two-point slope cancels the single dispatch+fetch cost
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chain_n(X, tail, m, n: int):
+    # dispatch jitter — so repetition chains INSIDE one device program.
+    # The trip count is a DYNAMIC arg (one compile serves every n) and is
+    # calibrated until a single chained call costs >= 0.25 s of wall, so
+    # the one dispatch+fetch it pays is <2% of the measurement — the
+    # two-point slope this replaces differenced ~1 ms of signal against
+    # multi-ms dispatch jitter and was unstable across runs.
+    @jax.jit
+    def chain_n(X, tail, m, n):
         def body(k, c):
             tail, m, acc = c
             raw, tail = celt_dsp.celt_imdct_ola(X[k % K], tail, 1, N)
@@ -718,22 +813,16 @@ def bench_device_resident_celt(B=256, K=12, reps=6):
         return acc
 
     args = [jax.device_put(a) for a in (X, tail0, m0)]
-    lo, hi = reps, reps * 3
-    _ = np.asarray(chain_n(*args, n=lo))
-    _ = np.asarray(chain_n(*args, n=hi))
+    _ = np.asarray(chain_n(*args, jnp.int32(reps)))  # compile
 
     def run(k):
         t0 = time.perf_counter()
-        _ = np.asarray(chain_n(*args, n=k))
+        _ = np.asarray(chain_n(*args, jnp.int32(k)))
         return time.perf_counter() - t0
 
-    t_lo = min(run(lo) for _ in range(3))
-    t_hi = min(run(hi) for _ in range(3))
-    # each fori_loop iteration synthesizes exactly ONE window (X[k % K]),
-    # so the two-point slope is per-window time; `audio` covers K windows,
-    # hence a K-window pass costs slope * K
-    dt = max(1e-9, (t_hi - t_lo) / (hi - lo)) * K
-    return audio / dt, X.nbytes, audio
+    # each fori_loop iteration synthesizes exactly ONE window (X[k % K])
+    rate = _calibrated_chain_rate(run, max(reps, K), B * N / 48000.0)
+    return rate, X.nbytes, audio
 
 
 def bench_batch_encode(B=64, secs=4):
@@ -1441,6 +1530,10 @@ def main():
         enc_rows = bench_batch_encode()
     except Exception as e:  # auxiliary row must never kill the bench
         enc_rows = {"batch_encode_error": str(e)}
+    try:
+        enc_rows.update(bench_device_resident_encode())
+    except Exception as e:  # auxiliary row must never kill the bench
+        enc_rows["device_resident_encode_error"] = str(e)
     # aggregate device-resident MP3+FLAC: the BASELINE.md metric shape,
     # measured at the chip — per-format window rates extrapolated to the
     # CORPUS audio proportions (512 MP3 + 512 FLAC streams), so the mix
@@ -1594,6 +1687,7 @@ def main():
                 "celt_synth": round(cres_rtx, 1)},
             "encode_rtx": {
                 k.replace("batch_encode_rtx_", "").replace(
+                    "device_resident_encode_rtx_", "chip_").replace(
                     "device_", "dev_"): v
                 for k, v in enc_rows.items() if isinstance(v, (int, float))},
             "host_rtx_per_core": host_rtx_core,
