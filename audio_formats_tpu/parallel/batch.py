@@ -572,6 +572,32 @@ class BatchDecoder:
         conc = int(os.environ.get("AF_TPU_GROUP_THREADS",
                                   default_threads)) \
             if self._mesh is None else 1
+        # the mode-switching Opus lockstep blocks on one small device
+        # round trip per window round — tunnel LATENCY, not CPU — so it
+        # overlaps the other groups' host work even on a 1-core host
+        # (measured: the mixed gauge's opus enqueue wall ~1.2 s of a
+        # ~1.9 s batch).  Under a mesh the collective order must stay
+        # deterministic across participants, so it stays serial there.
+        mixed_thread = None
+        mixed_err = []
+        if opus_mixed_groups and self._mesh is None:
+            import threading
+
+            def _run_mixed():
+                try:
+                    for nch, lanes in opus_mixed_groups.items():
+                        for c in range(0, len(lanes), GROUP):
+                            chunk = lanes[c : c + GROUP]
+                            res = self._run_group(
+                                self._decode_opus_mixed_group, chunk)
+                            for i, pcm in zip(chunk, res):
+                                out[i] = pcm
+                except BaseException as e:  # re-raised on the main thread
+                    mixed_err.append(e)
+
+            mixed_thread = threading.Thread(
+                target=_run_mixed, name="af-opus-mixed")
+            mixed_thread.start()
         if conc > 1 and len(jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -601,13 +627,18 @@ class BatchDecoder:
                     self._decode_hybrid_group, chunk, nch, config, stereo)
                 for i, pcm in zip(chunk, res):
                     out[i] = pcm
-        for nch, lanes in opus_mixed_groups.items():
-            for c in range(0, len(lanes), GROUP):
-                chunk = lanes[c : c + GROUP]
-                res = self._run_group(
-                    self._decode_opus_mixed_group, chunk)
-                for i, pcm in zip(chunk, res):
-                    out[i] = pcm
+        if mixed_thread is not None:
+            mixed_thread.join()
+            if mixed_err:
+                raise mixed_err[0]
+        else:
+            for nch, lanes in opus_mixed_groups.items():
+                for c in range(0, len(lanes), GROUP):
+                    chunk = lanes[c : c + GROUP]
+                    res = self._run_group(
+                        self._decode_opus_mixed_group, chunk)
+                    for i, pcm in zip(chunk, res):
+                        out[i] = pcm
 
         # remaining formats: per-stream streaming read
         for i, d in enumerate(self.decoders):
@@ -2384,7 +2415,14 @@ class BatchDecoder:
             # uniform in-kernel path)
             raw, newtail = celt_dsp.celt_imdct_ola(
                 co * sc[:, None], tails, blocks, bs)
-        return (np.asarray(raw), np.asarray(newtail),
+        # ONE download for both outputs: the lockstep rounds block on
+        # this fetch once per window, and on the dev tunnel each
+        # transfer pays a fixed multi-ms round trip — two np.asarray
+        # calls doubled it
+        import jax.numpy as jnp
+
+        packed = np.asarray(jnp.concatenate([raw, newtail], axis=1))
+        return (packed[:, :frame], packed[:, frame:],
                 co.nbytes + tails.nbytes)
 
     @staticmethod
