@@ -1318,13 +1318,20 @@ def bench_mixed_content(mp3, flac):
     dec = BatchDecoder(list(streams))
     res = dec.decode_all()
     dt_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    dec = BatchDecoder(list(streams))
-    dec.decode_all()
-    dt = time.perf_counter() - t0
+    # best-of-3 warm passes: the gauge rides a shared 1-core box whose
+    # minute-scale load spikes swing one pass 10x (recorded 26.6 in a
+    # run where the same code measured 303-330 standalone)
+    warm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dec = BatchDecoder(list(streams))
+        dec.decode_all()
+        warm.append(time.perf_counter() - t0)
+    dt = min(warm)
     out["lanes"] = len(streams)
     out["audio_s"] = round(dec.stats["decoded_seconds"], 1)
     out["rtx"] = round(dec.stats["decoded_seconds"] / dt, 1)
+    out["warm_walls_s"] = [round(w, 2) for w in warm]
     out["rtx_cold"] = round(dec.stats["decoded_seconds"] / dt_cold, 1)
     out["group_demotions"] = dec.stats["group_demotions"]
     out["lanes_demoted"] = dec.stats.get("lanes_demoted", 0)
