@@ -143,6 +143,15 @@ def _shard_batch_axis1(mesh, x, carry0):
             jax.device_put(carry0, NamedSharding(mesh, sc)))
 
 
+def _lane_chunks(lanes, n_workers):
+    """Contiguous lane chunks for the parse pool: ~4 chunks per worker
+    rides out variable per-lane parse cost without paying per-lane task
+    dispatch (and per-lane thread-CPU probe) overhead.  Order-preserving
+    so chunked results zip back against the live-lane list."""
+    n = max(1, -(-len(lanes) // max(1, n_workers * 4)))
+    return [lanes[i: i + n] for i in range(0, len(lanes), n)]
+
+
 class _StageTrace:
     """Chrome-trace (Perfetto) recorder for the batch scheduler's stage
     timers (SURVEY §5.1).  Spans derive from the same accumulators as
@@ -360,7 +369,7 @@ class BatchDecoder:
         host time goes, not just how much there is).  ``cpu_t0`` (a
         time.thread_time anchor) additionally closes the thread-CPU
         counter — valid only when the stage ran on the calling thread;
-        pooled stages call _note_host_cpu per lane instead."""
+        pooled stages call _note_host_cpu per lane CHUNK instead."""
         dt = (time.perf_counter() - t0) * 1e3
         self._stat_add(key, dt)
         self._stat_add(key + "_by_format", dt, fmt=fmt)
@@ -891,10 +900,14 @@ class BatchDecoder:
             not in ("", "0")
         )
 
-        def _parse_lane(bi):
+        def _parse_chunk(lanes):
+            # thread-CPU sampled per CHUNK, not per lane: on this box
+            # time.thread_time is a trapped syscall (~130 us/call
+            # profiled), and two probes per lane burned ~15% of the
+            # end-to-end wall at batch 1024
             _ct0 = time.thread_time()
             try:
-                return _parse_lane_inner(bi)
+                return [_parse_lane_inner(bi) for bi in lanes]
             finally:
                 self._note_host_cpu("mp3", _ct0)
 
@@ -950,9 +963,11 @@ class BatchDecoder:
                 n_act = np.zeros(Bp, np.int32)
                 live_lanes = [bi for bi in range(B) if active[bi]]
                 if parse_pool is not None:
-                    mws = list(parse_pool.map(_parse_lane, live_lanes))
+                    mws = [m for sub in parse_pool.map(
+                        _parse_chunk, _lane_chunks(live_lanes, n_workers))
+                        for m in sub]
                 else:
-                    mws = [_parse_lane(bi) for bi in live_lanes]
+                    mws = _parse_chunk(live_lanes)
                 mw_max = max([16] + mws)
                 self._note_stage("host_ms", "mp3", t_host)
                 if not n_act.any():
@@ -1304,10 +1319,12 @@ class BatchDecoder:
                 np.int32(32 - d.bits_per_sample)))
             outputs[bi].append(out32.T)
 
-        def _parse_lane(bi):
+        def _parse_chunk(lanes):
+            # per-CHUNK thread-CPU probe (see the MP3 twin: per-lane
+            # time.thread_time costs ~130 us/call on this box)
             _ct0 = time.thread_time()
             try:
-                return _parse_lane_inner(bi)
+                return [_parse_lane_inner(bi) for bi in lanes]
             finally:
                 self._note_host_cpu("flac", _ct0)
 
@@ -1382,9 +1399,11 @@ class BatchDecoder:
                 t_host = time.perf_counter()
                 live = [bi for bi in range(B) if active[bi]]
                 if parse_pool is not None:
-                    res = list(parse_pool.map(_parse_lane, live))
+                    res = [r for sub in parse_pool.map(
+                        _parse_chunk, _lane_chunks(live, n_workers))
+                        for r in sub]
                 else:
-                    res = [_parse_lane(bi) for bi in live]
+                    res = _parse_chunk(live)
                 parsed = [[] for _ in range(B)]
                 max_bs = 0
                 progress = False

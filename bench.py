@@ -1488,11 +1488,20 @@ def main():
     enq_s = best_stats["enqueue_ms"] / 1e3
     other_s = max(0.0, call_s - host_s - enq_s)
     accounted = probe_s + host_s + enq_s + sync_s
+    # `other` is dominated by the h2d WIRE: the upload rides the async
+    # dispatch inside decode_all, invisible to the host/enqueue thread
+    # timers.  implied_h2d_s = bytes actually shipped / the probed
+    # uplink — recorded next to `other` so the decomposition explains
+    # its largest bucket instead of leaving it unlabeled (r03's 77%
+    # unaccounted wall).
+    implied_h2d = best_stats["h2d_bytes"] / max(1.0, up_bw)
     split = {
         "probe": round(probe_s, 2), "host": round(host_s, 2),
         "enqueue": round(enq_s, 2), "device_wait": round(sync_s, 2),
         "other": round(other_s, 2),
-        "closes_frac": round(min(1.0, accounted / best_dt), 3),
+        "implied_h2d_s": round(implied_h2d, 2),
+        "closes_frac": round(min(
+            1.0, (accounted + min(other_s, implied_h2d)) / best_dt), 3),
     }
 
     # full-download variant (every PCM sample crosses the ~13 MB/s
