@@ -123,6 +123,24 @@ def get_lib():
             u32p, i32p, i32p, i16p, i16p, i32p, i32p, i8p, i64p_,
         ]
         lib.af_mp3_parse_window_packed.restype = ctypes.c_int
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i16p_ = ctypes.POINTER(ctypes.c_int16)
+        u32p_ = ctypes.POINTER(ctypes.c_uint32)
+        lib.af_mp3_parse_window_packed_multi.argtypes = [
+            i32p, ctypes.c_int32,                    # lanes, n_lanes
+            u64p, i64p, i64p, i8p,                   # ptrs, lens, offs, hdr0s
+            ctypes.c_int32, i32p,                    # W, ffbytes
+            i8p, i32p, i32p,                         # rb, rl, ist state
+            u32p_, ctypes.c_int64, i32p,             # bits, stride, max_words
+            i32p, ctypes.c_int64,                    # meta, stride
+            i16p_, ctypes.c_int64,                   # scfq, stride
+            i16p_, ctypes.c_int64,                   # ist_out, stride
+            i32p, ctypes.c_int64,                    # aa, stride
+            i32p, ctypes.c_int64,                    # wt, stride
+            i8p, ctypes.c_int64,                     # flags, stride
+            i32p,                                    # n_out
+        ]
+        lib.af_mp3_parse_window_packed_multi.restype = ctypes.c_int
         lib.af_flac_sync_index.argtypes = [
             i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64p,
@@ -764,6 +782,49 @@ def mp3_parse_window_packed(lib, view, off: int, hdr0: bytes, W: int,
     )
     has_ist = bool(np.any(flags[:max(0, n)] & 4))
     return n, new_off.value, int(max_words[0]), has_ist
+
+
+def buf_addr(data):
+    """Raw integer address of a buffer-protocol object for the multi-lane
+    drivers (cheaper than a per-call ctypes cast; the keepalive array must
+    outlive every C call that uses the address)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.ctypes.data, arr.size, arr
+
+
+def mp3_parse_window_packed_multi(lib, lanes, data_ptrs, data_lens, offs,
+                                  hdr0s, W, ffbytes, rb_all, rl_all,
+                                  ist_all, bits, max_words_all, meta, scfq,
+                                  ist_out, aa, wt, flags, n_out):
+    """One C call parses a whole lane CHUNK of packed MP3 windows (the
+    per-lane ctypes crossing cost more Python marshalling than the C
+    parse itself at batch 1024).  All per-lane tensors are rows of the
+    batch arrays; C derives lane pointers from base + lane * stride.
+    offs / rb_all / rl_all / ist_all are updated in place; results land
+    in n_out / max_words_all / flags rows."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _I16P = ctypes.POINTER(ctypes.c_int16)
+    _U64P = ctypes.POINTER(ctypes.c_uint64)
+    lanes = np.ascontiguousarray(lanes, np.int32)
+    lib.af_mp3_parse_window_packed_multi(
+        lanes.ctypes.data_as(_I32P), lanes.size,
+        data_ptrs.ctypes.data_as(_U64P), data_lens.ctypes.data_as(_I64P),
+        offs.ctypes.data_as(_I64P), hdr0s.ctypes.data_as(_I8P),
+        W, ffbytes.ctypes.data_as(_I32P),
+        rb_all.ctypes.data_as(_I8P), rl_all.ctypes.data_as(_I32P),
+        ist_all.ctypes.data_as(_I32P),
+        bits.ctypes.data_as(_U32P), bits[0].size,
+        max_words_all.ctypes.data_as(_I32P),
+        meta.ctypes.data_as(_I32P), meta[0].size,
+        scfq.ctypes.data_as(_I16P), scfq[0].size,
+        ist_out.ctypes.data_as(_I16P) if ist_out is not None
+        else ctypes.cast(None, _I16P),
+        ist_out[0].size if ist_out is not None else 0,
+        aa.ctypes.data_as(_I32P), aa[0].size,
+        wt.ctypes.data_as(_I32P), wt[0].size,
+        flags.ctypes.data_as(_I8P), flags[0].size,
+        n_out.ctypes.data_as(_I32P),
+    )
 
 
 def flac_sync_index(lib, view, off: int, streaminfo_bps: int,

@@ -3746,4 +3746,44 @@ abort:
   return 0;
 }
 
+// Multi-lane driver for the packed MP3 window parse: ONE FFI crossing
+// parses a whole lane chunk.  The per-lane ctypes call cost ~100 us of
+// Python-side marshalling (pointer casts, keepalives, arg tuples) — at
+// batch 1024 x ~10 windows that was ~1.5 s of the end-to-end wall, more
+// than the C parse itself.  Every per-lane tensor is a row of a batch-
+// contiguous array; per-lane pointers derive from base + lane * stride,
+// so the FFI surface is a fixed set of base pointers no matter how many
+// lanes the chunk holds.  Strides are in ELEMENTS of the pointee type.
+int af_mp3_parse_window_packed_multi(
+    const int32_t* lanes, int32_t n_lanes,
+    const uint64_t* data_ptrs /* [B] */, const int64_t* data_lens,
+    int64_t* offs /* [B] in/out */, const uint8_t* hdr0s /* [B,4] */,
+    int32_t max_frames, const int32_t* ffbytes /* [B] */,
+    uint8_t* rb_all /* [B,511] */, int32_t* rl_all /* [B] */,
+    int32_t* ist_all /* [B,80] */,
+    uint32_t* bits, int64_t bits_stride,
+    int32_t* max_words_all /* [B] out */,
+    int32_t* meta, int64_t meta_stride,
+    int16_t* scfq, int64_t scfq_stride,
+    int16_t* ist_out, int64_t ist_out_stride /* 0 => no ist plane */,
+    int32_t* aa, int64_t aa_stride,
+    int32_t* wt, int64_t wt_stride,
+    uint8_t* flags, int64_t flags_stride,
+    int32_t* n_out /* [B] out */) {
+  for (int32_t i = 0; i < n_lanes; i++) {
+    int64_t bi = lanes[i];
+    max_words_all[bi] = 0;
+    n_out[bi] = af_mp3_parse_window_packed(
+        (const uint8_t*)(uintptr_t)data_ptrs[bi], data_lens[bi], offs[bi],
+        hdr0s + bi * 4, max_frames, ffbytes[bi], rb_all + bi * 511,
+        rl_all + bi, ist_all + bi * 80, bits + bi * bits_stride,
+        max_words_all + bi, meta + bi * meta_stride,
+        scfq + bi * scfq_stride,
+        ist_out_stride ? ist_out + bi * ist_out_stride : nullptr,
+        aa + bi * aa_stride, wt + bi * wt_stride,
+        flags + bi * flags_stride, offs + bi);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -900,11 +900,72 @@ class BatchDecoder:
             not in ("", "0")
         )
 
-        def _parse_chunk(lanes):
+        # multi-lane FFI surface: ONE C call per lane chunk
+        # (af_mp3_parse_window_packed_multi).  Per-lane state lives as
+        # batch-contiguous rows so C derives lane pointers from
+        # base + lane * stride; the per-lane ctypes crossing this
+        # replaces cost more Python marshalling than the C parse itself
+        # (~1.5 s at batch 1024).
+        multi = lib is not None and hasattr(
+            lib, "af_mp3_parse_window_packed_multi")
+        if multi:
+            data_keep = []
+            data_ptrs = np.zeros(Bp, np.uint64)
+            data_lens = np.zeros(Bp, np.int64)
+            offs_a = np.zeros(Bp, np.int64)
+            hdr0s = np.zeros((Bp, 4), np.uint8)
+            ffb = np.zeros(Bp, np.int32)
+            rb_all = np.zeros((Bp, 511), np.uint8)
+            rl_all = np.zeros(Bp, np.int32)
+            ist_all = np.zeros((Bp, 2, 40), np.int32)
+            for bi, d in enumerate(decs):
+                addr, nb, keep = _native.buf_addr(d._view)
+                data_keep.append(keep)
+                data_ptrs[bi] = addr
+                data_lens[bi] = nb
+                offs_a[bi] = d._offset
+                hdr0s[bi] = np.frombuffer(d._hdr0, np.uint8, 4)
+                ffb[bi] = d._free_format_bytes
+                rb, rl, ip = states[bi]
+                rb_all[bi] = rb
+                rl_all[bi] = rl[0]
+                ist_all[bi] = ip
+            flags_all = np.zeros((Bp, W), np.uint8)
+            aa_all = np.zeros((Bp, G, nch), np.int32)
+            wt_all = np.zeros((Bp, G, nch, 32), np.int32)
+            n_out = np.zeros(Bp, np.int32)
+            mw_all = np.zeros(Bp, np.int32)
+            _idxW = np.arange(W)
+
+        def _parse_chunk_multi(lanes):
             # thread-CPU sampled per CHUNK, not per lane: on this box
             # time.thread_time is a trapped syscall (~130 us/call
             # profiled), and two probes per lane burned ~15% of the
             # end-to-end wall at batch 1024
+            _ct0 = time.thread_time()
+            try:
+                gated = []
+                for bi in lanes:
+                    d = decs[bi]
+                    if offs_a[bi] >= data_lens[bi] - 4 or (
+                        d._total_samples
+                        and d._cur_sample >= d._total_samples
+                    ):
+                        active[bi] = False
+                    else:
+                        gated.append(bi)
+                if gated:
+                    _native.mp3_parse_window_packed_multi(
+                        lib, gated, data_ptrs, data_lens, offs_a, hdr0s,
+                        W, ffb, rb_all, rl_all, ist_all, bits, mw_all,
+                        meta, scfq, ists if nch == 2 else None,
+                        aa_all, wt_all, flags_all, n_out)
+                return gated
+            finally:
+                self._note_host_cpu("mp3", _ct0)
+
+        def _parse_chunk(lanes):
+            # per-lane fallback (older .so without the multi symbol)
             _ct0 = time.thread_time()
             try:
                 return [_parse_lane_inner(bi) for bi in lanes]
@@ -952,6 +1013,47 @@ class BatchDecoder:
                 active[bi] = False
             return mw
 
+        def _post_parse_multi(gated):
+            """Vectorized post-pass over the chunk-parsed lanes: frame
+            activity, intensity flags, rare silent-hole compaction, and
+            the per-decoder scalar state — the per-lane numpy this
+            replaces cost ~30 us x lanes x windows."""
+            if not gated:
+                return 16
+            g = np.asarray(gated, np.int64)
+            ng = n_out[g]
+            fl = flags_all[g]
+            validm = _idxW[None, :] < ng[:, None]
+            actm = ((fl & 1) != 0) & validm
+            n_fr_g = actm.sum(1)
+            win_ist[g] = (((fl & 4) != 0) & validm).any(1)
+            n_act[g] = (n_fr_g * ngr).astype(np.int32)
+            pref = actm.cumsum(1)
+            hole = np.zeros(g.size, bool)
+            nz = n_fr_g > 0
+            hole[nz] = pref[nz, n_fr_g[nz] - 1] < n_fr_g[nz]
+            for i in np.flatnonzero(hole):
+                bi = int(g[i])
+                # compact silent-frame holes to the prefix contract
+                li = np.flatnonzero(np.repeat(actm[i], ngr * nch))
+                bits[bi, : len(li)] = bits[bi, li]
+                meta[bi, : len(li)] = meta[bi, li]
+                scfq[bi, : len(li)] = scfq[bi, li]
+                meta[bi, len(li):] = 0
+                gi = np.flatnonzero(np.repeat(actm[i], ngr))
+                ists[bi, : len(gi)] = ists[bi, gi]
+                ists[bi, len(gi):] = 0
+            ng_l = ng.tolist()
+            nfr_l = n_fr_g.tolist()
+            offs_l = offs_a[g].tolist()
+            for i, bi in enumerate(gated):
+                d = decs[bi]
+                d._offset = offs_l[i]
+                d._cur_sample += nfr_l[i] * ngr * 576 * nch
+                if ng_l[i] < W:
+                    active[bi] = False
+            return max(16, int(mw_all[g].max()))
+
         try:
             while active.any():
                 t_host = time.perf_counter()
@@ -962,13 +1064,22 @@ class BatchDecoder:
                 win_ist = np.zeros(Bp, bool)
                 n_act = np.zeros(Bp, np.int32)
                 live_lanes = [bi for bi in range(B) if active[bi]]
-                if parse_pool is not None:
+                if multi:
+                    if parse_pool is not None:
+                        gated = [bi for sub in parse_pool.map(
+                            _parse_chunk_multi,
+                            _lane_chunks(live_lanes, n_workers))
+                            for bi in sub]
+                    else:
+                        gated = _parse_chunk_multi(live_lanes)
+                    mw_max = _post_parse_multi(gated)
+                elif parse_pool is not None:
                     mws = [m for sub in parse_pool.map(
                         _parse_chunk, _lane_chunks(live_lanes, n_workers))
                         for m in sub]
+                    mw_max = max([16] + mws)
                 else:
-                    mws = _parse_chunk(live_lanes)
-                mw_max = max([16] + mws)
+                    mw_max = max([16] + _parse_chunk(live_lanes))
                 self._note_stage("host_ms", "mp3", t_host)
                 if not n_act.any():
                     break
@@ -1065,6 +1176,12 @@ class BatchDecoder:
             pool.shutdown(wait=True)
             if parse_pool is not None:
                 parse_pool.shutdown(wait=True)
+        if multi:
+            # the multi path parses against the batch copy of the
+            # persistent intensity positions; write back so chunked
+            # reads continue correctly across groups
+            for bi, d in enumerate(decs):
+                d._ist_pos[:] = ist_all[bi]
         pending = [(f.result(), n) for f, n in pending]
         return pending, demoted
 
