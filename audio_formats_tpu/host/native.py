@@ -146,6 +146,18 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64p,
             i64p, i64p, i32p, i32p, i32p]
         lib.af_flac_sync_index.restype = ctypes.c_int
+        lib.af_flac_sync_index_multi.argtypes = [
+            i32p, ctypes.c_int32,                    # lanes, n_lanes
+            ctypes.POINTER(ctypes.c_uint64), i64p,   # ptrs, lens
+            i32p, ctypes.c_int32,                    # bps_in, expect_ch
+            ctypes.c_int32, ctypes.c_int32,          # max_block, W
+            i64p, i64p, i64p, i32p, i32p, i32p, i32p,
+        ]
+        lib.af_flac_sync_index_multi.restype = ctypes.c_int
+        lib.af_flac_build_pool.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), i64p, i64p, ctypes.c_int32,
+            ctypes.c_int32, i8p, ctypes.c_int64, i64p]
+        lib.af_flac_build_pool.restype = ctypes.c_int
         lib.af_flac_widths.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
                                        i32p, i32p]
         lib.af_flac_widths.restype = ctypes.c_int
@@ -790,6 +802,38 @@ def buf_addr(data):
     outlive every C call that uses the address)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     return arr.ctypes.data, arr.size, arr
+
+
+def flac_build_pool(lib, ptrs, offs, sizes, blk_b, pool, base_bits):
+    """One C pass assembles the device-Rice frame pool: each raw frame
+    copied to a BLK-aligned offset, whole pool byteswapped to the
+    kernel's BE u32 word order.  pool is a zeroed u8 array; base_bits
+    [n] receives each frame's first pool bit."""
+    _U64P = ctypes.POINTER(ctypes.c_uint64)
+    lib.af_flac_build_pool(
+        ptrs.ctypes.data_as(_U64P), offs.ctypes.data_as(_I64P),
+        sizes.ctypes.data_as(_I64P), ptrs.size, blk_b,
+        pool.ctypes.data_as(_I8P), pool.size,
+        base_bits.ctypes.data_as(_I64P))
+
+
+def flac_sync_index_multi(lib, lanes, data_ptrs, data_lens, bps_in,
+                          expect_ch, max_block, W, states, offs, dbits,
+                          bs, ca, bps_out, n_out):
+    """One C call frame-indexes a whole lane CHUNK (device-Rice mode's
+    entire host stage).  states [B,3] rows are each lane's persistent
+    sync state, updated in place; results land in the [B,W] rows."""
+    _U64P = ctypes.POINTER(ctypes.c_uint64)
+    lanes = np.ascontiguousarray(lanes, np.int32)
+    lib.af_flac_sync_index_multi(
+        lanes.ctypes.data_as(_I32P), lanes.size,
+        data_ptrs.ctypes.data_as(_U64P), data_lens.ctypes.data_as(_I64P),
+        bps_in.ctypes.data_as(_I32P), expect_ch, max_block, W,
+        states.ctypes.data_as(_I64P), offs.ctypes.data_as(_I64P),
+        dbits.ctypes.data_as(_I64P), bs.ctypes.data_as(_I32P),
+        ca.ctypes.data_as(_I32P), bps_out.ctypes.data_as(_I32P),
+        n_out.ctypes.data_as(_I32P),
+    )
 
 
 def mp3_parse_window_packed_multi(lib, lanes, data_ptrs, data_lens, offs,

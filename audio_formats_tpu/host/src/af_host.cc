@@ -3746,6 +3746,59 @@ abort:
   return 0;
 }
 
+// Frame-pool assembly for the device-Rice wire mode: copy every raw
+// frame to a BLK-aligned pool offset and byteswap the pool to the
+// kernel's big-endian u32 word order, in one C pass.  Replaces a
+// per-frame numpy frombuffer+copy loop plus a whole-pool astype
+// byteswap copy (~0.7 s/rep at batch 512).
+int af_flac_build_pool(const uint64_t* ptrs, const int64_t* offs,
+                       const int64_t* sizes, int32_t n_frames,
+                       int32_t blk_b, uint8_t* pool /* zeroed */,
+                       int64_t pool_bytes, int64_t* base_bits) {
+  int64_t cur = 0;  // block cursor
+  for (int32_t i = 0; i < n_frames; i++) {
+    int64_t nb = sizes[i];
+    int64_t room = pool_bytes - cur * blk_b;
+    if (nb > room) nb = room;
+    if (nb < 0) nb = 0;
+    memcpy(pool + cur * blk_b, (const uint8_t*)(uintptr_t)ptrs[i] + offs[i],
+           (size_t)nb);
+    base_bits[i] = cur * blk_b * 8;
+    cur += (nb + blk_b - 1) / blk_b;
+  }
+  uint32_t* w = (uint32_t*)pool;
+  int64_t nw = cur * blk_b / 4;
+  for (int64_t k = 0; k < nw; k++) w[k] = __builtin_bswap32(w[k]);
+  return 0;
+}
+
+// Multi-lane driver for the FLAC frame sync index (device-Rice wire
+// mode's whole host stage): one FFI crossing indexes a lane chunk.
+// Per-lane outputs are rows of [B, max_frames] batch arrays; the lane's
+// persistent sync state is row bi of states [B,3] (expected frame
+// number, sample-numbering flag, resume byte — the resume byte doubles
+// as the scan start offset, exactly like the per-lane call sites).
+int af_flac_sync_index_multi(
+    const int32_t* lanes, int32_t n_lanes,
+    const uint64_t* data_ptrs /* [B] */, const int64_t* data_lens,
+    const int32_t* bps_in /* [B] streaminfo bps */, int32_t expect_ch,
+    int32_t max_block, int32_t max_frames,
+    int64_t* states /* [B,3] */,
+    int64_t* offs /* [B,W] */, int64_t* data_bits /* [B,W] */,
+    int32_t* bs /* [B,W] */, int32_t* ca /* [B,W] */,
+    int32_t* bps_out /* [B,W] */, int32_t* n_out /* [B] */) {
+  for (int32_t i = 0; i < n_lanes; i++) {
+    int64_t bi = lanes[i];
+    int64_t w = bi * max_frames;
+    n_out[bi] = af_flac_sync_index(
+        (const uint8_t*)(uintptr_t)data_ptrs[bi], data_lens[bi],
+        states[bi * 3 + 2], bps_in[bi], expect_ch, max_block, max_frames,
+        states + bi * 3, offs + w, data_bits + w, bs + w, ca + w,
+        bps_out + w);
+  }
+  return 0;
+}
+
 // Multi-lane driver for the packed MP3 window parse: ONE FFI crossing
 // parses a whole lane chunk.  The per-lane ctypes call cost ~100 us of
 // Python-side marshalling (pointer casts, keepalives, arg tuples) — at

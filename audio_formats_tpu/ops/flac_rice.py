@@ -175,6 +175,29 @@ def build_frame_pool(frames, NPOOL: int):
     return big.reshape(nused, BLK_W), base_bits
 
 
+def build_frame_pool_native(lib, lane_addrs, lanes, NPOOL: int):
+    """C fast path of :func:`build_frame_pool` (af_flac_build_pool):
+    frame copies + the BE-word byteswap run in one native pass instead
+    of a per-frame numpy loop + whole-pool astype.  lane_addrs: uint64
+    [B] base address per stream; lanes: the scheduler's per-frame
+    tuples (bi, byte_off, nbytes, ...).  Bit-identical to the numpy
+    builder (A/B in tests/test_flac_device_rice.py)."""
+    from ..host import native as _native
+
+    blk_b = BLK_W * 4
+    n = len(lanes)
+    ptrs = np.fromiter((lane_addrs[p[0]] for p in lanes), np.uint64, n)
+    offs = np.fromiter((p[1] for p in lanes), np.int64, n)
+    sizes = np.fromiter((p[2] for p in lanes), np.int64, n)
+    need = int((-(-sizes // blk_b)).sum())
+    nused = min(need, max(NPOOL - 2, 0))
+    pool = np.zeros(nused * blk_b, np.uint8)
+    base_bits = np.zeros(n, np.int64)
+    _native.flac_build_pool(lib, ptrs, offs, sizes, blk_b, pool,
+                            base_bits)
+    return pool.view(np.uint32).reshape(nused, BLK_W), base_bits
+
+
 def pad_pool(pool_dev, NPOOL: int):
     """Zero-pad an uploaded exact-size pool to the kernel's [NPOOL,
     BLK_W] shape on device (the trailing zero blocks double as the

@@ -1742,10 +1742,92 @@ class BatchDecoder:
         from ..host import native as _native
         from ..ops import flac_rice
 
+        # multi-lane FFI surface (af_flac_sync_index_multi): one C call
+        # frame-indexes every live lane; per-lane results are [B, W]
+        # rows and the persistent sync state is a [B, 3] batch copy
+        # (written back after the loop — a lane fault re-probes to
+        # fresh decoders, so mid-group staleness can't leak).  The
+        # per-lane ctypes crossing this replaces cost ~1.4 s/rep at
+        # batch 512, on par with the C scan itself.
+        multi = lib is not None and hasattr(lib, "af_flac_sync_index_multi")
+        if multi:
+            data_keep = []
+            ptrs_a = np.zeros(B, np.uint64)
+            lens_a = np.zeros(B, np.int64)
+            bps_in = np.zeros(B, np.int32)
+            st_all = np.zeros((B, 3), np.int64)
+            for bi, d in enumerate(decs):
+                addr, nb2, keep = _native.buf_addr(d._view)
+                data_keep.append(keep)
+                ptrs_a[bi] = addr
+                lens_a[bi] = nb2
+                bps_in[bi] = d.bits_per_sample
+                st_all[bi] = d._rice_state
+            offs_w = np.zeros((B, W), np.int64)
+            dbits_w = np.zeros((B, W), np.int64)
+            bs_w = np.zeros((B, W), np.int32)
+            ca_w = np.zeros((B, W), np.int32)
+            bpsf_w = np.zeros((B, W), np.int32)
+            n_w = np.zeros(B, np.int32)
+        lens_l = [len(d._view) for d in decs]
+
         while active.any():
             t_host = time.perf_counter()
             ct_host = time.thread_time()
-            lanes = []   # (bi, off, size, rel_bit, bs, ca, bps)
+            lanes = []   # (bi, off, size, rel_bit, bs, ca, bps, chk)
+            if multi:
+                live = []
+                for bi in range(B):
+                    if not active[bi]:
+                        continue
+                    d = decs[bi]
+                    if d._frame_pos >= d.length_frames > 0:
+                        active[bi] = False
+                    else:
+                        live.append(bi)
+                if live:
+                    _native.flac_sync_index_multi(
+                        lib, live, ptrs_a, lens_a, bps_in, nch,
+                        max_block, W, st_all, offs_w, dbits_w, bs_w,
+                        ca_w, bpsf_w, n_w)
+                for bi in live:
+                    d = decs[bi]
+                    n = int(n_w[bi])
+                    if n == 0:
+                        active[bi] = False
+                        continue
+                    end = int(st_all[bi, 2])
+                    o = offs_w[bi, :n]
+                    if n == W and end + 16 <= lens_l[bi]:
+                        # st[2] is the already-synced successor offset
+                        nxt = np.append(o[1:], end)
+                        chk_last = True
+                    else:
+                        # stream end: no successor — ship through EOF
+                        # (st[2] is a search cursor that stops short of
+                        # the last bytes) and skip the chain check
+                        nxt = np.append(o[1:], lens_l[bi])
+                        chk_last = False
+                    sizes_l = (nxt - o).tolist()
+                    rel_l = (dbits_w[bi, :n] - o * 8).tolist()
+                    o_l = o.tolist()
+                    bsl = bs_w[bi, :n].tolist()
+                    cal = ca_w[bi, :n].tolist()
+                    bpsl = bpsf_w[bi, :n].tolist()
+                    for i in range(n):
+                        lanes.append((bi, o_l[i], sizes_l[i], rel_l[i],
+                                      bsl[i], cal[i], bpsl[i],
+                                      chk_last if i == n - 1 else True))
+                    d._frame_pos += sum(bsl)
+                    if n < W:
+                        active[bi] = False
+                self._note_stage("host_ms", "flac_rice", t_host, ct_host)
+                if not lanes:
+                    break
+                self._flac_rice_enqueue(decs, lanes, nch, outputs,
+                                        pending, pool_w, to_device,
+                                        lane_addrs=ptrs_a)
+                continue
             for bi in range(B):
                 if not active[bi]:
                     continue
@@ -1781,25 +1863,13 @@ class BatchDecoder:
             self._note_stage("host_ms", "flac_rice", t_host, ct_host)
             if not lanes:
                 break
-            # the kernel's bit cursors are int32, so one dispatch's pool
-            # must stay under 2^31 bits — the 524288-block top bucket
-            # (2^30 bits).  Windows wider than that (possible at
-            # GROUP=1024 with 24-bit frames) split into several
-            # dispatches, each int32-safe
-            blk_b = flac_rice.BLK_W * 4
-            chunks, cur, blocks = [], [], 0
-            for p in lanes:
-                nb = -(-p[2] // blk_b)
-                if cur and blocks + nb + 2 > 524288:
-                    chunks.append(cur)
-                    cur, blocks = [], 0
-                cur.append(p)
-                blocks += nb
-            chunks.append(cur)
-            for lanes in chunks:
-                self._rice_dispatch_lanes(
-                    decs, lanes, nch, outputs, pending, pool_w,
-                    to_device)
+            self._flac_rice_enqueue(decs, lanes, nch, outputs,
+                                    pending, pool_w, to_device)
+        if multi:
+            # persistent sync state: the multi path works on the batch
+            # copy; write back so chunked reads continue across groups
+            for bi, d in enumerate(decs):
+                d._rice_state[:] = st_all[bi]
         pool_w.shutdown(wait=True)
         resolved = []
         for fut, slots in pending:
@@ -1823,8 +1893,32 @@ class BatchDecoder:
                               (decs, outputs, pending, nch))
         return group if to_device else group.finalize()
 
+    def _flac_rice_enqueue(self, decs, lanes, nch, outputs, pending,
+                           pool_w, to_device, lane_addrs=None):
+        """Split a window's lane list into int32-safe dispatches.  The
+        kernel's bit cursors are int32, so one dispatch's pool must stay
+        under 2^31 bits — the 524288-block top bucket (2^30 bits).
+        Windows wider than that (possible at GROUP=1024 with 24-bit
+        frames) split into several dispatches, each int32-safe."""
+        from ..ops import flac_rice
+
+        blk_b = flac_rice.BLK_W * 4
+        chunks, cur, blocks = [], [], 0
+        for p in lanes:
+            nb = -(-p[2] // blk_b)
+            if cur and blocks + nb + 2 > 524288:
+                chunks.append(cur)
+                cur, blocks = [], 0
+            cur.append(p)
+            blocks += nb
+        chunks.append(cur)
+        for sub in chunks:
+            self._rice_dispatch_lanes(
+                decs, sub, nch, outputs, pending, pool_w, to_device,
+                lane_addrs=lane_addrs)
+
     def _rice_dispatch_lanes(self, decs, lanes, nch, outputs, pending,
-                             pool_w, to_device):
+                             pool_w, to_device, lane_addrs=None):
         """Build and submit ONE device-Rice dispatch for a lane chunk
         (pool + per-lane arrays + the worker-thread device call)."""
         from ..ops import flac_rice
@@ -1839,27 +1933,36 @@ class BatchDecoder:
         need = flac_rice.pool_blocks_needed([p[2] for p in lanes])
         NPOOL = next((x for x in self._RICE_POOL_BUCKETS
                       if need <= x), -(-need // 524288) * 524288)
-        pool, base_bits = flac_rice.build_frame_pool(
-            [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
+        if lane_addrs is not None:
+            from ..host import native as _native
+
+            pool, base_bits = flac_rice.build_frame_pool_native(
+                _native.get_lib(), lane_addrs, lanes, NPOOL)
+        else:
+            pool, base_bits = flac_rice.build_frame_pool(
+                [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
+        # transpose the lane tuples once; numpy assigns the columns
+        # (three per-lane Python loops cost ~0.1 s/window at S=4096)
+        bi_c, _off_c, size_c, rel_c, bs_c, ca_c, bps_c, chk_c = \
+            zip(*lanes)
         start_bits = np.zeros(S, np.int32)
+        start_bits[: n_l] = base_bits + np.asarray(rel_c, np.int64)
         bs_arr = np.zeros(S, np.int32)
+        bs_arr[: n_l] = bs_c
         ca_arr = np.zeros(S, np.int32)
+        ca_arr[: n_l] = ca_c
         bps_arr = np.full(S, 16, np.int32)
-        for si, (bi, off, size, rel, bs, ca, bps, chk) in \
-                enumerate(lanes):
-            start_bits[si] = base_bits[si] + rel
-            bs_arr[si] = bs
-            ca_arr[si] = ca
-            bps_arr[si] = bps
+        bps_arr[: n_l] = bps_c
         base_arr = np.zeros(S, np.int64)
         base_arr[: n_l] = base_bits
         sizes = np.zeros(S, np.int64)   # 0 -> chain check skipped
-        sizes[: n_l] = [p[2] if p[7] else 0 for p in lanes]
-        use_s16 = all(decs[bi].bits_per_sample <= 16
-                      for bi, *_ in lanes)
+        sizes[: n_l] = np.where(np.asarray(chk_c, bool),
+                                np.asarray(size_c, np.int64), 0)
+        lane_bps = np.fromiter(
+            (decs[bi].bits_per_sample for bi in bi_c), np.int32, n_l)
+        use_s16 = bool((lane_bps <= 16).all())
         out_shifts = np.zeros(S, np.int32)
-        for si, (bi, *_rest) in enumerate(lanes):
-            out_shifts[si] = 32 - decs[bi].bits_per_sample
+        out_shifts[: n_l] = 32 - lane_bps
 
         def _rice_dispatch(pool, start_bits, bs_arr, ca_arr, bps_arr,
                            sizes, base_arr, out_shifts, S, max_bs,

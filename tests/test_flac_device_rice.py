@@ -194,3 +194,29 @@ def test_device_rice_truncation_matches_facade(rng, monkeypatch):
     ref = s.read_samples_float(10 ** 6)
     for gi in (0, 2):
         np.testing.assert_array_equal(got[gi], ref)
+
+
+def test_build_pool_native_matches_numpy(rng):
+    """af_flac_build_pool (C copy + BE byteswap in one pass) is
+    bit-identical to the numpy pool builder, including the truncation
+    clamp when NPOOL is too small for every frame."""
+    lib = _need_lib()
+    data = _make(rng, mode="fixed2")
+    d = models.probe_all(MemorySource(data))
+    view = d._view
+    st = np.array([-1, 0, d._cur_bit // 8], np.int64)
+    n, offs, dbits, bs, ca, bps = native.flac_sync_index(
+        lib, view, int(st[2]), d.bits_per_sample, d.channels, 65535,
+        64, st)
+    sizes = list(np.diff(offs)) + [len(view) - int(offs[-1])]
+    frames = [(view, int(o), int(sz)) for o, sz in zip(offs, sizes)]
+    addr, nb, keep = native.buf_addr(view)
+    lane_addrs = np.array([addr], np.uint64)
+    lanes = [(0, int(o), int(sz)) for o, sz in zip(offs, sizes)]
+    for npool in (flac_rice.pool_blocks_needed(sizes),
+                  flac_rice.pool_blocks_needed(sizes) - 3):
+        ref_pool, ref_bits = flac_rice.build_frame_pool(frames, npool)
+        nat_pool, nat_bits = flac_rice.build_frame_pool_native(
+            lib, lane_addrs, lanes, npool)
+        np.testing.assert_array_equal(nat_pool, ref_pool)
+        np.testing.assert_array_equal(nat_bits, ref_bits)
