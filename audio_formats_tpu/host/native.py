@@ -158,6 +158,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint64), i64p, i64p, ctypes.c_int32,
             ctypes.c_int32, i8p, ctypes.c_int64, i64p]
         lib.af_flac_build_pool.restype = ctypes.c_int
+        lib.af_flac_parse_window_multi.argtypes = [
+            i32p, ctypes.c_int32,                    # lanes, n_lanes
+            ctypes.POINTER(ctypes.c_uint64), i64p,   # ptrs, lens
+            i64p, i32p,                              # cur_bits, bps_in
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # ch,stride,W
+            i32p, i32p, i32p, i32p, i32p, i32p, i64p, i32p,
+        ]
+        lib.af_flac_parse_window_multi.restype = ctypes.c_int
         lib.af_flac_widths.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
                                        i32p, i32p]
         lib.af_flac_widths.restype = ctypes.c_int
@@ -802,6 +810,29 @@ def buf_addr(data):
     outlive every C call that uses the address)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     return arr.ctypes.data, arr.size, arr
+
+
+def flac_parse_window_multi(lib, lanes, data_ptrs, data_lens, cur_bits,
+                            bps_in, ch, stride, W, residual, coeffs,
+                            order_o, shift_o, wasted_o, bps_o, meta,
+                            n_out):
+    """One C call Rice-decodes a whole lane CHUNK of packed FLAC windows
+    into [B, W*ch, stride] batch rows.  stride must equal every lane's
+    streaminfo max_block (it doubles as af_flac_parse_frame's
+    validation bound); cur_bits is read-only — the Python post-pass
+    advances it past the frames actually taken."""
+    _U64P = ctypes.POINTER(ctypes.c_uint64)
+    lanes = np.ascontiguousarray(lanes, np.int32)
+    lib.af_flac_parse_window_multi(
+        lanes.ctypes.data_as(_I32P), lanes.size,
+        data_ptrs.ctypes.data_as(_U64P), data_lens.ctypes.data_as(_I64P),
+        cur_bits.ctypes.data_as(_I64P), bps_in.ctypes.data_as(_I32P),
+        ch, stride, W,
+        residual.ctypes.data_as(_I32P), coeffs.ctypes.data_as(_I32P),
+        order_o.ctypes.data_as(_I32P), shift_o.ctypes.data_as(_I32P),
+        wasted_o.ctypes.data_as(_I32P), bps_o.ctypes.data_as(_I32P),
+        meta.ctypes.data_as(_I64P), n_out.ctypes.data_as(_I32P),
+    )
 
 
 def flac_build_pool(lib, ptrs, offs, sizes, blk_b, pool, base_bits):

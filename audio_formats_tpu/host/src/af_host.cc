@@ -3746,6 +3746,50 @@ abort:
   return 0;
 }
 
+// Multi-lane driver for the packed-wire FLAC window parse: one FFI
+// crossing Rice-decodes a whole lane chunk into [B, W*ch, stride]
+// batch rows (the per-lane ctypes call + per-lane numpy output
+// allocation cost more than the C Rice walk at batch 512).  stride
+// must equal every processed lane's max_block (af_flac_parse_frame
+// uses max_block as both the validation bound and the channel-row
+// stride); the scheduler falls back to the per-lane path when a
+// group mixes streaminfo max_block values.  cur_bits is read-only
+// here — the Python post-pass advances it, because the sample-count
+// cap may take fewer frames than were parsed.
+int af_flac_parse_window_multi(
+    const int32_t* lanes, int32_t n_lanes,
+    const uint64_t* data_ptrs, const int64_t* data_lens,
+    const int64_t* cur_bits /* [B] */, const int32_t* bps_in /* [B] */,
+    int32_t expect_channels, int32_t stride, int32_t W,
+    int32_t* residual /* [B, W*ch, stride] */,
+    int32_t* coeffs /* [B, W*ch, 32] */,
+    int32_t* order_o, int32_t* shift_o, int32_t* wasted_o,
+    int32_t* bps_o /* each [B, W*ch] */,
+    int64_t* meta /* [B, W, 4] */, int32_t* n_out /* [B] */) {
+  int32_t ch = expect_channels;
+  for (int32_t i = 0; i < n_lanes; i++) {
+    int64_t bi = lanes[i];
+    const uint8_t* data = (const uint8_t*)(uintptr_t)data_ptrs[bi];
+    int64_t nbytes = data_lens[bi];
+    int64_t bits = cur_bits[bi];
+    int64_t rbase = bi * (int64_t)W * ch;
+    int f = 0;
+    for (; f < W; f++) {
+      if (bits >= nbytes * 8 - 15) break;
+      int64_t row = rbase + (int64_t)f * ch;
+      int rc = af_flac_parse_frame(
+          data, nbytes, bits, bps_in[bi], ch, stride,
+          residual + row * stride, coeffs + row * 32,
+          order_o + row, shift_o + row, wasted_o + row, bps_o + row,
+          meta + (bi * W + f) * 4);
+      if (rc != 0) break;
+      bits = meta[(bi * W + f) * 4 + 3];
+    }
+    n_out[bi] = f;
+  }
+  return 0;
+}
+
 // Frame-pool assembly for the device-Rice wire mode: copy every raw
 // frame to a BLK-aligned pool offset and byteswap the pool to the
 // kernel's big-endian u32 word order, in one C pass.  Replaces a

@@ -1474,7 +1474,13 @@ class BatchDecoder:
                                     p[5], p[6])
                         d._frame_pos += p[0]
                         continue
-                    out.append(p)
+                    # placeholder claimed HERE, in frame order: a window
+                    # mixing host-redo (wide) and device frames must
+                    # interleave outputs at parse positions, not append
+                    # device frames after the window's host frames
+                    slot = [None]
+                    outputs[bi].append(slot)
+                    out.append(p + (slot,))
                     d._frame_pos += p[0]
                     mbs = max(mbs, p[0])
                 return out, prog, mbs
@@ -1502,8 +1508,12 @@ class BatchDecoder:
                                 orr[rows], sh[rows], wa[rows])
                     d._frame_pos += bs
                     continue
+                # placeholder claimed at the frame's parse position (see
+                # the fallback branch: wide + device frames interleave)
+                slot = [None]
+                outputs[bi].append(slot)
                 out.append((bs, ca, res[rows, :bs], cf[rows], orr[rows],
-                            sh[rows], wa[rows], bps[rows]))
+                            sh[rows], wa[rows], bps[rows], slot))
                 d._frame_pos += bs
                 mbs = max(mbs, bs)
             if capped or n < W:
@@ -1551,7 +1561,7 @@ class BatchDecoder:
                 wasteds = np.zeros((S, nch), np.int32)
                 out_shifts = np.zeros(S, np.int32)
                 for si, (bi, p) in enumerate(lanes):
-                    bs, ca, res, cf, orr, sh, wa, bps = p
+                    bs, ca, res, cf, orr, sh, wa, bps, _slot = p
                     residual[si * nch : si * nch + nch, :bs] = res
                     coeffs[si * nch : si * nch + nch] = cf
                     order[si * nch : si * nch + nch] = orr
@@ -1665,12 +1675,11 @@ class BatchDecoder:
                     assigns, wasteds, out_shifts, max_bs, S, use_s16)
                 self._note_stage("enqueue_ms", "flac", t_enq)
                 self._stat_add("windows", 1)
-                slots = []
-                for si, (bi, p) in enumerate(lanes):
-                    slot = [None]
-                    outputs[bi].append(slot)  # placeholder keeps stream order
-                    slots.append((slot, si, p[0]))
-                pending.append((fut, slots))
+                # placeholders were claimed at parse time (frame order —
+                # wide host-redo frames interleave with device frames);
+                # p[8] is the frame's slot
+                pending.append((fut, [(p[8], si, p[0]) for si, (bi, p)
+                                      in enumerate(lanes)]))
 
         finally:
             # see _decode_mp3_group_packed: no worker leaks on a

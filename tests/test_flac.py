@@ -257,3 +257,35 @@ def test_pallas_lpc_matches_scan():
     b = np.asarray(lpc.flac_lpc_pallas(residual, coeffs, order, shift,
                                        exact, interpret=interp))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mixed_wide_device_frames_keep_order(rng):
+    """A window mixing >18-bit (host-redo) and device frames must
+    interleave outputs at frame positions: 18-bit stereo alternating
+    independent (sub_bps 18, device) and mid-side (side 19, host).
+    Regression: host frames used to append before the window's device
+    placeholders, scrambling PCM frame order (drflac.d decodes strictly
+    in frame order)."""
+    from audio_formats_tpu.parallel import BatchDecoder
+
+    B, NF = 256, 6
+    pcm = rng.integers(-2**17, 2**17, (B * NF, 2)).astype(np.int64)
+    out = bytearray(b"fLaC")
+    si = flac_ref._BW()
+    si.w(B, 16); si.w(B, 16); si.w(0, 24); si.w(0, 24)
+    si.w(44100, 20); si.w(1, 3); si.w(17, 5); si.w(B * NF, 36)
+    streaminfo = bytes(si.bytes) + b"\0" * 16
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    for fi in range(NF):
+        mode = "independent" if fi % 2 == 0 else "mid_side"
+        out += flac_ref.encode_frame(pcm[fi * B:(fi + 1) * B], fi,
+                                     44100, 18, mode)
+    data = bytes(out)
+    s = AudioStream()
+    s.open_from_memory(data)
+    assert not s.is_error(), s.error_message()
+    ref = s.read_samples_float(10**8)
+    dec = BatchDecoder([data])
+    got = dec.decode_all()[0]
+    assert dec.stats["group_demotions"] == 0
+    np.testing.assert_array_equal(got[: len(ref)], ref)
