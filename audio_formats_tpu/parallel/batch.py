@@ -1436,6 +1436,108 @@ class BatchDecoder:
                 np.int32(32 - d.bits_per_sample)))
             outputs[bi].append(out32.T)
 
+        # multi-lane FFI surface (af_flac_parse_window_multi): one C
+        # call Rice-decodes a whole lane chunk into [B, W*ch, mb_g]
+        # batch rows.  Requires a uniform streaminfo max_block across
+        # the group (it doubles as the C parser's validation bound and
+        # row stride) and a bounded parse buffer; otherwise the
+        # per-lane path below runs unchanged.
+        mb_vals = {d._max_block if 0 < d._max_block <= 65535 else 65535
+                   for d in decs}
+        mb_g = mb_vals.pop() if len(mb_vals) == 1 else 0
+        fmulti = (parse_lib is not None
+                  and hasattr(parse_lib, "af_flac_parse_window_multi")
+                  and mb_g > 0
+                  and all(d.channels == nch for d in decs)
+                  and B * W * nch * mb_g * 4 <= (512 << 20))
+        if fmulti:
+            fkeep = []
+            fptrs = np.zeros(B, np.uint64)
+            flens = np.zeros(B, np.int64)
+            fcb = np.zeros(B, np.int64)
+            fbps = np.zeros(B, np.int32)
+            for bi, d in enumerate(decs):
+                addr, nb2, keep = _native.buf_addr(d._view)
+                fkeep.append(keep)
+                fptrs[bi] = addr
+                flens[bi] = nb2
+                fcb[bi] = d._cur_bit
+                fbps[bi] = d.bits_per_sample
+            res_buf = np.empty((B, W * nch, mb_g), np.int32)
+            cf_buf = np.empty((B, W * nch, 32), np.int32)
+            ord_buf = np.empty((B, W * nch), np.int32)
+            shf_buf = np.empty((B, W * nch), np.int32)
+            was_buf = np.empty((B, W * nch), np.int32)
+            bpsb_buf = np.empty((B, W * nch), np.int32)
+            meta_buf = np.empty((B, W, 4), np.int64)
+            nf_buf = np.zeros(B, np.int32)
+
+        def _parse_chunk_fmulti(lanes):
+            _ct0 = time.thread_time()
+            try:
+                gated = []
+                for bi in lanes:
+                    d = decs[bi]
+                    if d._frame_pos >= d.length_frames > 0:
+                        active[bi] = False
+                    else:
+                        gated.append(bi)
+                if gated:
+                    _native.flac_parse_window_multi(
+                        parse_lib, gated, fptrs, flens, fcb, fbps,
+                        nch, mb_g, W, res_buf, cf_buf, ord_buf, shf_buf,
+                        was_buf, bpsb_buf, meta_buf, nf_buf)
+                gset = set(gated)
+                return [_post_lane_fmulti(bi) if bi in gset
+                        else ([], False, 0) for bi in lanes]
+            finally:
+                self._note_host_cpu("flac", _ct0)
+
+        def _post_lane_fmulti(bi):
+            """Per-lane post-pass over the chunk-parsed batch rows: the
+            same frame loop as _parse_lane_inner, reading views of the
+            batch buffers (consumed by this window's assembly before
+            the next window's parse overwrites them)."""
+            d = decs[bi]
+            out, prog, mbs = [], False, 0
+            n = int(nf_buf[bi])
+            if n == 0:
+                active[bi] = False
+                return out, prog, mbs
+            meta_l = meta_buf[bi, :n].tolist()
+            maxbps = bpsb_buf[bi, : n * nch].reshape(n, nch)\
+                .max(axis=1).tolist()
+            res = res_buf[bi]
+            cf = cf_buf[bi]
+            orr = ord_buf[bi]
+            sh = shf_buf[bi]
+            wa = was_buf[bi]
+            bpsr = bpsb_buf[bi]
+            capped = False
+            for f in range(n):
+                if d._frame_pos >= d.length_frames > 0:
+                    capped = True
+                    break
+                bs, ca = meta_l[f][0], meta_l[f][1]
+                d._cur_bit = meta_l[f][3]
+                rows = slice(f * nch, f * nch + nch)
+                prog = True
+                if maxbps[f] > 18:
+                    _host_frame(d, bi, bs, ca, res[rows, :bs], cf[rows],
+                                orr[rows], sh[rows], wa[rows])
+                    d._frame_pos += bs
+                    continue
+                slot = [None]
+                outputs[bi].append(slot)
+                out.append((bs, ca, res[rows, :bs], cf[rows], orr[rows],
+                            sh[rows], wa[rows], bpsr[rows], slot))
+                d._frame_pos += bs
+                mbs = max(mbs, bs)
+            if capped or n < W:
+                active[bi] = False
+            fcb[bi] = d._cur_bit  # cap may take fewer frames than parsed
+            return out, prog, mbs
+
         def _parse_chunk(lanes):
             # per-CHUNK thread-CPU probe (see the MP3 twin: per-lane
             # time.thread_time costs ~130 us/call on this box)
@@ -1525,12 +1627,13 @@ class BatchDecoder:
                 # host entropy stage: parse up to W frames per stream
                 t_host = time.perf_counter()
                 live = [bi for bi in range(B) if active[bi]]
+                chunk_fn = _parse_chunk_fmulti if fmulti else _parse_chunk
                 if parse_pool is not None:
                     res = [r for sub in parse_pool.map(
-                        _parse_chunk, _lane_chunks(live, n_workers))
+                        chunk_fn, _lane_chunks(live, n_workers))
                         for r in sub]
                 else:
-                    res = _parse_chunk(live)
+                    res = chunk_fn(live)
                 parsed = [[] for _ in range(B)]
                 max_bs = 0
                 progress = False

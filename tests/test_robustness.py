@@ -174,6 +174,17 @@ def test_per_lane_demotion_keeps_group(rng, monkeypatch):
         return orig_win(lib, data, *a, **kw)
 
     monkeypatch.setattr(af_native, "flac_parse_window", patched_win)
+    # the chunked C window parse: a fault there costs the whole chunk
+    # one exception — the bisect narrows it to the single bad lane
+    orig_multi = af_native.flac_parse_window_multi
+
+    def patched_multi(lib, lanes, data_ptrs, data_lens, *a, **kw):
+        if any(int(data_lens[bi]) == bad_len for bi in lanes):
+            raise AudioFormatError("injected lane fault")
+        return orig_multi(lib, lanes, data_ptrs, data_lens, *a, **kw)
+
+    monkeypatch.setattr(af_native, "flac_parse_window_multi",
+                        patched_multi)
     dec = BatchDecoder(streams)
     out = dec.decode_all()
     assert dec.stats["lanes_demoted"] == 1
