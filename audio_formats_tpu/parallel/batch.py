@@ -1160,13 +1160,14 @@ class BatchDecoder:
                 blob[o : o + n_bp] = np.ascontiguousarray(
                     np.stack([starts, d_pack], axis=1)
                 ).reshape(-1).view(np.uint32)
+                blob_nb = blob.nbytes
+                poolw_nb = pool_w.nbytes if pool_w is not None else 0
                 fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
                                   L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
                                   pool_w)
                 self._note_stage("enqueue_ms", "mp3", t_enq)
-                self._stat_add("h2d_bytes", blob.nbytes + n_act.nbytes
-                               + (pool_w.nbytes
-                                  if pool_w is not None else 0))
+                self._stat_add("h2d_bytes",
+                               blob_nb + n_act.nbytes + poolw_nb)
                 self._stat_add("windows", 1)
                 pending.append((fut, n_act.copy()))
         finally:
@@ -2075,6 +2076,17 @@ class BatchDecoder:
         use_s16 = bool((lane_bps <= 16).all())
         out_shifts = np.zeros(S, np.int32)
         out_shifts[: n_l] = 32 - lane_bps
+        pool_nbytes = pool.nbytes
+        if self._mesh is None:
+            # start the pool's h2d stream NOW, from the main thread:
+            # device_put is async, so window k+1's sync-index/assembly
+            # overlaps window k's wire time.  Leaving the transfer to
+            # the worker's first eager op serializes every upload
+            # behind the previous dispatch (measured: 18.5 s of a 31 s
+            # rep inside pad_pool's implicit numpy->device convert).
+            import jax as _jax
+
+            pool = _jax.device_put(pool)
 
         def _rice_dispatch(pool, start_bits, bs_arr, ca_arr, bps_arr,
                            sizes, base_arr, out_shifts, S, max_bs,
@@ -2113,7 +2125,7 @@ class BatchDecoder:
             return (out32,
                     (ent["err"], ent["end_bits"], ent["sub_bps"],
                      base_arr, sizes),
-                    pool.nbytes)
+                    pool_nbytes)
 
         fut = pool_w.submit(_rice_dispatch, pool, start_bits, bs_arr,
                             ca_arr, bps_arr, sizes, base_arr,
