@@ -262,14 +262,26 @@ def _quantize_pack_rows(x, seeds, kind: str, dither: bool):
 
 
 def quantize_pack_rows(rows, lens, seeds, kind: str, sample_size: int, *,
-                       dither: bool):
+                       dither: bool, mesh=None):
     """Batched encode quantize+pack: rows [L, n] float32 (zero-padded to a
     _pad_len_rows bucket here), lens [L] valid sample counts.  Returns a
-    list of L byte strings — each lane's exact WAV data payload."""
+    list of L byte strings — each lane's exact WAV data payload.
+
+    mesh: optional jax.sharding.Mesh — shards the lane axis over 'data'
+    (lanes are independent, so the sharded bytes are bit-identical)."""
     L, n = rows.shape
     npad = _pad_len_rows(n)
-    xp = np.zeros((L, npad), np.float32)
-    xp[:, :n] = rows
-    w = np.asarray(_quantize_pack_rows(
-        xp, np.asarray(seeds, np.uint32), kind, dither))
+    nd = mesh.shape.get("data", 1) if mesh is not None else 1
+    Lp = -(-L // nd) * nd
+    xp = np.zeros((Lp, npad), np.float32)
+    xp[:L, :n] = rows
+    seeds_a = np.zeros(Lp, np.uint32)
+    seeds_a[:L] = np.asarray(seeds, np.uint32)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        xp = jax.device_put(xp, NamedSharding(mesh, P("data", None)))
+        seeds_a = jax.device_put(seeds_a, NamedSharding(mesh, P("data")))
+    w = np.asarray(_quantize_pack_rows(xp, seeds_a, kind, dither))
     return [w[i].tobytes()[: sample_size * lens[i]] for i in range(L)]

@@ -328,7 +328,12 @@ class BatchDecoder:
             "lanes": len(items),
             # per-stage split (SURVEY.md §5 observability): host entropy
             # parse ms, device enqueue (upload+dispatch) ms, PCM fetch ms,
-            # bytes over the link each way, device windows issued
+            # bytes over the link each way, device windows issued.
+            # NOTE: the aggregate wall counters (host_ms/enqueue_ms) can
+            # EXCEED the batch wall when groups run concurrently (the
+            # mixed-Opus lockstep thread and AF_TPU_GROUP_THREADS>1 time
+            # their stages on their own threads) — per-format splits stay
+            # correct, and host_cpu_ms is the load-scalable quantity
             "host_ms": 0.0,
             "enqueue_ms": 0.0,
             "fetch_ms": 0.0,
@@ -341,6 +346,7 @@ class BatchDecoder:
             "host_cpu_ms": 0.0,
             "host_cpu_ms_by_format": {},
             "h2d_bytes": 0,
+            "h2d_bytes_by_format": {},
             "d2h_bytes": 0,
             "windows": 0,
             "group_demotions": 0,
@@ -607,37 +613,44 @@ class BatchDecoder:
             mixed_thread = threading.Thread(
                 target=_run_mixed, name="af-opus-mixed")
             mixed_thread.start()
-        if conc > 1 and len(jobs) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        # the concurrent mixed-Opus thread must be joined even when a
+        # serial group decode raises: an orphaned thread would keep
+        # dispatching device work and mutating `out` during unwinding
+        try:
+            if conc > 1 and len(jobs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=conc) as ex:
-                list(ex.map(lambda j: run(j[0], j[1], *j[2]), jobs))
-        else:
-            for chunk, fn, args in jobs:
-                run(chunk, fn, *args)
-        for nch, lanes in opus_groups.items():
-            for c in range(0, len(lanes), GROUP):
-                chunk = lanes[c : c + GROUP]
-                res = self._run_group(self._decode_opus_group, chunk)
-                for i, pcm in zip(chunk, res):
-                    out[i] = pcm
-        for (nch, config, stereo, nfr), lanes in silk_groups.items():
-            for c in range(0, len(lanes), GROUP):
-                chunk = lanes[c : c + GROUP]
-                res = self._run_group(
-                    self._decode_silk_group, chunk, nch, config, stereo,
-                    nfr)
-                for i, pcm in zip(chunk, res):
-                    out[i] = pcm
-        for (nch, config, stereo), lanes in hybrid_groups.items():
-            for c in range(0, len(lanes), GROUP):
-                chunk = lanes[c : c + GROUP]
-                res = self._run_group(
-                    self._decode_hybrid_group, chunk, nch, config, stereo)
-                for i, pcm in zip(chunk, res):
-                    out[i] = pcm
+                with ThreadPoolExecutor(max_workers=conc) as ex:
+                    list(ex.map(lambda j: run(j[0], j[1], *j[2]), jobs))
+            else:
+                for chunk, fn, args in jobs:
+                    run(chunk, fn, *args)
+            for nch, lanes in opus_groups.items():
+                for c in range(0, len(lanes), GROUP):
+                    chunk = lanes[c : c + GROUP]
+                    res = self._run_group(self._decode_opus_group, chunk)
+                    for i, pcm in zip(chunk, res):
+                        out[i] = pcm
+            for (nch, config, stereo, nfr), lanes in silk_groups.items():
+                for c in range(0, len(lanes), GROUP):
+                    chunk = lanes[c : c + GROUP]
+                    res = self._run_group(
+                        self._decode_silk_group, chunk, nch, config,
+                        stereo, nfr)
+                    for i, pcm in zip(chunk, res):
+                        out[i] = pcm
+            for (nch, config, stereo), lanes in hybrid_groups.items():
+                for c in range(0, len(lanes), GROUP):
+                    chunk = lanes[c : c + GROUP]
+                    res = self._run_group(
+                        self._decode_hybrid_group, chunk, nch, config,
+                        stereo)
+                    for i, pcm in zip(chunk, res):
+                        out[i] = pcm
+        finally:
+            if mixed_thread is not None:
+                mixed_thread.join()
         if mixed_thread is not None:
-            mixed_thread.join()
             if mixed_err:
                 raise mixed_err[0]
         else:
@@ -736,6 +749,7 @@ class BatchDecoder:
             _prefetch(pcm, to_device)
             self._note_stage("enqueue_ms", "mp3_l12", t_enq)
             self._stat_add("h2d_bytes", Sarr.nbytes)
+            self._stat_add("h2d_bytes_by_format", Sarr.nbytes, fmt="l12")
             self._stat_add("windows", 1)
             pending.append((pcm, n_slots.copy()))
         group = _PendingGroup(self, "mp3", decs, pending,
@@ -859,6 +873,7 @@ class BatchDecoder:
 
         def _dispatch(blob, n_act_arr, pats, spats, L, Wb, R, Lb, Wext,
                       nbig_b, nc1_b, ist_f, pool_w=None):
+            t_put = time.perf_counter()
             (blob_d, ov, sh, n_act_d) = _shard_batch(
                 self._mesh, blob, dev_state["overlap"], dev_state["shist"],
                 n_act_arr)
@@ -871,6 +886,9 @@ class BatchDecoder:
                 # the wire carries only the copied maindata words
                 pw = mp3_huff.pool_bucket(pool_w.size)
                 pool_d = mp3_huff.pad_pool_words(jax.device_put(pool_w), pw)
+            self._stat_add("disp_mp3_put_ms",
+                           (time.perf_counter() - t_put) * 1e3)
+            t_call = time.perf_counter()
             pcm, ov2, sh2 = mp3_huff.packed_window_blob(
                 blob_d, ov, sh, n_act_d, pats=pats, spats=spats,
                 L=L, Wb=Wb, R=R, B=Bp, G=G, nch=nch, Lb=Lb, Wext=Wext,
@@ -879,6 +897,8 @@ class BatchDecoder:
             )
             dev_state["overlap"] = ov2
             dev_state["shist"] = sh2
+            self._stat_add("disp_mp3_call_ms",
+                           (time.perf_counter() - t_call) * 1e3)
             _prefetch(pcm, to_device)
             return pcm
 
@@ -1125,12 +1145,18 @@ class BatchDecoder:
                     np.zeros((Bp, NL, 1), meta.dtype),     # col 15: ovf row
                 ], axis=2).astype(np.int16).reshape(L, 16)
                 ist_f = bool(win_ist.any()) and nch == 2
+                self._stat_add("enq_mp3_plan_ms",
+                               (time.perf_counter() - t_enq) * 1e3)
+                t_poolw = time.perf_counter()
                 pool_w = None
                 if pool_bits:
                     flat = bits.reshape(L, LW)
                     sp = np.minimum(lanew, LW)
                     meta16[:, 15] = sp.astype(np.int16)
                     pool_w = flat[np.arange(LW)[None, :] < sp[:, None]]
+                self._stat_add("enq_mp3_poolw_ms",
+                               (time.perf_counter() - t_poolw) * 1e3)
+                t_blob = time.perf_counter()
                 n_bits, n_ovf, n_meta, n_scf, n_ist, n_bp, total = \
                     mp3_huff.blob_layout(L, Wb, R, Lb, Wext, ist_f, nch,
                                          PB=pool_bits)
@@ -1162,12 +1188,15 @@ class BatchDecoder:
                 ).reshape(-1).view(np.uint32)
                 blob_nb = blob.nbytes
                 poolw_nb = pool_w.nbytes if pool_w is not None else 0
+                self._stat_add("enq_mp3_blob_ms",
+                               (time.perf_counter() - t_blob) * 1e3)
                 fut = pool.submit(_dispatch, blob, n_act.copy(), pats, spats,
                                   L, Wb, R, Lb, Wext, nbig_b, nc1_b, ist_f,
                                   pool_w)
                 self._note_stage("enqueue_ms", "mp3", t_enq)
                 self._stat_add("h2d_bytes",
                                blob_nb + n_act.nbytes + poolw_nb)
+                self._stat_add("h2d_bytes_by_format", blob_nb + n_act.nbytes + poolw_nb, fmt="mp3")
                 self._stat_add("windows", 1)
                 pending.append((fut, n_act.copy()))
         finally:
@@ -1795,6 +1824,7 @@ class BatchDecoder:
         for fut, slots in pending:
             out32, h2d = fut.result()
             self._stat_add("h2d_bytes", h2d)
+            self._stat_add("h2d_bytes_by_format", h2d, fmt="flac")
             resolved.append((out32, slots))
         pending[:] = resolved
         group = _PendingGroup(self, "flac", decs, pending,
@@ -1985,9 +2015,19 @@ class BatchDecoder:
                 d._rice_state[:] = st_all[bi]
         pool_w.shutdown(wait=True)
         resolved = []
-        for fut, slots in pending:
-            out32, bad_parts, h2d = fut.result()
+        fetched = [f.result() for f, _ in pending]
+        # start EVERY window's flag downloads before blocking on any:
+        # each np.asarray is a full tunnel round trip (~5-20 ms here), and
+        # a serial loop over windows paid it windows x 3 times
+        for out32, bad_parts, _h2d in fetched:
+            for a in bad_parts[:3]:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        for (fut, slots), (out32, bad_parts, h2d) in zip(pending, fetched):
             self._stat_add("h2d_bytes", h2d)
+            self._stat_add("h2d_bytes_by_format", h2d, fmt="flac")
             # frame-chain validation, deferred from the dispatch (the
             # downloads block; by now every window is enqueued, so the
             # device pipeline stayed full): a mismatched end position
@@ -2046,6 +2086,7 @@ class BatchDecoder:
         need = flac_rice.pool_blocks_needed([p[2] for p in lanes])
         NPOOL = next((x for x in self._RICE_POOL_BUCKETS
                       if need <= x), -(-need // 524288) * 524288)
+        t_pb = time.perf_counter()
         if lane_addrs is not None:
             from ..host import native as _native
 
@@ -2054,6 +2095,9 @@ class BatchDecoder:
         else:
             pool, base_bits = flac_rice.build_frame_pool(
                 [(decs[p[0]]._view, p[1], p[2]) for p in lanes], NPOOL)
+        self._stat_add("enq_flac_poolbuild_ms",
+                       (time.perf_counter() - t_pb) * 1e3)
+        t_cols = time.perf_counter()
         # transpose the lane tuples once; numpy assigns the columns
         # (three per-lane Python loops cost ~0.1 s/window at S=4096)
         bi_c, _off_c, size_c, rel_c, bs_c, ca_c, bps_c, chk_c = \
@@ -2077,6 +2121,9 @@ class BatchDecoder:
         out_shifts = np.zeros(S, np.int32)
         out_shifts[: n_l] = 32 - lane_bps
         pool_nbytes = pool.nbytes
+        self._stat_add("enq_flac_cols_ms",
+                       (time.perf_counter() - t_cols) * 1e3)
+        t_put = time.perf_counter()
         if self._mesh is None:
             # start the pool's h2d stream NOW, from the main thread:
             # device_put is async, so window k+1's sync-index/assembly
@@ -2087,6 +2134,8 @@ class BatchDecoder:
             import jax as _jax
 
             pool = _jax.device_put(pool)
+        self._stat_add("enq_flac_put_ms",
+                       (time.perf_counter() - t_put) * 1e3)
 
         def _rice_dispatch(pool, start_bits, bs_arr, ca_arr, bps_arr,
                            sizes, base_arr, out_shifts, S, max_bs,
@@ -2271,6 +2320,7 @@ class BatchDecoder:
             pending.append((out, seg.shape[0]))
             self._note_stage("enqueue_ms", "wav", t_enq)
             self._stat_add("h2d_bytes", seg.nbytes)
+            self._stat_add("h2d_bytes_by_format", seg.nbytes, fmt="wav")
             self._stat_add("windows", 1)
         group = _PendingGroup(self, "wav", decs, pending,
                               self._wav_finalize, (decs, counts, pending))
@@ -2357,6 +2407,7 @@ class BatchDecoder:
                 self._note_stage("enqueue_ms", "qoa", t_enq)
                 self._stat_add("h2d_bytes", hp.nbytes + wp.nbytes
                                + sp.nbytes + cp.nbytes)
+                self._stat_add("h2d_bytes_by_format", hp.nbytes + wp.nbytes                               + sp.nbytes + cp.nbytes, fmt="qoa")
                 self._stat_add("windows", 1)
         group = _PendingGroup(self, "qoa", decs, pending,
                               self._qoa_finalize,
@@ -2444,6 +2495,7 @@ class BatchDecoder:
                 (X_d,) = _shard_batch(self._mesh, X)
                 Y = np.asarray(mdct_ops.imdct_batch(X_d, n))
                 self._stat_add("h2d_bytes", X.nbytes)
+                self._stat_add("h2d_bytes_by_format", X.nbytes, fmt="vorbis")
                 self._stat_add("d2h_bytes", Y.nbytes)
                 row = 0
                 for i in idxs:
@@ -2530,6 +2582,7 @@ class BatchDecoder:
             state = tuple(st)
             self._note_stage("enqueue_ms", "vorbis", t_enq)
             self._stat_add("h2d_bytes", X.nbytes + geom.nbytes)
+            self._stat_add("h2d_bytes_by_format", X.nbytes + geom.nbytes, fmt="vorbis")
             self._stat_add("windows", 1)
             pending.append((pcm, lens))
         return _PendingGroup(self, "vorbis", decs, pending,
@@ -2657,8 +2710,24 @@ class BatchDecoder:
         (blocks, blocksize) across lanes into one device call per bucket
         per round (ops/celt_dsp.celt_imdct_ola).  The mode sequence is
         known host-side after the TOC pre-scan, so lanes advance through
-        pure-SILK packets inline and re-sync at their next CELT frame."""
+        pure-SILK packets inline and re-sync at their next CELT frame.
+
+        Cost model (measured on the dev tunnel): each device round pays a
+        fixed upload+dispatch+download round trip (~0.2 s here) that the
+        rows amortize — at 2 lanes a 12-packet stream spent 2.3-2.8 s in
+        round trips for 0.5 s of audio, while the facade's host IMDCT
+        (CeltDecoder.synthesize — the EXACT per-stream path, so results
+        are bit-identical to the facade) answers the same requests in
+        ~15 ms.  Below AF_TPU_OPUS_MIXED_DEVICE_MIN_LANES (default 16)
+        the group therefore answers synthesis requests on the host;
+        larger groups ride the bucketed device IMDCT where the lane axis
+        pays for the trip.  Under a mesh the device path is mandatory
+        (the dryrun covers the collective; round count must stay
+        deterministic across participants)."""
         B = len(decs)
+        min_dev = int(os.environ.get(
+            "AF_TPU_OPUS_MIXED_DEVICE_MIN_LANES", "16"))
+        use_device = self._mesh is not None or B >= min_dev
         for d in decs:
             # re-probed lanes (bisect recovery) lost the eligibility
             # stash; recompute — a lane that no longer parses raises
@@ -2707,6 +2776,17 @@ class BatchDecoder:
             self._note_stage("host_ms", "opus", t_host, ct_host)
             if not jobs:
                 continue
+            if not use_device:
+                # small group: facade-identical host synthesis (see
+                # docstring cost model) — still lockstep, zero demotions
+                t_host = time.perf_counter()
+                ct_host = time.thread_time()
+                for items in jobs.values():
+                    for (bi, cd, p) in items:
+                        sends[bi] = cd.synthesize(p)
+                self._note_stage("host_ms", "opus", t_host, ct_host)
+                self._stat_add("windows", 1)
+                continue
             t_enq = time.perf_counter()
             for (blocks, bs), items in jobs.items():
                 raw, newtail, nb = self._celt_imdct_bucket(
@@ -2719,6 +2799,7 @@ class BatchDecoder:
                         p["frame_size"])
                     row += k
                 self._stat_add("h2d_bytes", nb)
+                self._stat_add("h2d_bytes_by_format", nb, fmt="opus")
             self._note_stage("enqueue_ms", "opus", t_enq)
             self._stat_add("windows", 1)
         result = []
@@ -2918,6 +2999,7 @@ class BatchDecoder:
                     [(sds[bi]._celt, stash[bi][0]) for bi in lanes_b],
                     blocks, bs)
                 self._stat_add("h2d_bytes", nb)
+                self._stat_add("h2d_bytes_by_format", nb, fmt="opus")
                 row = 0
                 for bi in lanes_b:
                     k = sds[bi]._celt.output_channels
@@ -2926,6 +3008,7 @@ class BatchDecoder:
                     row += k
             self._note_stage("enqueue_ms", "opus", t_enq)
             self._stat_add("h2d_bytes", X.nbytes)
+            self._stat_add("h2d_bytes_by_format", X.nbytes, fmt="opus")
             self._stat_add("windows", 1)
             for bi, d in enumerate(decs):
                 if bi not in stash:
@@ -3048,6 +3131,7 @@ class BatchDecoder:
             Y = rs.process(X, frame48)
             self._note_stage("enqueue_ms", "opus", t_enq)
             self._stat_add("h2d_bytes", X.nbytes)
+            self._stat_add("h2d_bytes_by_format", X.nbytes, fmt="opus")
             self._stat_add("windows", 1)
             for bi, d in enumerate(decs):
                 if s >= len(d._silk_lockstep):
@@ -3140,6 +3224,7 @@ class BatchDecoder:
                 raw, newtail, nb = self._celt_imdct_bucket(
                     [(cd, p) for (_, _, cd, p, _) in items], blocks, bs)
                 self._stat_add("h2d_bytes", nb)
+                self._stat_add("h2d_bytes_by_format", nb, fmt="opus")
                 row = 0
                 for (bi, d, cd, p, n) in items:
                     k = cd.output_channels

@@ -29,11 +29,16 @@ from ..ops import pcm as pcm_ops
 
 
 def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
-                     parallel_frames: bool = True) -> List[bytes]:
+                     parallel_frames: bool = True,
+                     mesh=None) -> List[bytes]:
     """Encode N streams of float PCM [(frames, ch)] to QOA byte streams.
 
     Channel counts may differ per stream; lanes = Σ channels.  Byte-exact
-    vs models/qoa.py QoaEncoder.
+    vs models/qoa.py QoaEncoder ONLY with ``parallel_frames=False``; the
+    default frame-parallel layout emits different (equally valid) bytes —
+    see below.  NOTE: the default flipped to ``True`` in round 4, so the
+    output bytes of this public API changed for callers relying on the
+    old sequential layout.
 
     ``parallel_frames=True`` (the default) selects the TPU-native lane
     layout: QOA
@@ -62,7 +67,7 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
         s16.append(q.reshape(-1, p.shape[1]).astype(np.int32))
     if parallel_frames:
         return _encode_qoa_frames_parallel(
-            s16, chans, lengths, sample_rate)
+            s16, chans, lengths, sample_rate, mesh=mesh)
     L = sum(chans)
     lane_of = np.cumsum([0] + chans)
     hist = np.zeros((L, QOA_LMS_LEN), np.int32)
@@ -113,8 +118,8 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
     return [bytes(o) for o in outs]
 
 
-def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
-                                ) -> List[bytes]:
+def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
+                                mesh=None) -> List[bytes]:
     """Frame-parallel QOA encode: every (stream, frame, channel) is an
     independent lane of ONE lockstep device call (chunked to bound
     memory), each frame starting from the encoder's initial LMS state
@@ -160,6 +165,15 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
             flen[ls - c0 : ls - c0 + chans[i]] = fs
         # fused search + DEVICE word pack: the only download is the
         # [L, 256] x 2 u32 word planes (8 B/slice), not codes+sf (84 B)
+        if mesh is not None:
+            # multi-chip: shard the lane axis over 'data' (Lp is a pow2
+            # bucket, divisible by any pow2 data axis); word planes come
+            # back lane-sharded and concatenate bit-exactly
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rows = jax.device_put(rows, NamedSharding(mesh, P("data", None)))
+            flen = jax.device_put(flen, NamedSharding(mesh, P("data")))
         hi, lo = lms_ops.qoa_encode_frame_words(rows, flen)
         hi_all[c0:c1] = np.asarray(hi)[:Lc]
         lo_all[c0:c1] = np.asarray(lo)[:Lc]
@@ -188,7 +202,8 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate
 
 
 def encode_wav_batch(pcms: Sequence[np.ndarray], sample_rate: int,
-                     options: EncodingOptions = None) -> List[bytes]:
+                     options: EncodingOptions = None,
+                     mesh=None) -> List[bytes]:
     """Encode N float streams to WAV, batching the TPDF-dither + exact
     round-half-up quantize into ONE padded [streams, n] device call (the
     dither noise is seed+position determined, so each lane reproduces the
@@ -219,7 +234,7 @@ def encode_wav_batch(pcms: Sequence[np.ndarray], sample_rate: int,
         # payload bytes (3 B/sample for s24), not a 4 B int32 plane
         bodies = pcm_ops.quantize_pack_rows(
             rows, lens, seeds, qkind, sample_size,
-            dither=options.enable_dither and qkind != "s32")
+            dither=options.enable_dither and qkind != "s32", mesh=mesh)
     outs = []
     for i, p in enumerate(pcms):
         ch = p.shape[1]

@@ -79,7 +79,13 @@ def walk_bigvalue_table(tabs, base):
                 cw = code >> (width - used) if used <= width else None
                 assert used <= width
                 cw = (prefix << used) | (idx >> (width - used))
-                x, y = (leaf >> 4) & 0xF, leaf & 0xF
+                # nibble order: the reference emits dst[0] from the LOW
+                # nibble, then leaf >>= 4 for dst[1] (minimp3.d:843-848)
+                # — x (line 2i) is the low nibble.  Round 5 fix: this was
+                # transposed, which swapped every big-values pair on the
+                # wire (self-consistent builder+decoder, caught by the
+                # libavcodec/libmpg123 oracle anchor).
+                x, y = leaf & 0xF, (leaf >> 4) & 0xF
                 key = (cw, total)
                 if key in out:
                     assert out[key] == (x, y), (key, out[key], (x, y))
