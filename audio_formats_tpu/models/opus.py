@@ -576,25 +576,29 @@ class OpusStreamDecoder:
                 rate = [8000, 12000, 16000][bw]
                 self._silk_rs = [SpeexResampler(rate)
                                  for _ in range(self.channels)]
-                delay = [4, 8, 11][bw] + (1 if self.channels == 2 else 0)
+                delay = [5, 9, 12][bw]
                 for rs in self._silk_rs:
                     rs.process(np.zeros(delay, np.float32), 128)
                 self._silk_drop = self._SILK_DROP_48[bw]
             else:
                 # production path: libopus-identified kernels (~81 dB vs
-                # the oracle's own resampler, tools/fit_silk_resampler.py);
-                # alignment is inherent in the fit.  Stereo feeds one
-                # native zero: the unmix path has one sample less
-                # intrinsic delay than the mono copy path (mid[i-1])
+                # the oracle's own resampler, tools/fit_silk_resampler.py)
                 from ..ops.resample import FittedUpsampler
 
                 self._silk_rs = [FittedUpsampler(bw)
                                  for _ in range(self.channels)]
-                # our native SILK stream leads libopus' 16 kHz output by
-                # silk_resample_delay[bw] samples (measured; dopus.d:6243
-                # feeds the same counts as silence) — plus one for stereo:
-                # the unmix path has one sample less intrinsic delay
-                feed = [3, 8, 11][bw] + (1 if self.channels == 2 else 0)
+                # warmup zeros so the silk48 stream carries exactly
+                # libopus' leading delay.  ONE value per bandwidth, no
+                # per-channel-count adjustment: decode_superframe's mono
+                # copy and MS unmix now share a one-sample-delay timeline
+                # (silk.py decode_superframe), exactly as libopus delays
+                # its mono copy and silk_stereo_MS_to_LR identically —
+                # so mono-TOC and stereo-TOC packets (which can alternate
+                # mid-stream) ride one grid.  The old per-mode skew was
+                # the r1-r4 "coupled stereo 13 dB" corner: a 16 kbps
+                # stereo encode emits mono-TOC packets, which landed one
+                # native sample (3 @48k) off.
+                feed = [4, 9, 12][bw]
                 for rs in self._silk_rs:
                     rs.process(np.zeros(feed, np.float32), 0)
                 self._silk_drop = 0

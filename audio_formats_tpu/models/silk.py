@@ -681,8 +681,13 @@ class SilkDecoder:
             if s.midonly and s.frame[1].coded:
                 s.frame[1].flush()
             if coded_channels == 1 or s.output_channels == 1:
+                # one-sample delay, SAME as the stereo unmix timeline
+                # (libopus dec_API.c delays mono and MS_to_LR identically;
+                # a 2-sample window here put mono-TOC packets one native
+                # sample late vs stereo ones — the r1-r4 "coupled stereo
+                # 13 dB corner" was exactly this skew)
                 seg = s.frame[0].output[
-                    SILK_HISTORY - s.flength - 2 : SILK_HISTORY - 2]
+                    SILK_HISTORY - s.flength - 1 : SILK_HISTORY - 1]
                 for ch in range(s.output_channels):
                     out[i * s.flength : (i + 1) * s.flength, ch] = seg
             else:

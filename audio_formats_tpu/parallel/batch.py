@@ -2937,7 +2937,9 @@ class BatchDecoder:
         coded = 2 if stereo else 1
         endband = 19 if config < 14 else 21
         rows = B * nch
-        feed = 11 + (1 if nch == 2 else 0)
+        # one warmup value regardless of channel count: mono copy and MS
+        # unmix share a one-sample-delay timeline (models/silk.py)
+        feed = 12
         rs = BatchedFittedUpsampler(2, rows, feed=feed)
         outs = [[] for _ in range(B)]
         sds = []
@@ -3098,7 +3100,9 @@ class BatchDecoder:
         T = dur_ms * rate // 1000 * nfr
         coded = 2 if stereo else 1
         rows = B * nch
-        feed = [3, 8, 11][bw] + (1 if nch == 2 else 0)
+        # one warmup value regardless of channel count (models/silk.py:
+        # mono copy and MS unmix share a one-sample-delay timeline)
+        feed = [4, 9, 12][bw]
         rs = BatchedFittedUpsampler(bw, rows, feed=feed)
         silks = [SilkDecoder(output_channels=nch) for _ in decs]
         outs = [[] for _ in range(B)]

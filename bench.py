@@ -1179,13 +1179,27 @@ def _opus_mode_gauge(only=None):
     # --- hybrid (SILK WB + CELT bands 17+)
     _snr_stream(36000, O.OPUS_BANDWIDTH_FULLBAND, set(range(12, 16)),
                 "opus_hybrid_snr_db_vs_libopus", 38.0)
-    # --- the documented worst corner (DESIGN.md: coupled-stereo SILK at
-    # low bitrate): force SILK mode so the encoder cannot escape to CELT.
-    # Measured 13.3 dB on the real chip (coupled mid/side prediction is
-    # where fixed- vs float-point decoders diverge most) — bound 3 dB under
+    # --- stereo SILK, low bitrate (the encoder codes these as mono-TOC
+    # packets — side never coded — through the stereo facade).  r1-r4
+    # measured 13.3 dB here; root cause (found r5): decode_superframe's
+    # mono copy ran on a 2-sample-delay window while the MS unmix ran on
+    # 1, so mono-TOC packets landed one native sample (3 @48k) off the
+    # libopus grid.  Both paths now share the 1-sample timeline (libopus
+    # dec_API.c semantics) and the row measures 54.1 dB.
     _snr_stream(16000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
-                "opus_silk_coupled_snr_db_vs_libopus", 10.0,
+                "opus_silk_coupled_snr_db_vs_libopus", 50.0,
                 channels=2, force_mode=1000)
+    # --- stereo SILK with the side channel REALLY coded (24 kbps keeps
+    # stereo-TOC packets; measured side RMS 0.058, SNR 55.5 — r4 code
+    # measured ~5 dB on this shape).  Bound measured-minus-4.
+    _snr_stream(24000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
+                "opus_silk_coupled_side_snr_db_vs_libopus", 51.0,
+                channels=2, force_mode=1000)
+    # --- hybrid stereo (SILK WB + CELT bands 17+, coupled content;
+    # measured 54.0 after the timeline unification — r4 code ~4.9 dB)
+    _snr_stream(52000, O.OPUS_BANDWIDTH_FULLBAND, set(range(12, 16)),
+                "opus_hybrid_stereo_snr_db_vs_libopus", 50.0,
+                channels=2, force_mode=1001)
     # --- s16-parity mode (the reference's exact output grid,
     # dopus.d:8098-8105): same stream as silk48, quantized output
     # (measured 48.5 dB — the s16 grid shaves ~3 dB off the float row)
@@ -1776,6 +1790,10 @@ def main():
                 "hybrid_snr": _gauge("opus_hybrid_snr_db_vs_libopus"),
                 "silk_coupled_snr": _gauge(
                     "opus_silk_coupled_snr_db_vs_libopus"),
+                "silk_coupled_side_snr": _gauge(
+                    "opus_silk_coupled_side_snr_db_vs_libopus"),
+                "hybrid_stereo_snr": _gauge(
+                    "opus_hybrid_stereo_snr_db_vs_libopus"),
                 "silk_s16_snr": _gauge("opus_silk48_s16_snr_db"),
             },
             "mixed": {k: mx.get(k) for k in (
