@@ -1042,7 +1042,127 @@ def measure_accuracy():
     # reference — stated as SNR floors (the same contracts the test suite
     # enforces: tests/test_opus_silk.py:207,275).
     out.update(_opus_mode_gauge())
+    out.update(_c_oracle_gauge())
     return out
+
+
+def _c_oracle_gauge():
+    """Accuracy anchors against the reference's own C decoder lineages
+    (BASELINE.md first milestone, adapted: no D toolchain here, so the
+    system C libraries stand in — libavcodec for FLAC bit-exactness,
+    libmpg123 (ISO dist10 lineage) for MP3, libvorbis for Vorbis.
+    Content is corpus-class (the same generators as the bench corpus).
+    Rows carry bounds like the Opus gauge; full suites in
+    tests/test_av_oracle.py and tests/test_vorbis_oracle.py."""
+    import audio_formats_tpu as af
+
+    res = {}
+
+    def row(key, value, bound):
+        res[key] = {"value": float(value), "bound": bound,
+                    "ok": bool(value <= bound)}
+
+    # --- FLAC: lossless, must match libavcodec sample-for-sample
+    try:
+        from golden import av_oracle
+
+        if av_oracle.get_lib() is None:
+            raise OSError("libavcodec oracle unavailable")
+        rng = np.random.default_rng(41)
+        data = bytes(_flac_master(rng, 2.0))
+        _f, iv, sr, bits = av_oracle.decode(data)
+        if bits == 32:
+            iv = (iv.astype(np.int64) >> 16).astype(np.int64)
+        ours = af.AudioStream().open_from_memory(data) \
+            .read_samples_float(10 ** 7)
+        m = min(len(ours), len(iv))
+        want = ((iv[:m].astype(np.int64) << 16).astype(np.int32)
+                .astype(np.float64) / 2147483647.0).astype(np.float32)
+        row("flac_maxabs_vs_libavcodec", np.abs(ours[:m] - want).max(),
+            0.0)
+    except Exception as e:
+        res["flac_maxabs_vs_libavcodec"] = f"skipped: {e}"
+
+    # --- MP3: corpus-class frames at sane level (global_gain 170; the
+    # corpus default 214 decodes ~65 dB past full scale, where real
+    # decoders legitimately diverge — tests/test_av_oracle.py)
+    try:
+        from golden import mp3_ref, mpg123_oracle
+
+        if mpg123_oracle.get_lib() is None:
+            raise OSError("libmpg123 unavailable")
+        rng = np.random.default_rng(43)
+        frames = []
+        for i in range(0, 56, 2):
+            grs = []
+            for g in (i, i + 1):
+                q = np.zeros(576, np.int64)
+                kind = (g // 8) % 3
+                if kind == 0:
+                    q[rng.choice(300, 25, replace=False)] = \
+                        rng.integers(-60, 61, 25)
+                elif kind == 1:
+                    q[rng.choice(480, 90, replace=False)] = \
+                        rng.integers(-12, 13, 90)
+                else:
+                    q[rng.choice(200, 12, replace=False)] = \
+                        rng.integers(-4, 5, 12)
+                gr = {"q": q}
+                if (g // 2) % 9 == 4:
+                    gr["block_type"] = 2
+                grs.append([dict(gr) for _ in range(2)])
+            frames.append(grs)
+        data = bytes(mp3_ref.build_mp3(frames, channels=2,
+                                       global_gain=170))
+        ref = mpg123_oracle.decode(data, channels=2)
+        ours = af.AudioStream().open_from_memory(data) \
+            .read_samples_float(10 ** 7)
+        m = min(len(ref), len(ours))
+        peak = float(np.abs(ref[:m]).max()) + 1e-12
+        row("mp3_rel_vs_libmpg123",
+            float(np.abs(ref[:m] - ours[:m]).max()) / peak, 1e-4)
+    except Exception as e:
+        res["mp3_rel_vs_libmpg123"] = f"skipped: {e}"
+
+    # --- Vorbis: a REAL libvorbis encode (psychoacoustics + block
+    # switching), libvorbis's own synthesis as ground truth
+    try:
+        from golden import vorbis_oracle as VO
+        from audio_formats_tpu.io import ogg as aogg
+
+        if VO.get_libs() is None:
+            raise OSError("libvorbis unavailable")
+        rng = np.random.default_rng(47)
+        n, rate = 44100, 44100
+        t = np.arange(n) / rate
+        base = (0.4 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * np.sin(2 * np.pi * 2317 * t)
+                + 0.02 * rng.standard_normal(n))
+        pcm = np.stack([base, 0.3 * np.sin(2 * np.pi * 523 * t)
+                        + 0.02 * rng.standard_normal(n)],
+                       1).astype(np.float32)
+        headers, audio = VO.encode(pcm, rate, 0.4)
+        ref = VO.decode(headers, audio, 2)
+        serial = 0x5157
+        pages = [aogg.build_page([headers[0]], serial, 0, 0, bos=True),
+                 aogg.build_page(headers[1:3], serial, 1, 0)]
+        seq, pend = 2, []
+        for i, (p, gpos) in enumerate(audio):
+            pend.append(p)
+            if len(pend) == 8 or i == len(audio) - 1:
+                pages.append(aogg.build_page(
+                    pend, serial, seq, gpos, eos=(i == len(audio) - 1)))
+                pend, seq = [], seq + 1
+        data = b"".join(pages)
+        ours = af.AudioStream().open_from_memory(data) \
+            .read_samples_float(10 ** 7)
+        m = min(len(ref), len(ours))
+        peak = float(np.abs(ref[:m]).max()) + 1e-12
+        row("vorbis_rel_vs_libvorbis",
+            float(np.abs(ref[:m] - ours[:m]).max()) / peak, 1e-4)
+    except Exception as e:
+        res["vorbis_rel_vs_libvorbis"] = f"skipped: {e}"
+    return res
 
 
 class _SkipRow(Exception):
@@ -1785,6 +1905,9 @@ def main():
                 "flac_abs": _gauge("flac_max_abs_vs_golden"),
                 "qoa_abs": _gauge("qoa_max_abs_vs_golden"),
                 "vorbis_rel": _gauge("vorbis_rel_vs_golden"),
+                "flac_av": _gauge("flac_maxabs_vs_libavcodec"),
+                "mp3_mpg123": _gauge("mp3_rel_vs_libmpg123"),
+                "vorbis_libvorbis": _gauge("vorbis_rel_vs_libvorbis"),
                 "celt_rel": _gauge("opus_celt_rel_vs_libopus"),
                 "silk48_snr": _gauge("opus_silk48_snr_db_vs_libopus"),
                 "hybrid_snr": _gauge("opus_hybrid_snr_db_vs_libopus"),
