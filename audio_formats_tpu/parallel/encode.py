@@ -30,7 +30,7 @@ from ..ops import pcm as pcm_ops
 
 def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
                      parallel_frames: bool = True,
-                     mesh=None) -> List[bytes]:
+                     mesh=None, stats: dict = None) -> List[bytes]:
     """Encode N streams of float PCM [(frames, ch)] to QOA byte streams.
 
     Channel counts may differ per stream; lanes = Σ channels.  Byte-exact
@@ -67,7 +67,7 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
         s16.append(q.reshape(-1, p.shape[1]).astype(np.int32))
     if parallel_frames:
         return _encode_qoa_frames_parallel(
-            s16, chans, lengths, sample_rate, mesh=mesh)
+            s16, chans, lengths, sample_rate, mesh=mesh, stats=stats)
     L = sum(chans)
     lane_of = np.cumsum([0] + chans)
     hist = np.zeros((L, QOA_LMS_LEN), np.int32)
@@ -119,12 +119,22 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
 
 
 def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
-                                mesh=None) -> List[bytes]:
+                                mesh=None, stats=None) -> List[bytes]:
     """Frame-parallel QOA encode: every (stream, frame, channel) is an
-    independent lane of ONE lockstep device call (chunked to bound
-    memory), each frame starting from the encoder's initial LMS state
-    {0,0,-2^13,2^14} (qoa.d:568-581) which is written into its header.
-    Per-lane frame lengths let final partial frames ride the same call."""
+    independent lane of a lockstep device call (chunked to bound memory
+    AND to pipeline the wire), each frame starting from the encoder's
+    initial LMS state {0,0,-2^13,2^14} (qoa.d:568-581) which is written
+    into its header.  Per-lane frame lengths let final partial frames
+    ride the same call.
+
+    Wire discipline (the encode wall is wire-bound on a tunneled chip):
+    chunks of <=2048 lanes upload via async device_put BEFORE any kernel
+    launch, so chunk k+1's h2d overlaps chunk k's search; only the live
+    lanes of each word plane come back (bucketed device slice), started
+    with copy_to_host_async so downloads overlap later chunks' compute.
+    If ``stats`` (a dict) is passed, h2d_bytes/d2h_bytes are recorded."""
+    import jax
+
     n = len(s16)
     # lane layout: frame-major per stream, channel-minor
     spans = []  # (stream, frame_idx, frame_samples, lane_start)
@@ -138,10 +148,15 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
             by_stream[i].append((fs, lane))
             lane += chans[i]
     L = lane
-    CHUNK = 8192  # lanes per device call (bounds plane memory);
-    # chunks cut at span boundaries so a frame's channels stay together
+    CHUNK = 2048  # lanes per device call: small enough that several
+    # chunks pipeline upload/compute/download on the tunnel, large
+    # enough to fill the chip; chunks cut at span boundaries so a
+    # frame's channels stay together
     hi_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.uint32)
     lo_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.uint32)
+    h2d = d2h = 0
+    # ---- phase 1: assemble + start EVERY chunk's upload (async)
+    puts = []  # (c0, c1, Lp, rows_d, flen_d)
     si = 0
     while si < len(spans):
         c0 = spans[si][3]
@@ -163,21 +178,49 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
             seg = s16[i][f * QOA_FRAME_LEN : f * QOA_FRAME_LEN + fs]
             rows[ls - c0 : ls - c0 + chans[i], :fs] = seg.T
             flen[ls - c0 : ls - c0 + chans[i]] = fs
-        # fused search + DEVICE word pack: the only download is the
-        # [L, 256] x 2 u32 word planes (8 B/slice), not codes+sf (84 B)
+        h2d += rows.nbytes + flen.nbytes
         if mesh is not None:
             # multi-chip: shard the lane axis over 'data' (Lp is a pow2
             # bucket, divisible by any pow2 data axis); word planes come
             # back lane-sharded and concatenate bit-exactly
-            import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rows = jax.device_put(rows, NamedSharding(mesh, P("data", None)))
             flen = jax.device_put(flen, NamedSharding(mesh, P("data")))
-        hi, lo = lms_ops.qoa_encode_frame_words(rows, flen)
-        hi_all[c0:c1] = np.asarray(hi)[:Lc]
-        lo_all[c0:c1] = np.asarray(lo)[:Lc]
+        else:
+            rows = jax.device_put(rows)
+            flen = jax.device_put(flen)
+        puts.append((c0, c1, Lp, rows, flen))
         si = sj
+    # ---- phase 2: launch every search + start the live-lane downloads
+    fetches = []  # (c0, c1, hi_d, lo_d)
+    for (c0, c1, Lp, rows, flen) in puts:
+        # fused search + DEVICE word pack: the only download is the
+        # [L, 256] x 2 u32 word planes (8 B/slice), not codes+sf (84 B)
+        hi, lo = lms_ops.qoa_encode_frame_words(rows, flen)
+        Lc = c1 - c0
+        if mesh is None and Lc < Lp:
+            # fetch only the live lanes (256-bucketed so the device
+            # slice compiles a bounded shape set, not one per call)
+            Lf = min(Lp, -(-Lc // 256) * 256)
+            hi, lo = hi[:Lf], lo[:Lf]
+        for a in (hi, lo):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        fetches.append((c0, c1, hi, lo))
+    # ---- phase 3: resolve
+    for (c0, c1, hi, lo) in fetches:
+        Lc = c1 - c0
+        hi = np.asarray(hi)
+        lo = np.asarray(lo)
+        d2h += hi.nbytes + lo.nbytes
+        hi_all[c0:c1] = hi[:Lc]
+        lo_all[c0:c1] = lo[:Lc]
+    if stats is not None:
+        stats["h2d_bytes"] = h2d
+        stats["d2h_bytes"] = d2h
     # constant pre-frame LMS state words (history 0, weights
     # {0,0,-2^13,2^14}) — the frame-parallel contract writes the initial
     # state into every frame header (qoa.d:315-326)

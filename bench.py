@@ -825,12 +825,19 @@ def bench_device_resident_celt(B=256, K=12, reps=6):
     return rate, X.nbytes, audio
 
 
-def bench_batch_encode(B=64, secs=4):
+def bench_batch_encode(B=64, secs=4, up_bw=None, down_bw=None):
     """Batched encode throughput (the write half of the framework): N
     distinct stereo masters through the lockstep QOA encoder (device
     16-scalefactor LMS search, ops/lms.py) and the batched WAV s24 encoder
     (device TPDF dither + exact quantize).  End-to-end wall including the
-    host byte assembly — realtime x of audio encoded per second."""
+    host byte assembly — realtime x of audio encoded per second.
+
+    Encode has its own wire physics (VERDICT r4 #5), recorded here when
+    link rates are passed: the QOA wire is s16 PCM up + packed slice
+    words down; the WAV wire is f32 PCM up + the payload bytes down (on
+    this tunnel the ~13 MB/s DOWNLINK is the binding term for both).
+    ``encode_link_bound_rtx_*`` = audio_s / (up/up_bw + down/down_bw);
+    ``encode_ceiling_fraction_*`` = measured / that cap."""
     from audio_formats_tpu.config import EncodingOptions
     from audio_formats_tpu.parallel.encode import (encode_qoa_batch,
                                                    encode_wav_batch)
@@ -849,19 +856,40 @@ def bench_batch_encode(B=64, secs=4):
         pcms.append(np.clip(x, -1, 1))
     audio = B * secs
     out = {}
-    encode_qoa_batch(pcms, 44100)  # compile warmup at the timed shape
-    t0 = time.perf_counter()
-    encode_qoa_batch(pcms, 44100)
-    out["batch_encode_rtx_qoa"] = round(audio / (time.perf_counter() - t0), 1)
+
+    def _ceiling(tag, rtx, up_bytes, down_bytes):
+        if not (up_bw and down_bw):
+            return
+        cap = audio / (up_bytes / up_bw + down_bytes / down_bw)
+        out[f"encode_link_bound_rtx_{tag}"] = round(cap, 1)
+        out[f"encode_ceiling_fraction_{tag}"] = round(rtx / cap, 3)
+
+    st = {}
+    encode_qoa_batch(pcms, 44100, stats=st)  # compile warmup, timed shape
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        encode_qoa_batch(pcms, 44100, stats=st)
+        best = min(best, time.perf_counter() - t0)
+    qoa_rtx = round(audio / best, 1)
+    out["batch_encode_rtx_qoa"] = qoa_rtx
+    _ceiling("qoa", qoa_rtx, st.get("h2d_bytes", 0),
+             st.get("d2h_bytes", 0))
     from audio_formats_tpu.config import AudioSampleFormat
 
     opt = EncodingOptions(sample_format=AudioSampleFormat.s24,
                           enable_dither=True)
     encode_wav_batch(pcms, 44100, options=opt)
-    t0 = time.perf_counter()
-    encode_wav_batch(pcms, 44100, options=opt)
-    out["batch_encode_rtx_wav_s24"] = round(
-        audio / (time.perf_counter() - t0), 1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        encode_wav_batch(pcms, 44100, options=opt)
+        best = min(best, time.perf_counter() - t0)
+    wav_rtx = round(audio / best, 1)
+    out["batch_encode_rtx_wav_s24"] = wav_rtx
+    # WAV wire, analytic: padded f32 rows up, 3 B/sample payload down
+    nsamp = sum(p.size for p in pcms)
+    _ceiling("wav_s24", wav_rtx, nsamp * 4, nsamp * 3)
 
     # device-only rate of the QOA encode kernel (16-scalefactor LMS
     # search, qoa.d:345-383 as a vectorized axis): per-frame cost is small
@@ -1555,7 +1583,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/af_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from audio_formats_tpu.parallel import BatchDecoder
 
@@ -1625,6 +1653,7 @@ def main():
     _mark("end-to-end reps")
     best_dt, best_stats, best_split = float("inf"), None, None
     rep_walls = []
+    rep_host_cpu = []   # per-rep parse-thread CPU: in-artifact spread
     budget_s = float(os.environ.get("BENCH_REP_BUDGET_S", "300"))
     t_reps0 = time.time()
     for ri in range(reps):
@@ -1637,6 +1666,8 @@ def main():
         t_sync = time.perf_counter() - t0 - t_probe - t_call
         dt = time.perf_counter() - t0
         rep_walls.append(round(dt, 2))
+        rep_host_cpu.append(round(dec.stats.get("host_cpu_ms", 0.0)
+                                  / 1e3, 3))
         if dt < best_dt:
             best_dt, best_stats = dt, dict(dec.stats)
             best_split = (t_probe, t_call, t_sync)
@@ -1718,7 +1749,7 @@ def main():
         cres_rtx, cres_bytes, cres_audio = 0.0, 0, 0.0
     _mark("device-resident rows done; batch encode rows")
     try:
-        enc_rows = bench_batch_encode()
+        enc_rows = bench_batch_encode(up_bw=up_bw, down_bw=down_bw)
     except Exception as e:  # auxiliary row must never kill the bench
         enc_rows = {"batch_encode_error": str(e)}
     try:
@@ -1777,6 +1808,10 @@ def main():
         # from rep 1; every rep's wall recorded
         "reps_run": len(rep_walls),
         "rep_walls_s": rep_walls,
+        # per-rep parse-thread CPU seconds: the within-run spread of the
+        # quantity under host_rtx_per_core_cpu (VERDICT r4 #4 asked the
+        # swing be demonstrated or root-caused; see DESIGN.md §7d)
+        "rep_host_cpu_s": rep_host_cpu,
         "cold_start_s": round(cold_s, 1),
         "cold_rtx": round(cold_rtx, 1),
         # wall decomposition of the best rep (sums to closes_frac of wall)

@@ -17,7 +17,7 @@ os.environ.setdefault("AF_TPU_MP3_POOL_BITS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/af_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import bench  # noqa: E402
 from audio_formats_tpu.parallel import BatchDecoder  # noqa: E402
