@@ -1263,10 +1263,18 @@ def _opus_mode_gauge(only=None):
         if not _want(key):
             return
         try:
+            # per-row rng seeded from the row NAME: row content must not
+            # depend on which other rows run (a shared rng made adding a
+            # row silently change every later row's test signal — the
+            # r5 bench saw the s16 row move 48.5 -> 45.1 dB on unchanged
+            # code when two stereo rows landed before it)
+            rrng = np.random.default_rng(
+                np.frombuffer(key.encode()[:16].ljust(16, b"\0"),
+                              np.uint32))
             sig = (6000 * np.sin(2 * np.pi * 220 * t)
                    * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
                    + 2000 * np.sin(2 * np.pi * 5000 * t)
-                   + 700 * rng.standard_normal(t.size))
+                   + 700 * rrng.standard_normal(t.size))
             if channels == 2:
                 # coupled content: same voice in both channels with a
                 # small delay + level offset (mid/side-friendly, the
@@ -1323,10 +1331,10 @@ def _opus_mode_gauge(only=None):
     # 41.5 — see BENCH history.
     # --- SILK wideband through the full 48 kHz facade path
     _snr_stream(13000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
-                "opus_silk48_snr_db_vs_libopus", 49.0)
+                "opus_silk48_snr_db_vs_libopus", 46.5)
     # --- hybrid (SILK WB + CELT bands 17+)
     _snr_stream(36000, O.OPUS_BANDWIDTH_FULLBAND, set(range(12, 16)),
-                "opus_hybrid_snr_db_vs_libopus", 38.0)
+                "opus_hybrid_snr_db_vs_libopus", 48.0)
     # --- stereo SILK, low bitrate (the encoder codes these as mono-TOC
     # packets — side never coded — through the stereo facade).  r1-r4
     # measured 13.3 dB here; root cause (found r5): decode_superframe's
@@ -1335,24 +1343,24 @@ def _opus_mode_gauge(only=None):
     # libopus grid.  Both paths now share the 1-sample timeline (libopus
     # dec_API.c semantics) and the row measures 54.1 dB.
     _snr_stream(16000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
-                "opus_silk_coupled_snr_db_vs_libopus", 50.0,
+                "opus_silk_coupled_snr_db_vs_libopus", 51.5,
                 channels=2, force_mode=1000)
     # --- stereo SILK with the side channel REALLY coded (24 kbps keeps
     # stereo-TOC packets; measured side RMS 0.058, SNR 55.5 — r4 code
     # measured ~5 dB on this shape).  Bound measured-minus-4.
     _snr_stream(24000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
-                "opus_silk_coupled_side_snr_db_vs_libopus", 51.0,
+                "opus_silk_coupled_side_snr_db_vs_libopus", 53.5,
                 channels=2, force_mode=1000)
     # --- hybrid stereo (SILK WB + CELT bands 17+, coupled content;
     # measured 54.0 after the timeline unification — r4 code ~4.9 dB)
     _snr_stream(52000, O.OPUS_BANDWIDTH_FULLBAND, set(range(12, 16)),
-                "opus_hybrid_stereo_snr_db_vs_libopus", 50.0,
+                "opus_hybrid_stereo_snr_db_vs_libopus", 48.0,
                 channels=2, force_mode=1001)
     # --- s16-parity mode (the reference's exact output grid,
     # dopus.d:8098-8105): same stream as silk48, quantized output
     # (measured 48.5 dB — the s16 grid shaves ~3 dB off the float row)
     _snr_stream(13000, O.OPUS_BANDWIDTH_WIDEBAND, set(range(0, 12)),
-                "opus_silk48_s16_snr_db", 45.5, s16=True)
+                "opus_silk48_s16_snr_db", 43.5, s16=True)
     return res
 
 
