@@ -1881,6 +1881,13 @@ def main():
         "host_cpu_s_by_format": host_cpu_by,
         "host_s_by_format": host_by,
         "enqueue_s_by_format": enq_by,
+        # enqueue sub-stage attribution (VERDICT r4 #2): what the
+        # per-window dispatch loop spends building pools / assembling
+        # per-lane columns / in the device_put call itself
+        "enqueue_substage_s": {
+            k[len("enq_"):-len("_ms")]: round(v / 1e3, 3)
+            for k, v in sorted(best_stats.items())
+            if k.startswith("enq_") and k.endswith("_ms")},
         "host_mp3_parse_rtx_per_core": round(getattr(
             bench_device_resident_mp3, "host_parse_rtx", 0.0), 1),
         "accuracy_vs_golden": accuracy,
