@@ -173,6 +173,15 @@ def get_lib():
                                      i32p, ctypes.c_int32, u32p,
                                      ctypes.c_int32]
         lib.af_flac_pack.restype = ctypes.c_int
+        # gather variants: pack straight from parse-window rows (per-row
+        # pointers + valid lengths), skipping the padded residual scatter
+        lib.af_flac_widths_gather.argtypes = [
+            i64p, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
+        lib.af_flac_widths_gather.restype = ctypes.c_int
+        lib.af_flac_pack_gather.argtypes = [
+            i64p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
+            ctypes.c_int32, u32p, ctypes.c_int32, i32p]
+        lib.af_flac_pack_gather.restype = ctypes.c_int
         lib.af_mp3_index.argtypes = [
             i8p, ctypes.c_int64, i8p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p]

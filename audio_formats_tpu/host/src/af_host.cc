@@ -311,6 +311,74 @@ int af_flac_pack(const int32_t* res, int32_t L, int32_t n,
   return 0;
 }
 
+// ---- gather variants: pack straight from the window parser's batch rows ---
+// The batch scheduler used to scatter every parsed residual row into a
+// padded [S*nch, max_bs] array before af_flac_widths/af_flac_pack re-read
+// it — one full extra pass over ~GB/rep of int32 residuals.  These
+// variants take per-row POINTERS (addresses into af_flac_parse_window[_multi]
+// output buffers) plus a per-row valid length ns[l]; samples at i >= ns[l]
+// read as 0 (exactly what the zero-initialized scatter produced).  A null
+// row pointer is an all-zero padding row.
+
+int af_flac_widths_gather(const int64_t* rows, int32_t L, int32_t n,
+                          const int32_t* ns, const int32_t* orders,
+                          int32_t* w_out) {
+  int wmax = 1;
+  for (int l = 0; l < L; l++) {
+    const int32_t* r = (const int32_t*)(intptr_t)rows[l];
+    int lim = ns[l] < n ? ns[l] : n;
+    int zu = orders[l] < 32 ? orders[l] : 32;
+    uint32_t mx = 0;
+    if (r)
+      for (int i = zu; i < lim; i++) {
+        int32_t v = r[i];
+        uint32_t m = v < 0 ? ~(uint32_t)v : (uint32_t)v;
+        if (m > mx) mx = m;
+      }
+    int w = 1;
+    while (mx) { mx >>= 1; w++; }
+    w_out[l] = w;
+    if (w > wmax) wmax = w;
+  }
+  return wmax;
+}
+
+// Pack rows at width w; also emits the int32 warm-up side channel
+// (warm[l][0:32] = row[0:min(32, ns[l])], zero beyond) when warm != NULL.
+int af_flac_pack_gather(const int64_t* rows, int32_t L, int32_t n,
+                        const int32_t* ns, const int32_t* orders, int32_t w,
+                        uint32_t* out, int32_t out_stride_words,
+                        int32_t* warm) {
+  uint32_t mask = (w < 32) ? ((1u << w) - 1u) : 0xFFFFFFFFu;
+  for (int l = 0; l < L; l++) {
+    const int32_t* r = (const int32_t*)(intptr_t)rows[l];
+    uint32_t* o = out + (int64_t)l * out_stride_words;
+    int lim = r ? (ns[l] < n ? ns[l] : n) : 0;
+    int zu = orders[l] < 32 ? orders[l] : 32;
+    uint64_t acc = 0;
+    int nb = 0, ow = 0;
+    for (int i = 0; i < lim; i++) {
+      uint32_t v = (i < zu) ? 0u : ((uint32_t)r[i] & mask);
+      acc = (acc << w) | v;
+      nb += w;
+      if (nb >= 32) {
+        o[ow++] = (uint32_t)(acc >> (nb - 32));
+        nb -= 32;
+      }
+    }
+    // samples [lim, n) are zeros: flush the accumulator, zero the rest
+    if (nb) o[ow++] = (uint32_t)(acc << (32 - nb));
+    for (; ow < out_stride_words; ow++) o[ow] = 0;
+    if (warm) {
+      int32_t* wr = warm + (int64_t)l * 32;
+      int wl = lim < 32 ? lim : 32;
+      for (int i = 0; i < wl; i++) wr[i] = r[i];
+      for (int i = wl; i < 32; i++) wr[i] = 0;
+    }
+  }
+  return 0;
+}
+
 // ---- byte-level frame sync index (device-Rice mode) -----------------------
 // Finds frame start offsets WITHOUT walking the Rice residuals: candidate
 // positions must pass the 2-byte sync check, full header field validation,

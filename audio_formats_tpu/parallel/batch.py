@@ -1493,7 +1493,14 @@ class BatchDecoder:
                 flens[bi] = nb2
                 fcb[bi] = d._cur_bit
                 fbps[bi] = d.bits_per_sample
-            res_buf = np.empty((B, W * nch, mb_g), np.int32)
+            res_buf = res_buf_first = np.empty((B, W * nch, mb_g),
+                                               np.int32)
+            # second residual buffer: the dispatch worker packs straight
+            # from these rows (af_flac_pack_gather — no padded scatter
+            # copy), so window k's rows must survive until its pack
+            # completes while window k+1 parses into the OTHER buffer;
+            # buf_futs[parity] gates reuse two windows later
+            res_buf_alt = np.empty_like(res_buf)
             cf_buf = np.empty((B, W * nch, 32), np.int32)
             ord_buf = np.empty((B, W * nch), np.int32)
             shf_buf = np.empty((B, W * nch), np.int32)
@@ -1653,7 +1660,15 @@ class BatchDecoder:
             return out, prog, mbs
 
         try:
+            buf_futs = [None, None]   # dispatch future per buffer parity
+            wpar = 0
             while active.any():
+                if fmulti:
+                    # rows of the window that used this buffer (two
+                    # windows ago) must be packed before reuse
+                    if buf_futs[wpar] is not None:
+                        buf_futs[wpar].result()
+                    res_buf = res_buf_alt if wpar else res_buf_first
                 # host entropy stage: parse up to W frames per stream
                 t_host = time.perf_counter()
                 live = [bi for bi in range(B) if active[bi]]
@@ -1685,7 +1700,9 @@ class BatchDecoder:
                 S = max(8, 1 << (n_l - 1).bit_length()) if n_l <= 128 \
                     else -(-n_l // 128) * 128
                 max_bs = -(-max_bs // 1024) * 1024
-                residual = np.zeros((S * nch, max_bs), np.int32)
+                from ..host import native as _native
+
+                lib = _native.get_lib()
                 coeffs = np.zeros((S * nch, 32), np.int32)
                 order = np.full(S * nch, max_bs, np.int32)  # pad: pass-through
                 shift = np.zeros(S * nch, np.int32)
@@ -1693,9 +1710,32 @@ class BatchDecoder:
                 assigns = np.zeros(S, np.int32)
                 wasteds = np.zeros((S, nch), np.int32)
                 out_shifts = np.zeros(S, np.int32)
+                if lib is not None:
+                    # NO padded residual scatter: the worker packs straight
+                    # from the parser's output rows (af_flac_pack_gather).
+                    # rows[l] = address of that (lane,channel)'s residual
+                    # row, ns[l] its valid sample count (reads as 0
+                    # beyond); rows left 0 are all-zero padding rows.
+                    # This removes a full read+write pass over ~GB/rep of
+                    # int32 residuals that the scatter layout cost.
+                    rows = np.zeros(S * nch, np.int64)
+                    ns = np.zeros(S * nch, np.int32)
+                    keep = []          # keepalive for per-lane parse bufs
+                    residual = None
+                else:
+                    rows = ns = keep = None
+                    residual = np.zeros((S * nch, max_bs), np.int32)
                 for si, (bi, p) in enumerate(lanes):
                     bs, ca, res, cf, orr, sh, wa, bps, _slot = p
-                    residual[si * nch : si * nch + nch, :bs] = res
+                    if residual is None:
+                        base = res.__array_interface__["data"][0]
+                        st0 = res.strides[0]
+                        for c in range(nch):
+                            rows[si * nch + c] = base + c * st0
+                        ns[si * nch : si * nch + nch] = bs
+                        keep.append(res)
+                    else:
+                        residual[si * nch : si * nch + nch, :bs] = res
                     coeffs[si * nch : si * nch + nch] = cf
                     order[si * nch : si * nch + nch] = orr
                     shift[si * nch : si * nch + nch] = sh
@@ -1710,18 +1750,20 @@ class BatchDecoder:
                 # GIL, the tunnel upload is network IO) so window t+1's host
                 # frame parse overlaps window t's transfer — same pipelining
                 # as the MP3 scheduler.
-                from ..host import native as _native
-
-                lib = _native.get_lib()
                 Ln = S * nch
                 use_s16 = all(decs[bi].bits_per_sample <= 16 for bi, _ in lanes)
 
-                def _flac_dispatch(residual, coeffs, order, shift, exact,
-                                   assigns, wasteds, out_shifts, max_bs, S,
-                                   use_s16):
+                def _flac_dispatch(rows, ns, keep, residual, coeffs, order,
+                                   shift, exact, assigns, wasteds,
+                                   out_shifts, max_bs, S, use_s16):
                     # NOTE: everything per-window must arrive as an argument —
-                    # the enclosing loop rebinds its locals while this runs
-                    Ln = residual.shape[0]
+                    # the enclosing loop rebinds its locals while this runs.
+                    # `rows`/`ns` address the parser's residual rows in
+                    # place (gather pack — no scatter copy); `keep` holds
+                    # the per-lane parse buffers alive until the pack
+                    # reads them (fmulti rows live in the double-buffered
+                    # res_buf, gated by buf_futs instead).
+                    Ln = S * nch
                     h2d = 0
                     packed = None
                     if lib is not None:
@@ -1729,9 +1771,12 @@ class BatchDecoder:
 
                         _i32p = _ct.POINTER(_ct.c_int32)
                         _u32p = _ct.POINTER(_ct.c_uint32)
+                        _i64p = _ct.POINTER(_ct.c_int64)
+                        t_pk = time.perf_counter()
                         w_l = np.zeros(Ln, np.int32)
-                        wmax = lib.af_flac_widths(
-                            residual.ctypes.data_as(_i32p), Ln, max_bs,
+                        wmax = lib.af_flac_widths_gather(
+                            rows.ctypes.data_as(_i64p), Ln, max_bs,
+                            ns.ctypes.data_as(_i32p),
                             order.ctypes.data_as(_i32p),
                             w_l.ctypes.data_as(_i32p))
                         # residual widths are heavy-tailed (verbatim blocks,
@@ -1741,11 +1786,13 @@ class BatchDecoder:
                         wb, Lb = _flac_width_plan(w_l, wmax, Ln, max_bs)
                         stride = (max_bs * wb + 31) // 32 + 1
                         packed = np.empty((Ln, stride), np.uint32)
-                        lib.af_flac_pack(
-                            residual.ctypes.data_as(_i32p), Ln, max_bs,
+                        warm = np.empty((Ln, 32), np.int32)
+                        lib.af_flac_pack_gather(
+                            rows.ctypes.data_as(_i64p), Ln, max_bs,
+                            ns.ctypes.data_as(_i32p),
                             order.ctypes.data_as(_i32p), wb,
-                            packed.ctypes.data_as(_u32p), stride)
-                        warm = np.ascontiguousarray(residual[:, :32])
+                            packed.ctypes.data_as(_u32p), stride,
+                            warm.ctypes.data_as(_i32p))
                         if Lb:
                             # the few wide rows ship PACKED too, at the
                             # window-max bucket (was: raw int32)
@@ -1753,22 +1800,29 @@ class BatchDecoder:
                             wb2 = next((x for x in _FLAC_W_BUCKETS
                                         if wmax <= x), 32)
                             stride2 = (max_bs * wb2 + 31) // 32 + 1
-                            sub = np.ascontiguousarray(residual[over])
                             order2 = np.full(Lb, max_bs, np.int32)
                             order2[1 : 1 + over.size] = order[over]
                             packed2 = np.zeros((Lb, stride2), np.uint32)
+                            warm2 = np.zeros((Lb, 32), np.int32)
                             if over.size:
-                                lib.af_flac_pack(
-                                    sub.ctypes.data_as(_i32p), over.size,
-                                    max_bs,
+                                rows_o = np.ascontiguousarray(rows[over])
+                                ns_o = np.ascontiguousarray(ns[over])
+                                lib.af_flac_pack_gather(
+                                    rows_o.ctypes.data_as(_i64p),
+                                    int(over.size), max_bs,
+                                    ns_o.ctypes.data_as(_i32p),
                                     np.ascontiguousarray(order[over])
                                     .ctypes.data_as(_i32p), wb2,
                                     packed2[1:].ctypes.data_as(_u32p),
-                                    stride2)
-                            warm2 = np.zeros((Lb, 32), np.int32)
-                            warm2[1 : 1 + over.size] = sub[:, :32]
+                                    stride2,
+                                    warm2[1:].ctypes.data_as(_i32p))
                             ovf_idx = np.zeros(Ln, np.int32)
                             ovf_idx[over] = np.arange(1, 1 + over.size)
+                        keep = None   # parser rows consumed
+                        # runs on the dispatch worker, overlapped with the
+                        # next window's parse — attribution, not wall split
+                        self._stat_add("enq_flacp_pack_ms",
+                                       (time.perf_counter() - t_pk) * 1e3)
                     if packed is not None:
                         (packed_d, warm_d, coeffs, order, shift, exact,
                          assigns, wasteds, out_shifts) = _shard_batch(
@@ -1804,8 +1858,9 @@ class BatchDecoder:
                     return out32, h2d
 
                 fut = pool.submit(
-                    _flac_dispatch, residual, coeffs, order, shift, exact,
-                    assigns, wasteds, out_shifts, max_bs, S, use_s16)
+                    _flac_dispatch, rows, ns, keep, residual, coeffs,
+                    order, shift, exact, assigns, wasteds, out_shifts,
+                    max_bs, S, use_s16)
                 self._note_stage("enqueue_ms", "flac", t_enq)
                 self._stat_add("windows", 1)
                 # placeholders were claimed at parse time (frame order —
@@ -1813,6 +1868,11 @@ class BatchDecoder:
                 # p[8] is the frame's slot
                 pending.append((fut, [(p[8], si, p[0]) for si, (bi, p)
                                       in enumerate(lanes)]))
+                if fmulti and lib is not None:
+                    # this window's rows live in res_buf[wpar]; flip
+                    # parity so the next window parses the other buffer
+                    buf_futs[wpar] = fut
+                    wpar ^= 1
 
         finally:
             # see _decode_mp3_group_packed: no worker leaks on a
