@@ -182,6 +182,9 @@ def get_lib():
             i64p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
             ctypes.c_int32, u32p, ctypes.c_int32, i32p]
         lib.af_flac_pack_gather.restype = ctypes.c_int
+        lib.af_u32_pack_prefix_rows.argtypes = [
+            u32p, ctypes.c_int32, ctypes.c_int32, i32p, u32p]
+        lib.af_u32_pack_prefix_rows.restype = ctypes.c_int64
         lib.af_mp3_index.argtypes = [
             i8p, ctypes.c_int64, i8p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p]

@@ -379,6 +379,24 @@ int af_flac_pack_gather(const int64_t* rows, int32_t L, int32_t n,
   return 0;
 }
 
+// Concatenate each row's first ns[l] uint32 words (the MP3 pooled
+// bit-plane build: per-lane spans at their true sizes, one pass, no
+// boolean-mask temp).  Returns words written.
+int64_t af_u32_pack_prefix_rows(const uint32_t* rows, int32_t L,
+                                int32_t stride, const int32_t* ns,
+                                uint32_t* out) {
+  int64_t o = 0;
+  for (int l = 0; l < L; l++) {
+    int n = ns[l];
+    if (n > stride) n = stride;
+    if (n > 0) {
+      memcpy(out + o, rows + (int64_t)l * stride, (size_t)n * 4);
+      o += n;
+    }
+  }
+  return o;
+}
+
 // ---- byte-level frame sync index (device-Rice mode) -----------------------
 // Finds frame start offsets WITHOUT walking the Rice residuals: candidate
 // positions must pass the 2-byte sync check, full header field validation,

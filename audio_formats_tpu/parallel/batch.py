@@ -1153,7 +1153,22 @@ class BatchDecoder:
                     flat = bits.reshape(L, LW)
                     sp = np.minimum(lanew, LW)
                     meta16[:, 15] = sp.astype(np.int16)
-                    pool_w = flat[np.arange(LW)[None, :] < sp[:, None]]
+                    if lib is not None:
+                        # one C pass copying each lane's true span —
+                        # replaces the boolean fancy-index (mask temp +
+                        # compaction pass over the full [L, LW] plane)
+                        import ctypes as _ct
+
+                        sp32 = np.ascontiguousarray(sp, np.int32)
+                        pool_w = np.empty(int(sp32.sum()), np.uint32)
+                        _u32p = _ct.POINTER(_ct.c_uint32)
+                        lib.af_u32_pack_prefix_rows(
+                            flat.ctypes.data_as(_u32p), L, LW,
+                            sp32.ctypes.data_as(
+                                _ct.POINTER(_ct.c_int32)),
+                            pool_w.ctypes.data_as(_u32p))
+                    else:
+                        pool_w = flat[np.arange(LW)[None, :] < sp[:, None]]
                 self._stat_add("enq_mp3_poolw_ms",
                                (time.perf_counter() - t_poolw) * 1e3)
                 t_blob = time.perf_counter()
