@@ -103,3 +103,83 @@ def test_mp3_huffman_equivalence(lib, rng):
         assert nat is not None
         np.testing.assert_array_equal(nat[0], qpy)
         np.testing.assert_array_equal(nat[1], gpy)
+
+
+def test_flac_pack_gather_matches_scatter_pack(lib, rng):
+    """af_flac_widths_gather / af_flac_pack_gather == the scatter +
+    af_flac_widths / af_flac_pack contract the batch scheduler replaced
+    (batch.py _flac_dispatch): per-row pointers with valid lengths, a
+    NULL padding row, garbage beyond ns that must read as zero, and the
+    warm side-channel emitted in the same pass."""
+    import ctypes as ct
+
+    i32p = ct.POINTER(ct.c_int32)
+    i64p = ct.POINTER(ct.c_int64)
+    u32p = ct.POINTER(ct.c_uint32)
+    L, n = 7, 256
+    # parser-style buffer: np.empty semantics -> garbage beyond each
+    # row's valid sample count
+    buf = rng.integers(-(1 << 20), 1 << 20, (L, 400), dtype=np.int64)\
+        .astype(np.int32)
+    ns = np.array([256, 100, 0, 192, 33, 1, 256], np.int32)
+    orders = np.array([8, 0, 32, 4, 12, 1, 31], np.int32)
+    rows = np.zeros(L, np.int64)
+    for l in range(L):
+        if l != 2:          # row 2: NULL padding row
+            rows[l] = buf[l].ctypes.data
+    # reference: the old scatter into a zero-padded [L, n] layout
+    residual = np.zeros((L, n), np.int32)
+    for l in range(L):
+        if rows[l]:
+            residual[l, : ns[l]] = buf[l, : ns[l]]
+    w_ref = np.zeros(L, np.int32)
+    wmax_ref = lib.af_flac_widths(
+        residual.ctypes.data_as(i32p), L, n,
+        orders.ctypes.data_as(i32p), w_ref.ctypes.data_as(i32p))
+    w_got = np.zeros(L, np.int32)
+    wmax_got = lib.af_flac_widths_gather(
+        rows.ctypes.data_as(i64p), L, n, ns.ctypes.data_as(i32p),
+        orders.ctypes.data_as(i32p), w_got.ctypes.data_as(i32p))
+    assert wmax_got == wmax_ref
+    np.testing.assert_array_equal(w_got, w_ref)
+    for w in (int(wmax_ref), 32):
+        stride = (n * w + 31) // 32 + 1
+        p_ref = np.full((L, stride), 0xAAAAAAAA, np.uint32)
+        lib.af_flac_pack(residual.ctypes.data_as(i32p), L, n,
+                         orders.ctypes.data_as(i32p), w,
+                         p_ref.ctypes.data_as(u32p), stride)
+        p_got = np.full((L, stride), 0x55555555, np.uint32)
+        warm = np.full((L, 32), -1, np.int32)
+        lib.af_flac_pack_gather(
+            rows.ctypes.data_as(i64p), L, n, ns.ctypes.data_as(i32p),
+            orders.ctypes.data_as(i32p), w,
+            p_got.ctypes.data_as(u32p), stride,
+            warm.ctypes.data_as(i32p))
+        # old pack leaves at most one trailing word defined-zero; compare
+        # the words the device unpack actually reads
+        used = (n * w + 31) // 32
+        np.testing.assert_array_equal(p_got[:, :used], p_ref[:, :used])
+        assert (p_got[:, used:] == 0).all()
+        np.testing.assert_array_equal(warm, residual[:, :32])
+
+
+def test_u32_pack_prefix_rows_matches_fancy_index(lib, rng):
+    """af_u32_pack_prefix_rows == the boolean fancy-index pool build it
+    replaced (batch.py MP3 pooled bit plane)."""
+    import ctypes as ct
+
+    i32p = ct.POINTER(ct.c_int32)
+    u32p = ct.POINTER(ct.c_uint32)
+    L, LW = 23, 96
+    flat = rng.integers(0, 1 << 32, (L, LW), dtype=np.uint64)\
+        .astype(np.uint32)
+    sp = rng.integers(0, LW + 1, L).astype(np.int32)
+    sp[3] = 0
+    sp[5] = LW
+    ref = flat[np.arange(LW)[None, :] < sp[:, None]]
+    out = np.empty(int(sp.sum()), np.uint32)
+    nw = lib.af_u32_pack_prefix_rows(
+        flat.ctypes.data_as(u32p), L, LW,
+        sp.ctypes.data_as(i32p), out.ctypes.data_as(u32p))
+    assert nw == ref.size
+    np.testing.assert_array_equal(out, ref)
