@@ -297,6 +297,11 @@ class BatchDecoder:
         dec.stats                         # decoded seconds, per-lane errors
     """
 
+    #: format-group kinds whose device programs have loaded in this
+    #: process (first-dispatch deserialize/load is link latency; fresh
+    #: kinds get a temporary group-thread boost in decode_all)
+    _SEEN_GROUP_KINDS: set = set()
+
     def __init__(self, items: Sequence, mesh=None, group_size: int = None):
         self.decoders: List[Optional[object]] = []
         self.errors: List[Optional[str]] = []
@@ -587,6 +592,19 @@ class BatchDecoder:
         conc = int(os.environ.get("AF_TPU_GROUP_THREADS",
                                   default_threads)) \
             if self._mesh is None else 1
+        # First sight of a format-group kind in this process: its device
+        # programs still deserialize/load over the link at first dispatch
+        # — round-trip LATENCY, not CPU — so group threads overlap those
+        # loads even where the 1-core default is serial (same rationale
+        # as the mixed-Opus thread below).  Warm batches see no fresh
+        # kinds and keep the adaptive default (measured: concurrency
+        # CONTENDS on warm 1-core runs, see above).
+        kinds = {fn.__name__ for _c, fn, _a in jobs}
+        fresh_kinds = kinds - BatchDecoder._SEEN_GROUP_KINDS
+        if fresh_kinds and conc == 1 and self._mesh is None \
+                and len(jobs) > 1 \
+                and os.environ.get("AF_TPU_GROUP_THREADS") is None:
+            conc = 2
         # the mode-switching Opus lockstep blocks on one small device
         # round trip per window round — tunnel LATENCY, not CPU — so it
         # overlaps the other groups' host work even on a 1-core host
@@ -661,6 +679,10 @@ class BatchDecoder:
                         self._decode_opus_mixed_group, chunk)
                     for i, pcm in zip(chunk, res):
                         out[i] = pcm
+
+        # every group decode succeeded: these kinds' device programs are
+        # resident now — later batches keep the warm 1-core serial default
+        BatchDecoder._SEEN_GROUP_KINDS |= kinds
 
         # remaining formats: per-stream streaming read
         for i, d in enumerate(self.decoders):

@@ -594,3 +594,22 @@ def test_ogg_flac_batch_equals_facade(rng):
     out = dec.decode_all()[0]
     assert dec.stats["group_demotions"] == 0
     np.testing.assert_array_equal(out, _facade(data))
+
+
+def test_fresh_format_thread_boost_matches_serial(rng, monkeypatch):
+    """First sight of a format kind in a process boosts group threads to
+    overlap device-program loads (cold latency); outputs must equal the
+    forced-serial decode and the seen-set must disarm the boost after."""
+    monkeypatch.delenv("AF_TPU_GROUP_THREADS", raising=False)
+    items = [_mp3(rng), _flac(rng, 3000), _mp3(rng), _flac(rng, 2500)]
+    monkeypatch.setenv("AF_TPU_GROUP_THREADS", "1")
+    ref = BatchDecoder(items).decode_all()
+    monkeypatch.delenv("AF_TPU_GROUP_THREADS", raising=False)
+    seen = BatchDecoder._SEEN_GROUP_KINDS
+    monkeypatch.setattr(BatchDecoder, "_SEEN_GROUP_KINDS", set())
+    got = BatchDecoder(items).decode_all()   # boost path (all kinds fresh)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    assert {"_decode_mp3_group", "_decode_flac_group"} <= \
+        BatchDecoder._SEEN_GROUP_KINDS
+    BatchDecoder._SEEN_GROUP_KINDS |= seen   # restore for other tests
