@@ -604,7 +604,10 @@ class BatchDecoder:
         if fresh_kinds and conc == 1 and self._mesh is None \
                 and len(jobs) > 1 \
                 and os.environ.get("AF_TPU_GROUP_THREADS") is None:
-            conc = 2
+            # scale with the number of distinct groups: loads are link
+            # round trips, so wider overlap keeps helping while the CPU
+            # cost of an extra idle-waiting thread is nil
+            conc = min(4, len(jobs))
         # the mode-switching Opus lockstep blocks on one small device
         # round trip per window round — tunnel LATENCY, not CPU — so it
         # overlaps the other groups' host work even on a 1-core host

@@ -601,7 +601,16 @@ def test_fresh_format_thread_boost_matches_serial(rng, monkeypatch):
     overlap device-program loads (cold latency); outputs must equal the
     forced-serial decode and the seen-set must disarm the boost after."""
     monkeypatch.delenv("AF_TPU_GROUP_THREADS", raising=False)
-    items = [_mp3(rng), _flac(rng, 3000), _mp3(rng), _flac(rng, 2500)]
+    s16 = np.clip(
+        np.round(11000 * np.sin(2 * np.pi * 330 * np.arange(2500) / 44100)),
+        -32768, 32767,
+    ).astype(np.int64)
+    qoa_data = qoa_ref.encode(s16.reshape(-1, 1).astype(np.int16), 44100)
+    wav_data = wav_ref.build_wav(wav_ref.pack_pcm(s16, 16), fmt_tag=1,
+                                 channels=1, sample_rate=44100, bits=16)
+    # 4 distinct group kinds -> the widest boost (conc = min(4, jobs))
+    items = [_mp3(rng), _flac(rng, 3000), qoa_data, wav_data,
+             _mp3(rng), _flac(rng, 2500)]
     monkeypatch.setenv("AF_TPU_GROUP_THREADS", "1")
     ref = BatchDecoder(items).decode_all()
     monkeypatch.delenv("AF_TPU_GROUP_THREADS", raising=False)
@@ -610,6 +619,7 @@ def test_fresh_format_thread_boost_matches_serial(rng, monkeypatch):
     got = BatchDecoder(items).decode_all()   # boost path (all kinds fresh)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
-    assert {"_decode_mp3_group", "_decode_flac_group"} <= \
+    assert {"_decode_mp3_group", "_decode_flac_group",
+            "_decode_qoa_group", "_decode_wav_group"} <= \
         BatchDecoder._SEEN_GROUP_KINDS
     BatchDecoder._SEEN_GROUP_KINDS |= seen   # restore for other tests
