@@ -380,7 +380,14 @@ class BatchDecoder:
         host time goes, not just how much there is).  ``cpu_t0`` (a
         time.thread_time anchor) additionally closes the thread-CPU
         counter — valid only when the stage ran on the calling thread;
-        pooled stages call _note_host_cpu per lane CHUNK instead."""
+        pooled stages call _note_host_cpu per lane CHUNK instead.
+
+        NOTE on aggregation: stage WALL counters sum per-thread walls,
+        so when groups decode concurrently (AF_TPU_GROUP_THREADS, the
+        overlapped mixed-Opus thread) the aggregate host_ms/enqueue_ms
+        can exceed — i.e. no longer decompose — the batch wall clock.
+        Per-format splits stay meaningful; host_cpu_ms is the
+        load-invariant quantity to compare across runs."""
         dt = (time.perf_counter() - t0) * 1e3
         self._stat_add(key, dt)
         self._stat_add(key + "_by_format", dt, fmt=fmt)

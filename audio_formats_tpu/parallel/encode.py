@@ -56,18 +56,36 @@ def encode_qoa_batch(pcms: Sequence[np.ndarray], sample_rate: int,
     n = len(pcms)
     chans = [p.shape[1] for p in pcms]
     lengths = [p.shape[0] for p in pcms]
+
     # quantize float input exactly like QoaEncoder.write — on HOST: the
     # device quantize is bit-identical (TwoSum exact round-half-up ==
     # the f64 golden, A/B-tested) but costs an upload+download roundtrip
     # of the whole PCM per stream, which dominated the old encode wall
-    s16 = []
-    for p in pcms:
+    def _q(p):
         q = pcm_ops.quantize_float_to_int_np(
             np.ascontiguousarray(p).reshape(-1), "s16")
-        s16.append(q.reshape(-1, p.shape[1]).astype(np.int32))
+        return q.reshape(-1, p.shape[1]).astype(np.int32)
+
     if parallel_frames:
+        # lazy per-stream quantize: stream i quantizes when its first
+        # chunk packs, so the host CPU cost overlaps earlier chunks'
+        # wire + search instead of preceding all device work
+        class _LazyS16:
+            __slots__ = ("cache",)
+
+            def __init__(self):
+                self.cache = {}
+
+            def __getitem__(self, i):
+                a = self.cache.get(i)
+                if a is None:
+                    a = self.cache[i] = _q(pcms[i])
+                return a
+
         return _encode_qoa_frames_parallel(
-            s16, chans, lengths, sample_rate, mesh=mesh, stats=stats)
+            _LazyS16(), chans, lengths, sample_rate, mesh=mesh,
+            stats=stats)
+    s16 = [_q(p) for p in pcms]
     L = sum(chans)
     lane_of = np.cumsum([0] + chans)
     hist = np.zeros((L, QOA_LMS_LEN), np.int32)
@@ -128,14 +146,15 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
     ride the same call.
 
     Wire discipline (the encode wall is wire-bound on a tunneled chip):
-    chunks of <=2048 lanes upload via async device_put BEFORE any kernel
-    launch, so chunk k+1's h2d overlaps chunk k's search; only the live
-    lanes of each word plane come back (bucketed device slice), started
-    with copy_to_host_async so downloads overlap later chunks' compute.
-    If ``stats`` (a dict) is passed, h2d_bytes/d2h_bytes are recorded."""
+    each <=2048-lane chunk runs build rows -> device_put -> launch ->
+    copy_to_host_async as ONE pipeline step, so chunk k's upload,
+    search, and download all stream while the host quantizes + packs
+    chunk k+1's rows (everything is async until the final resolve);
+    only the live lanes of each word plane come back (bucketed device
+    slice).  If ``stats`` (a dict), h2d_bytes/d2h_bytes are recorded."""
     import jax
 
-    n = len(s16)
+    n = len(chans)
     # lane layout: frame-major per stream, channel-minor
     spans = []  # (stream, frame_idx, frame_samples, lane_start)
     by_stream = [[] for _ in range(n)]
@@ -155,8 +174,12 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
     hi_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.uint32)
     lo_all = np.zeros((L, QOA_SLICES_PER_FRAME), np.uint32)
     h2d = d2h = 0
-    # ---- phase 1: assemble + start EVERY chunk's upload (async)
-    puts = []  # (c0, c1, Lp, rows_d, flen_d)
+    # ---- pipeline: per chunk, build rows -> put -> launch -> async
+    # download.  Everything up to the final resolve is async, so while
+    # the host packs chunk k+1's rows, chunk k's bytes are already on
+    # the wire and its search on the chip — the wall becomes
+    # max(host pack, wire, search) instead of their sum.
+    fetches = []  # (c0, c1, hi_d, lo_d)
     si = 0
     while si < len(spans):
         c0 = spans[si][3]
@@ -190,15 +213,9 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
         else:
             rows = jax.device_put(rows)
             flen = jax.device_put(flen)
-        puts.append((c0, c1, Lp, rows, flen))
-        si = sj
-    # ---- phase 2: launch every search + start the live-lane downloads
-    fetches = []  # (c0, c1, hi_d, lo_d)
-    for (c0, c1, Lp, rows, flen) in puts:
         # fused search + DEVICE word pack: the only download is the
         # [L, 256] x 2 u32 word planes (8 B/slice), not codes+sf (84 B)
         hi, lo = lms_ops.qoa_encode_frame_words(rows, flen)
-        Lc = c1 - c0
         if mesh is None and Lc < Lp:
             # fetch only the live lanes (256-bucketed so the device
             # slice compiles a bounded shape set, not one per call)
@@ -210,7 +227,8 @@ def _encode_qoa_frames_parallel(s16, chans, lengths, sample_rate,
             except AttributeError:
                 pass
         fetches.append((c0, c1, hi, lo))
-    # ---- phase 3: resolve
+        si = sj
+    # ---- resolve
     for (c0, c1, hi, lo) in fetches:
         Lc = c1 - c0
         hi = np.asarray(hi)
