@@ -198,6 +198,75 @@ def build_frame_pool_native(lib, lane_addrs, lanes, NPOOL: int):
     return pool.view(np.uint32).reshape(nused, BLK_W), base_bits
 
 
+@functools.partial(jax.jit, static_argnames=("NPOOL", "S"))
+def gather_frame_pool(corpus_w, lane_src, cum_dst, zero_off,
+                      NPOOL: int, S: int):
+    """DEVICE-side :func:`build_frame_pool`: assemble the [NPOOL, BLK_W]
+    BE-word pool by gathering each lane's frame bytes out of a
+    device-resident corpus (every stream's raw bytes concatenated and
+    uploaded ONCE per group), instead of memcpy-ing them into a host
+    pool and re-uploading per window.  The host's per-window work drops
+    to building two tiny index arrays; the corpus bytes cross the wire
+    exactly once (h2d == compressed bytes, same as the host pool path,
+    minus the per-window re-staging).
+
+    corpus_w:  [Nw] u32 — the padded corpus viewed as LITTLE-endian
+               words (a free numpy .view on the host, no byteswap
+               pass); at least 2 trailing zero blocks.
+    lane_src:  [S] i32 — absolute corpus BYTE offset of each lane's
+               frame (pad lanes: zero_off).
+    cum_dst:   [S+1] i32 — cumulative destination block counts
+               (cum_dst[i] = first pool block of lane i; pad lanes
+               repeat cum_dst[n_live]).
+    zero_off:  i32 — byte offset of a guaranteed-zero block (corpus
+               tail padding).
+
+    Frames start at arbitrary byte offsets, so each output word k of a
+    block gathers TWO adjacent LE corpus words and funnel-shifts:
+    bytes[b..b+3] as a BE word == bswap32(lo >> 8r | hi << (32-8r))
+    where b = 4q + r.  Beyond-frame-end tail bytes inside a lane's last
+    block carry neighbouring corpus bytes rather than the host pool's
+    zeros — the Rice FSM consumes only content-addressed bits < the
+    frame's end, so decode results are identical (A/B-tested); blocks
+    past cum_dst[-1] read the zero block, preserving the kernel's
+    window-overrun guard contract."""
+    blk_b = BLK_W * 4
+    k = jnp.arange(NPOOL, dtype=jnp.int32)
+    j = jnp.clip(
+        jnp.searchsorted(cum_dst, k, side="right") - 1, 0, S - 1)
+    live = k < cum_dst[S]
+    src0 = jnp.where(
+        live, lane_src[j] + (k - cum_dst[j]) * blk_b, zero_off)
+    q0 = src0 >> 2                      # first LE word of the block
+    r = (src0 & 3).astype(jnp.uint32)[:, None] << 3   # funnel shift bits
+    idx = q0[:, None] + jnp.arange(BLK_W + 1, dtype=jnp.int32)[None, :]
+    w = corpus_w[idx]                    # [NPOOL, BLK_W+1] u32 LE
+    lo, hi = w[:, :BLK_W], w[:, 1:]
+    # r == 0 guard: a uint32 shift by 32 is undefined
+    le = jnp.where(r == 0, lo,
+                   (lo >> r) | (hi << (jnp.uint32(32) - r)))
+    return (((le & 0xFF) << 24) | ((le & 0xFF00) << 8)
+            | ((le >> 8) & 0xFF00) | (le >> 24))
+
+
+def gather_pool_meta(stream_base, lanes, S: int, zero_off: int):
+    """Host prep for :func:`gather_frame_pool`: (lane_src [S] i32,
+    cum_dst [S+1] i32, base_bits [n] i64) from the scheduler's lane
+    tuples (bi, byte_off, nbytes, ...).  int32-safe only while the
+    corpus stays under 2 GiB (checked by the caller at corpus build)."""
+    blk_b = BLK_W * 4
+    n = len(lanes)
+    nblk = np.fromiter((-(-p[2] // blk_b) for p in lanes), np.int64, n)
+    cum = np.zeros(S + 1, np.int32)
+    cum[1 : n + 1] = np.cumsum(nblk)
+    cum[n + 1 :] = cum[n]
+    lane_src = np.full(S, zero_off, np.int32)
+    lane_src[:n] = np.fromiter(
+        (stream_base[p[0]] + p[1] for p in lanes), np.int64, n)
+    base_bits = cum[:n].astype(np.int64) * (blk_b * 8)
+    return lane_src, cum, base_bits
+
+
 def pad_pool(pool_dev, NPOOL: int):
     """Zero-pad an uploaded exact-size pool to the kernel's [NPOOL,
     BLK_W] shape on device (the trailing zero blocks double as the

@@ -1977,6 +1977,44 @@ class BatchDecoder:
                 d._rice_state = np.array([-1, 0, d._cur_bit // 8],
                                          np.int64)
 
+        # device-resident corpus for the on-device pool gather
+        # (flac_rice.gather_frame_pool): every stream's raw bytes
+        # upload ONCE per group call, then each window's shared pool
+        # assembles on the chip from two tiny index arrays — the host
+        # drops its per-window memcpy+byteswap pool build AND the
+        # per-window pool device_put (measured: the two largest
+        # enqueue substages of the e2e wall).  Single-chip only (a
+        # mesh would replicate the corpus on every device) and only
+        # while absolute byte offsets stay int32-safe (<2 GiB).
+        blk_b = flac_rice.BLK_W * 4
+        total = sum(len(d._view) for d in decs)
+        if (self._mesh is None
+                and os.environ.get("AF_TPU_FLAC_POOL", "gather")
+                == "gather"
+                and total + 3 * blk_b < (1 << 31)):
+            import jax as _jax
+
+            pad = (-total) % 4 + 2 * blk_b
+            buf = np.zeros(total + pad, np.uint8)
+            stream_base = np.zeros(B, np.int64)
+            cur = 0
+            for bi, d in enumerate(decs):
+                nb = len(d._view)
+                buf[cur : cur + nb] = np.frombuffer(d._view, np.uint8,
+                                                    nb, 0)
+                stream_base[bi] = cur
+                cur += nb
+            # start of the 4-aligned zero tail: gather reads blk_b+4
+            # bytes from zero_off, the tail holds 2*blk_b zeros
+            zero_off = total + (-total) % 4
+            # async upload: streams over the wire while the first
+            # window's sync index runs on the host
+            corpus_dev = _jax.device_put(buf.view(np.uint32))
+            self._rice_corpus = (corpus_dev, stream_base, zero_off)
+            self._stat_add("h2d_bytes", buf.nbytes)
+            self._stat_add("h2d_bytes_by_format", buf.nbytes,
+                           fmt="flac")
+
         try:
             return self._flac_rice_windows(
                 decs, nch, to_device, lib, B, W, outputs, active,
@@ -1985,6 +2023,7 @@ class BatchDecoder:
             # a lane fault raising out of the window loop must not leak
             # the dispatch worker (the bisect recovery re-invokes this
             # function O(log G) times on a poisoned chunk)
+            self._rice_corpus = None
             pool_w.shutdown(wait=True)
 
     def _flac_rice_windows(self, decs, nch, to_device, lib, B, W,
@@ -2194,7 +2233,17 @@ class BatchDecoder:
         NPOOL = next((x for x in self._RICE_POOL_BUCKETS
                       if need <= x), -(-need // 524288) * 524288)
         t_pb = time.perf_counter()
-        if lane_addrs is not None:
+        corpus_state = getattr(self, "_rice_corpus", None)
+        if corpus_state is not None and self._mesh is None:
+            # device-side pool assembly: the host builds only the two
+            # index arrays; the worker's gather_frame_pool dispatch
+            # assembles the pool from the resident corpus on the chip
+            corpus_dev, stream_base, zero_off = corpus_state
+            lane_src, cum_dst, base_bits = flac_rice.gather_pool_meta(
+                stream_base, lanes, S, zero_off)
+            pool = ("gather", corpus_dev, lane_src, cum_dst,
+                    np.int32(zero_off))
+        elif lane_addrs is not None:
             from ..host import native as _native
 
             pool, base_bits = flac_rice.build_frame_pool_native(
@@ -2227,11 +2276,11 @@ class BatchDecoder:
         use_s16 = bool((lane_bps <= 16).all())
         out_shifts = np.zeros(S, np.int32)
         out_shifts[: n_l] = 32 - lane_bps
-        pool_nbytes = pool.nbytes
+        pool_nbytes = 0 if isinstance(pool, tuple) else pool.nbytes
         self._stat_add("enq_flac_cols_ms",
                        (time.perf_counter() - t_cols) * 1e3)
         t_put = time.perf_counter()
-        if self._mesh is None:
+        if self._mesh is None and not isinstance(pool, tuple):
             # start the pool's h2d stream NOW, from the main thread:
             # device_put is async, so window k+1's sync-index/assembly
             # overlaps window k's wire time.  Leaving the transfer to
@@ -2249,11 +2298,21 @@ class BatchDecoder:
                            NPOOL, use_s16):
             # every per-window value arrives as an argument (the
             # enclosing loop rebinds its locals while this runs)
-            (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = _shard_batch(
-                self._mesh, pool, start_bits, bs_arr, bps_arr,
-                ca_arr, out_shifts)
-            # wire carried the exact pool; bucket-pad on device
-            blocks_d = flac_rice.pad_pool(blocks_d, NPOOL)
+            if isinstance(pool, tuple):
+                # corpus-gather wire mode: assemble the pool ON DEVICE
+                _tag, corpus_dev, lane_src, cum_dst, zo = pool
+                blocks_d = flac_rice.gather_frame_pool(
+                    corpus_dev, lane_src, cum_dst, zo,
+                    NPOOL=NPOOL, S=S)
+                sb_d, bs_d, bps_d, ca_d, osh_d = (
+                    start_bits, bs_arr, bps_arr, ca_arr, out_shifts)
+            else:
+                (blocks_d, sb_d, bs_d, bps_d, ca_d, osh_d) = \
+                    _shard_batch(
+                        self._mesh, pool, start_bits, bs_arr,
+                        bps_arr, ca_arr, out_shifts)
+                # wire carried the exact pool; bucket-pad on device
+                blocks_d = flac_rice.pad_pool(blocks_d, NPOOL)
             ent = flac_rice.flac_frame_entropy(
                 blocks_d, sb_d, bs_d, bps_d, ca_d,
                 L=S, NSAMP=max_bs, nch=nch, NPOOL=NPOOL)

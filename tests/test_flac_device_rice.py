@@ -220,3 +220,74 @@ def test_build_pool_native_matches_numpy(rng):
             lib, lane_addrs, lanes, npool)
         np.testing.assert_array_equal(nat_pool, ref_pool)
         np.testing.assert_array_equal(nat_bits, ref_bits)
+
+
+def test_gather_pool_matches_host_pool(rng, monkeypatch):
+    """The device-side corpus gather (flac_rice.gather_frame_pool, the
+    default single-chip wire) decodes identically to the host pool
+    builder path (AF_TPU_FLAC_POOL=host): same PCM, zero demotions.
+    The pools themselves differ only in beyond-frame-end tail bytes
+    (corpus neighbours vs zeros), which the content-driven FSM never
+    consumes."""
+    _need_lib()
+    streams = [
+        _make(rng, mode="lpc8", stereo="mid_side"),
+        _make(rng, n=3000),
+        _make(rng, mode="fixed2", wasted=1),
+        _make(rng, mode="constant"),
+    ]
+    monkeypatch.setenv("AF_TPU_FLAC_DEVICE_RICE", "1")
+    monkeypatch.setenv("AF_TPU_FLAC_POOL", "host")
+    dec_h = BatchDecoder(streams)
+    ref = dec_h.decode_all()
+    assert dec_h.stats.get("rice_host_redo", 0) == 0
+    monkeypatch.setenv("AF_TPU_FLAC_POOL", "gather")
+    dec_g = BatchDecoder(streams)
+    got = dec_g.decode_all()
+    assert dec_g.stats.get("rice_host_redo", 0) == 0
+    assert dec_g.stats["group_demotions"] == 0
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+
+
+def test_gather_pool_words_match_host_pool_prefix(rng):
+    """gather_frame_pool's assembled words equal the host pool's for
+    every in-frame word (the only divergence allowed is the zero vs
+    neighbour tail beyond each frame's last byte)."""
+    data = _make(rng, mode="fixed2")
+    d = models.probe_all(MemorySource(data))
+    view = d._view
+    lib = _need_lib()
+    st = np.array([-1, 0, d._cur_bit // 8], np.int64)
+    n, offs, dbits, bs, ca, bps = native.flac_sync_index(
+        lib, view, int(st[2]), d.bits_per_sample, d.channels, 65535,
+        64, st)
+    sizes = list(np.diff(offs)) + [len(view) - int(offs[-1])]
+    lanes = [(0, int(o), int(sz)) for o, sz in zip(offs, sizes)]
+    frames = [(view, int(o), int(sz)) for o, sz in zip(offs, sizes)]
+    npool = flac_rice.pool_blocks_needed(sizes)
+    ref_pool, ref_bits = flac_rice.build_frame_pool(frames, npool)
+
+    blk_b = flac_rice.BLK_W * 4
+    total = len(view)
+    pad = (-total) % 4 + 2 * blk_b
+    buf = np.zeros(total + pad, np.uint8)
+    buf[:total] = np.frombuffer(view, np.uint8, total, 0)
+    zero_off = total + (-total) % 4
+    S = len(lanes)
+    lane_src, cum_dst, base_bits = flac_rice.gather_pool_meta(
+        np.zeros(1, np.int64), lanes, S, zero_off)
+    np.testing.assert_array_equal(base_bits, ref_bits)
+    got = np.asarray(flac_rice.gather_frame_pool(
+        jnp.asarray(buf.view(np.uint32)), lane_src, cum_dst,
+        np.int32(zero_off), NPOOL=npool, S=S))
+    # compare word-for-word inside each frame's byte extent
+    for i, (_, off, sz) in enumerate(lanes):
+        b0 = int(ref_bits[i]) // 8
+        full_w = sz // 4   # whole in-frame words
+        blk0, w0 = b0 // blk_b, 0
+        ref_flat = ref_pool.reshape(-1)
+        got_flat = got.reshape(-1)
+        s = b0 // 4
+        np.testing.assert_array_equal(got_flat[s : s + full_w],
+                                      ref_flat[s : s + full_w])
