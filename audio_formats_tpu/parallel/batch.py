@@ -1988,9 +1988,14 @@ class BatchDecoder:
         # while absolute byte offsets stay int32-safe (<2 GiB).
         blk_b = flac_rice.BLK_W * 4
         total = sum(len(d._view) for d in decs)
-        if (self._mesh is None
-                and os.environ.get("AF_TPU_FLAC_POOL", "gather")
-                == "gather"
+        pool_mode = os.environ.get("AF_TPU_FLAC_POOL", "auto")
+        # auto: gather for big groups (where the host pool build is
+        # seconds of enqueue wall), host pool for small ones — tiny
+        # batches (the mixed gauge's buckets) would pay a fresh
+        # (NPOOL, S) gather compile for a sub-ms host build
+        use_gather = pool_mode == "gather" or (
+            pool_mode == "auto" and total >= (8 << 20))
+        if (self._mesh is None and use_gather
                 and total + 3 * blk_b < (1 << 31)):
             import jax as _jax
 
